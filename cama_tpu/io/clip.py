@@ -1,0 +1,146 @@
+"""Reader for the CAMA on-disk clip format (SURVEY.md §2.2).
+
+Replaces the reference DatasetReader (cama/dataset_reader.py:11-411): one
+`attribute.json` holding millisecond sync/unsync timestamp tables and a
+calibration dict whose `{a}_2_{b}` keys form an undirected sensor graph;
+sensor data live in per-sensor directories keyed by millisecond timestamps.
+
+Pure host-side I/O + tiny graph math — nothing here touches the device.
+"""
+from __future__ import annotations
+
+import json
+import os
+from collections import defaultdict, deque
+
+import numpy as np
+
+from cama_tpu.se3.core import inv_se3
+
+
+class ClipReader:
+    def __init__(self, clip_path=None):
+        self.attribute = {}
+        self.clip_path = ""
+        self._graph = None
+        if clip_path:
+            self.read(clip_path)
+
+    def read(self, clip_path):
+        self.clip_path = str(clip_path)
+        attr_path = os.path.join(self.clip_path, "attribute.json")
+        if not os.path.exists(attr_path):
+            raise FileNotFoundError(f"can not find {attr_path}")
+        with open(attr_path, "r") as f:
+            self.attribute = json.load(f)
+        self._graph = None
+        return self
+
+    # ---------------- timestamps & files ----------------
+
+    def sensor_timestamps_ms(self, sensor, sync=True):
+        return list(self.attribute["sync" if sync else "unsync"][sensor])
+
+    def sensor_timestamps(self, sensor, sync=True):
+        """Seconds, float64 (reference: ms / 1000.0, dataset_reader.py:39-43)."""
+        return np.asarray(self.sensor_timestamps_ms(sensor, sync), dtype=np.float64) / 1000.0
+
+    def sensor_filepath(self, sensor, timestamp_ms, ext):
+        return os.path.join(self.clip_path, sensor, f"{timestamp_ms}.{ext}")
+
+    def iter_sensor_files(self, sensor, ext, sync=True, start_idx=None, end_idx=None):
+        for ts in self.sensor_timestamps_ms(sensor, sync)[start_idx:end_idx]:
+            yield ts, self.sensor_filepath(sensor, ts, ext)
+
+    def iter_lidar(self, start_idx=None, end_idx=None, deskewed=False):
+        """Yield (timestamp_s, points[N, 6] float64: x y z intensity ring ts)."""
+        sensor = "deskewed_lidar_top" if deskewed else "lidar_top"
+        for ts, path in self.iter_sensor_files("lidar_top", "bin", sync=True,
+                                               start_idx=start_idx, end_idx=end_idx):
+            if deskewed:
+                path = path.replace("lidar_top", sensor)
+            pts = np.fromfile(path, dtype=np.float64).reshape(-1, 6)
+            yield ts / 1000.0, pts
+
+    def odometry(self, name_txt):
+        """Raw TUM array from odometry/<name_txt> (dataset_reader.py:409-411)."""
+        return np.loadtxt(os.path.join(self.clip_path, "odometry", name_txt))
+
+    def map_json(self, result_dir, name):
+        with open(os.path.join(self.clip_path, result_dir, name), "r") as f:
+            return json.load(f)
+
+    def height_grid(self, result_dir, name):
+        return np.load(os.path.join(self.clip_path, result_dir, name))
+
+    # ---------------- calibration ----------------
+
+    def _direct_extrinsic(self, a, b):
+        if a == b:
+            return np.eye(4, dtype=np.float64)
+        calib = self.attribute["calibration"]
+        if f"{a}_2_{b}" in calib:
+            return np.asarray(calib[f"{a}_2_{b}"], dtype=np.float64)
+        if f"{b}_2_{a}" in calib:
+            return inv_se3(np.asarray(calib[f"{b}_2_{a}"], dtype=np.float64))
+        return None
+
+    def _build_graph(self):
+        graph = defaultdict(list)
+        for key in self.attribute["calibration"]:
+            if "_2_" in key:
+                a, b = key.split("_2_")
+                graph[a].append(b)
+                graph[b].append(a)
+        self._graph = graph
+
+    def extrinsic_path(self, a, b):
+        """BFS shortest sensor-graph path (dataset_reader.py:181-220)."""
+        if self._graph is None:
+            self._build_graph()
+        if a == b:
+            return None
+        seen = {a}
+        queue = deque([[a]])
+        while queue:
+            path = queue.popleft()
+            for nb in self._graph[path[-1]]:
+                if nb == b:
+                    return path + [nb]
+                if nb not in seen:
+                    seen.add(nb)
+                    queue.append(path + [nb])
+        return None
+
+    def extrinsic(self, from_sensor, to_sensor):
+        """4x4 from_sensor -> to_sensor, composed along the BFS path with edge
+        inversion as needed (dataset_reader.py:222-248). Returns None when the
+        graph is disconnected (matching the reference's print-and-None)."""
+        direct = self._direct_extrinsic(from_sensor, to_sensor)
+        if direct is not None:
+            return direct
+        path = self.extrinsic_path(from_sensor, to_sensor)
+        if path is None:
+            print("extrinsic path not found!")
+            return None
+        out = np.eye(4, dtype=np.float64)
+        for i in range(len(path) - 1):
+            out = self._direct_extrinsic(path[i], path[i + 1]) @ out
+        return out
+
+    def all_sensors(self):
+        names = []
+        for key in self.attribute["calibration"]:
+            names += key.split("_2_")
+        return sorted(set(names))
+
+    def intrinsics(self, sensor):
+        """dict with K [3,3], d, width, height, hfov (dataset_reader.py:278-294)."""
+        raw = self.attribute["calibration"][sensor]
+        return {
+            "K": np.asarray(raw.get("K"), dtype=np.float64),
+            "d": np.asarray(raw.get("d"), dtype=np.float64),
+            "width": raw.get("image_width"),
+            "height": raw.get("image_height"),
+            "hfov": raw.get("fov"),
+        }

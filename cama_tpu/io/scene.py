@@ -1,0 +1,161 @@
+"""Scene compiler: clip directory -> device-resident padded tensors.
+
+This is the checkpoint artifact of the TPU build (SURVEY.md §5): everything
+the per-frame pipeline needs — flattened label points per source, pose
+trajectories, calibration — compiled once per scene.  The lifting
+(densify + height gather) is host-side and bit-exact to the reference
+(cama/reproject.py:42-106 — see cama_tpu.ops.lift); bulk per-frame math then
+runs on device from these tensors.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cama_tpu.io.clip import ClipReader
+from cama_tpu.ops import lift
+from cama_tpu.se3.core import inv_se3
+from cama_tpu.se3.trajectory import Trajectory
+
+DEFAULT_CAMA_CONFIGS = {
+    # mirrors config.yaml:18-25 of the reference
+    "result_dir": "maps",
+    "camera_list": [
+        "camera_front_left", "camera_front", "camera_front_right",
+        "camera_rear_left", "camera_rear", "camera_rear_right",
+    ],
+    "camera_main": "camera_front",
+    "height_mlp": "vision_road_mlp_ft.npy",
+    "pose_prefix": "scmv",
+    "cama_map_file": "map_labels.json",
+    "nuscenes_map_file": "map_nuscenes.json",
+}
+
+OUTPUT_SIZE = (540, 960)  # (h, w), reference CameraManager default
+
+
+@dataclass
+class Scene:
+    clip_path: str
+    camera_list: list
+    camera_main: str
+    output_size: tuple  # (h, w)
+    # calibration (host float64)
+    K_orig: np.ndarray  # [C, 3, 3]
+    K_scaled: np.ndarray  # [C, 3, 3] rescaled to output_size
+    d: np.ndarray  # [C, 8]
+    image_size: tuple  # (h, w) original
+    cam2chassis: np.ndarray  # [C, 4, 4]
+    chassis2cam: np.ndarray  # [C, 4, 4]
+    # frames
+    frame_times: np.ndarray  # [N] float64 seconds (sync, camera_main)
+    sync_ms: dict = field(repr=False, default=None)  # sensor -> [N] ms ints
+    # label sources -> flattened points; pose chains
+    flat: dict = field(default_factory=dict)  # source -> lift.FlatPoints
+    traj: dict = field(default_factory=dict)  # source -> se3.Trajectory
+    reader: ClipReader = field(repr=False, default=None)
+
+    @property
+    def sources(self):
+        return sorted(self.flat.keys())
+
+    def image_path(self, camera, index, sync=True):
+        ts = self.sync_ms[camera][index] if sync else self.reader.sensor_timestamps_ms(camera, False)[index]
+        return os.path.join(self.clip_path, camera, f"{ts}.jpg")
+
+    def device_points(self, source):
+        """(points [P,3] f32, cls [P] i32, valid [P] bool) as jnp arrays."""
+        import jax.numpy as jnp
+
+        fp = self.flat[source]
+        return (
+            jnp.asarray(fp.points),
+            jnp.asarray(fp.cls),
+            jnp.asarray(fp.valid),
+        )
+
+
+def _build_cama_trajectory(reader, configs):
+    """CAMA chain (cama/dataset.py:60-69): SfM camera_front pose sequence,
+    right-multiplied by chassis->camera_front => chassis2world."""
+    camera_main = configs["camera_main"]
+    chassis2cam_main = reader.extrinsic("chassis", camera_main)
+    pose = reader.odometry(f"{configs['pose_prefix']}_{camera_main}.txt")
+    tr = Trajectory()
+    tr.loadarray(pose)
+    tr.right_rotate(chassis2cam_main)
+    return tr
+
+
+def _build_nuscenes_trajectory(reader):
+    """nuScenes chain (cama/dataset.py:71-76): recentered ego odometry."""
+    tr = Trajectory()
+    tr.loadarray(reader.odometry("wigo_offset_clip.txt"))
+    tr.normalize2center()
+    return tr
+
+
+def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
+                  output_size=OUTPUT_SIZE, pad_multiple=1024):
+    configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
+    reader = ClipReader(clip_path)
+    camera_list = configs["camera_list"]
+    camera_main = configs["camera_main"]
+
+    C = len(camera_list)
+    K_orig = np.zeros((C, 3, 3))
+    K_scaled = np.zeros((C, 3, 3))
+    d = np.zeros((C, 8))
+    cam2chassis = np.zeros((C, 4, 4))
+    chassis2cam = np.zeros((C, 4, 4))
+    img_h = img_w = None
+    for i, cam in enumerate(camera_list):
+        intr = reader.intrinsics(cam)
+        K_orig[i] = intr["K"]
+        d[i, : len(intr["d"])] = intr["d"]
+        img_w, img_h = intr["width"], intr["height"]
+        # reference K rescale (cama/reproject.py:180-182)
+        K = intr["K"].copy()
+        K[0, :] = K[0, :] * output_size[1] / img_w
+        K[1, :] = K[1, :] * output_size[0] / img_h
+        K_scaled[i] = K
+        chassis2cam[i] = reader.extrinsic("chassis", cam)
+        cam2chassis[i] = inv_se3(chassis2cam[i])
+
+    result_dir = configs["result_dir"]
+    flat, traj = {}, {}
+    if "cama" in sources:
+        label_path = os.path.join(clip_path, result_dir, configs["cama_map_file"])
+        if os.path.exists(label_path):
+            labels = reader.map_json(result_dir, configs["cama_map_file"])
+            grid = reader.height_grid(result_dir, configs["height_mlp"])
+            instances = lift.lift_cama_instances(labels, grid)
+            flat["cama"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
+            traj["cama"] = _build_cama_trajectory(reader, configs)
+    if "nuscenes" in sources:
+        label_path = os.path.join(clip_path, result_dir, configs["nuscenes_map_file"])
+        if os.path.exists(label_path):
+            labels = reader.map_json(result_dir, configs["nuscenes_map_file"])
+            instances = lift.lift_nuscenes_instances(labels)
+            flat["nuscenes"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
+            traj["nuscenes"] = _build_nuscenes_trajectory(reader)
+
+    return Scene(
+        clip_path=str(clip_path),
+        camera_list=list(camera_list),
+        camera_main=camera_main,
+        output_size=tuple(output_size),
+        K_orig=K_orig,
+        K_scaled=K_scaled,
+        d=d,
+        image_size=(img_h, img_w),
+        cam2chassis=cam2chassis,
+        chassis2cam=chassis2cam,
+        frame_times=reader.sensor_timestamps(camera_main, sync=True),
+        sync_ms={s: list(v) for s, v in reader.attribute["sync"].items()},
+        flat=flat,
+        traj=traj,
+        reader=reader,
+    )

@@ -1,0 +1,133 @@
+"""On-device overlay rasterization with deterministic paint order.
+
+The reference paints filled radius-2 circles per projected point with
+cv2.circle in instance-major order, later circles overwriting earlier ones
+(cama/reproject.py:246-257).  A naive parallel scatter loses that order, so we
+scatter-MAX a packed priority value instead:
+
+    packed = point_flat_index * NUM_CLS + class_id
+
+Point flat index is monotone in (instance, point) order, so per-pixel max ==
+"last drawn wins" — exactly cv2's overwrite semantics — while staying one
+fixed-shape `scatter_max` per image.  The circle footprint is cv2's radius-2
+disk, a 13-pixel diamond (probed from OpenCV, see tests/test_raster.py), and
+circles clip at image borders like cv2 does.
+
+Color lookup at composite time replicates the reference quirk that any class
+other than "lane_marking" renders with the "Crosswalk_Line" color
+(cama/reproject.py:251-252).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+# cv2.circle(radius=2, thickness=-1) footprint: (dy, dx) offsets
+CIRCLE_R2_OFFSETS = np.array(
+    [(-2, 0)]
+    + [(-1, dx) for dx in (-1, 0, 1)]
+    + [(0, dx) for dx in (-2, -1, 0, 1, 2)]
+    + [(1, dx) for dx in (-1, 0, 1)]
+    + [(2, 0)],
+    dtype=np.int32,
+)  # [13, 2]
+
+MAX_CLS = 8  # packing stride; class ids must stay below this
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def rasterize_packed(vu, keep, cls, width, height):
+    """Rasterize one frame-camera batch of points into packed int32 buffers.
+
+    Args:
+        vu:   [..., P, 2] float32 (v, u) projected coordinates
+        keep: [..., P] bool
+        cls:  [P] int32 class ids (< MAX_CLS)
+        width/height: static ints
+
+    Returns:
+        packed [..., height, width] int32; -1 where unpainted, else
+        point_index * MAX_CLS + class_id of the topmost (last-drawn) point.
+    """
+    P = vu.shape[-2]
+    vi = vu[..., 0].astype(jnp.int32)  # reference: points.astype(np.int32)
+    ui = vu[..., 1].astype(jnp.int32)
+    prio = jnp.arange(P, dtype=jnp.int32) * MAX_CLS + cls  # [P]
+    prio = jnp.broadcast_to(prio, vu.shape[:-1])
+
+    offs = jnp.asarray(CIRCLE_R2_OFFSETS)  # [13, 2]
+    yy = vi[..., None] + offs[:, 0]  # [..., P, 13]
+    xx = ui[..., None] + offs[:, 1]
+    inside = (yy >= 0) & (yy < height) & (xx >= 0) & (xx < width) & keep[..., None]
+    flat_idx = yy * width + xx
+    # route dropped samples to a dump slot past the image
+    flat_idx = jnp.where(inside, flat_idx, height * width)
+
+    def one_image(idx2d, pr2d):
+        buf = jnp.full((height * width + 1,), -1, dtype=jnp.int32)
+        buf = buf.at[idx2d.reshape(-1)].max(
+            jnp.broadcast_to(pr2d[..., None], idx2d.shape).reshape(-1),
+            mode="drop",
+        )
+        return buf[:-1].reshape(height, width)
+
+    batch_shape = vu.shape[:-2]
+    idx_flat = flat_idx.reshape((-1,) + flat_idx.shape[-2:])
+    prio_flat = prio.reshape((-1, P))
+    out = jax.vmap(one_image)(idx_flat, prio_flat)
+    return out.reshape(batch_shape + (height, width))
+
+
+def build_color_table(class_names, color_maps=None):
+    """Per-class BGR color rows honoring the non-lane_marking fallback."""
+    from cama_tpu.ops.lift import COLOR_MAPS
+
+    color_maps = color_maps or COLOR_MAPS
+    rows = []
+    for name in class_names:
+        eff = name if name == "lane_marking" else "Crosswalk_Line"
+        rgb = color_maps[eff]
+        rows.append(rgb[::-1])  # BGR, matching cv2 drawing on BGR images
+    return np.asarray(rows, dtype=np.uint8)
+
+
+@jax.jit
+def composite_overlay(image_bgr, packed, color_table):
+    """Paint packed raster onto an image: image[painted] = color[cls]."""
+    painted = packed >= 0
+    cls = jnp.where(painted, packed % MAX_CLS, 0)
+    colors = color_table[cls]
+    return jnp.where(painted[..., None], colors, image_bgr)
+
+
+def composite_overlay_host(image_bgr, packed, color_table):
+    """NumPy composite (for the host video path)."""
+    packed = np.asarray(packed)
+    painted = packed >= 0
+    out = np.array(image_bgr, copy=True)
+    out[painted] = color_table[packed[painted] % MAX_CLS]
+    return out
+
+
+def rasterize_exact_host(image_bgr, vu_list, class_names, color_table=None):
+    """Reference-exact host rasterization via cv2 (used by golden tests and as
+    a CPU fallback): draws circles in order with cv2.circle.
+
+    vu_list: [(class_name, vu [P, 2] float)] per instance, already masked.
+    """
+    import cv2
+
+    from cama_tpu.ops.lift import COLOR_MAPS
+
+    img = np.array(image_bgr, copy=True)
+    for cls_name, vu in vu_list:
+        pts = np.asarray(vu).astype(np.int32)
+        eff = cls_name if cls_name == "lane_marking" else "Crosswalk_Line"
+        color = tuple(COLOR_MAPS[eff][::-1].tolist())
+        for v, u in pts:
+            cv2.circle(img, (int(u), int(v)), 2, color, -1)
+    return img

@@ -1,0 +1,83 @@
+"""Rasterizer parity: packed scatter-max overlay vs cv2.circle paint order."""
+import numpy as np
+import pytest
+
+from cama_tpu.ops.raster import (
+    CIRCLE_R2_OFFSETS,
+    build_color_table,
+    composite_overlay_host,
+    rasterize_exact_host,
+    rasterize_packed,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+RNG = np.random.default_rng(3)
+
+
+def test_circle_stencil_matches_cv2():
+    img = np.zeros((9, 9), np.uint8)
+    cv2.circle(img, (4, 4), 2, 255, -1)
+    ours = np.zeros((9, 9), np.uint8)
+    for dy, dx in CIRCLE_R2_OFFSETS:
+        ours[4 + dy, 4 + dx] = 255
+    np.testing.assert_array_equal(ours, img)
+
+
+def _run_case(h, w, n, class_names, clustered=False):
+    if clustered:
+        centers = RNG.uniform([2, 2], [h - 2, w - 2], size=(4, 2))
+        vu = (centers[RNG.integers(0, 4, n)] + RNG.normal(0, 2.0, (n, 2))).astype(np.float32)
+    else:
+        vu = RNG.uniform([0, 0], [h, w], size=(n, 2)).astype(np.float32)
+    vu = np.clip(vu, 0, [h - 1e-3, w - 1e-3])
+    cls = RNG.integers(0, len(class_names), n).astype(np.int32)
+    keep = RNG.random(n) > 0.1
+
+    packed = np.asarray(rasterize_packed(vu[None], keep[None], cls, w, h))[0]
+    table = build_color_table(class_names)
+    base = RNG.integers(0, 255, (h, w, 3)).astype(np.uint8)
+    ours = composite_overlay_host(base, packed, table)
+
+    # reference paint order: point order, per-point circle
+    ref = np.array(base, copy=True)
+    for i in range(n):
+        if not keep[i]:
+            continue
+        name = class_names[cls[i]]
+        eff = name if name == "lane_marking" else "Crosswalk_Line"
+        from cama_tpu.ops.lift import COLOR_MAPS
+
+        color = tuple(COLOR_MAPS[eff][::-1].tolist())
+        v, u = vu[i].astype(np.int32)
+        cv2.circle(ref, (int(u), int(v)), 2, color, -1)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_raster_random_points_matches_cv2_order():
+    _run_case(64, 96, 500, ["lane_marking", "Road_teeth", "Crosswalk_Line"])
+
+
+def test_raster_heavy_overlap_matches_cv2_order():
+    _run_case(48, 48, 2000, ["lane_marking", "Road_teeth", "Crosswalk_Line"], clustered=True)
+
+
+def test_raster_border_clipping():
+    h, w = 16, 16
+    vu = np.array([[0, 0], [15, 15], [0, 15], [15, 0], [1, 1]], dtype=np.float32)
+    cls = np.zeros(len(vu), dtype=np.int32)
+    keep = np.ones(len(vu), dtype=bool)
+    packed = np.asarray(rasterize_packed(vu[None], keep[None], cls, w, h))[0]
+    base = np.zeros((h, w, 3), np.uint8)
+    table = build_color_table(["lane_marking"])
+    ours = composite_overlay_host(base, packed, table)
+    ref = rasterize_exact_host(base, [("lane_marking", vu)], ["lane_marking"])
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_raster_batch_shapes():
+    vu = RNG.uniform(0, 30, size=(2, 6, 50, 2)).astype(np.float32)
+    keep = np.ones((2, 6, 50), bool)
+    cls = np.zeros(50, np.int32)
+    packed = np.asarray(rasterize_packed(vu, keep, cls, 32, 32))
+    assert packed.shape == (2, 6, 32, 32)
