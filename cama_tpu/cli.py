@@ -1,0 +1,80 @@
+"""CLI driver mirroring the reference main.py surface
+(/root/reference/main.py:20-70): per scene — convert nuScenes -> clip, extract
+CAMA labels from the release zip, and write cama + nuScenes overlay videos.
+
+Conversion is feature-gated: the nuScenes devkit is optional (SURVEY.md §7
+step 6 keeps conversion host-side), so already-converted clip dirs work
+without it.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+import zipfile
+
+import yaml
+
+from cama_tpu.pipeline import ClipPipeline
+
+
+def extract_dir_from_zip(zip_filepath, dir_in_zip, dest_dir):
+    with zipfile.ZipFile(zip_filepath, "r") as zf:
+        for member in zf.namelist():
+            if member.startswith(dir_in_zip):
+                zf.extract(member, dest_dir)
+                if member.endswith("/"):
+                    os.makedirs(os.path.join(dest_dir, member), exist_ok=True)
+
+
+def run(configs):
+    output_dir = configs["converted_dataroot"]
+    os.makedirs(output_dir, exist_ok=True)
+    output_video_dir = configs["output_video_dir"]
+    os.makedirs(output_video_dir, exist_ok=True)
+
+    converter = None
+    for scene_name in configs["scene_names"]:
+        clip_path = os.path.join(output_dir, scene_name)
+
+        # Step 1: convert nuScenes scene -> clip (optional dependency)
+        if not os.path.exists(os.path.join(clip_path, "attribute.json")):
+            if converter is None:
+                from cama_tpu.convert.nuscenes import NuScenesConverter
+
+                converter = NuScenesConverter(configs)
+            converter.convert(scene_name)
+
+        # Step 2: CAMA label files into the clip dir
+        zip_file = configs.get("cama_label_file")
+        if zip_file and os.path.exists(zip_file):
+            extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
+
+        # Step 3: reprojection videos
+        pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
+        for source, suffix in (("cama", "cama"), ("nuscenes", "nuScenes")):
+            if source not in pipe.scene.flat:
+                print(f"[{scene_name}] no {source} labels; skipping video")
+                continue
+            print(f"Generating reprojection video with {source} labels...")
+            out = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
+            t0 = time.perf_counter()
+            n = pipe.write_video(source, out)
+            dt = time.perf_counter() - t0
+            print(f"  {n} frames -> {out} in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Read a configuration file.")
+    parser.add_argument(
+        "-c", "--config", type=str, default="config.yaml",
+        help="Path to the configuration file.",
+    )
+    args = parser.parse_args(argv)
+    with open(args.config, "r") as f:
+        configs = yaml.safe_load(f)
+    run(configs)
+
+
+if __name__ == "__main__":
+    main()

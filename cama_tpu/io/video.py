@@ -1,0 +1,98 @@
+"""Streaming video output (reference: cama/tools.py:12-40).
+
+Backend order: ffmpeg subprocess raw-BGR pipe (reference-identical encoding
+settings: 10 fps, yuv420p, libx264) -> cv2.VideoWriter -> raw .npy frame dir.
+The environment may lack ffmpeg entirely, so every backend is feature-gated.
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import subprocess
+
+import numpy as np
+
+CAMERA_GRID = [
+    ["camera_front_left", "camera_front", "camera_front_right"],
+    ["camera_rear_left", "camera_rear", "camera_rear_right"],
+]
+
+
+def concat_camera_grid(image_dict):
+    """3x2 camera mosaic (cama/tools.py:22-25)."""
+    rows = [np.concatenate([image_dict[c] for c in row], axis=1) for row in CAMERA_GRID]
+    return np.concatenate(rows, axis=0)
+
+
+class VideoSink:
+    def __init__(self, output_path, output_shape=(2880, 1080), fps=10):
+        self.output_path = str(output_path)
+        self.output_shape = tuple(output_shape)  # (w, h)
+        self.fps = fps
+        self._proc = None
+        self._writer = None
+        self._frames_dir = None
+        self._count = 0
+        self.backend = self._open()
+
+    def _open(self):
+        w, h = self.output_shape
+        if shutil.which("ffmpeg"):
+            self._proc = subprocess.Popen(
+                [
+                    "ffmpeg", "-y", "-loglevel", "quiet",
+                    "-f", "rawvideo", "-pix_fmt", "bgr24", "-s", f"{w}x{h}",
+                    "-i", "pipe:",
+                    "-r", str(self.fps), "-pix_fmt", "yuv420p", "-vcodec", "libx264",
+                    self.output_path,
+                ],
+                stdin=subprocess.PIPE,
+            )
+            return "ffmpeg"
+        try:
+            import cv2
+
+            fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+            self._writer = cv2.VideoWriter(self.output_path, fourcc, self.fps, (w, h))
+            if self._writer.isOpened():
+                return "cv2"
+            self._writer = None
+        except ImportError:
+            pass
+        self._frames_dir = self.output_path + ".frames"
+        os.makedirs(self._frames_dir, exist_ok=True)
+        return "raw"
+
+    def add_frame(self, image_bgr):
+        img = np.asarray(image_bgr).astype(np.uint8)
+        if self._proc is not None:
+            self._proc.stdin.write(img.tobytes())
+        elif self._writer is not None:
+            self._writer.write(img)
+        else:
+            np.save(os.path.join(self._frames_dir, f"{self._count:06d}.npy"), img)
+        self._count += 1
+
+    def add_frame_from_dict(self, image_dict):
+        self.add_frame(concat_camera_grid(image_dict))
+
+    def close(self):
+        if self._proc is not None:
+            self._proc.stdin.close()
+            self._proc.wait()
+            self._proc = None
+        if self._writer is not None:
+            self._writer.release()
+            self._writer = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # reference parity (cama/tools.py:38-40)
+        try:
+            self.close()
+        except Exception:
+            pass

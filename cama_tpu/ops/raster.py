@@ -82,6 +82,15 @@ def rasterize_packed(vu, keep, cls, width, height):
     return out.reshape(batch_shape + (height, width))
 
 
+@jax.jit
+def packed_to_cls(packed):
+    """Packed raster -> compact uint8 class raster (0 = unpainted, else
+    class_id + 1).  This is what crosses device->host for video compositing:
+    4x smaller than the packed buffer."""
+    painted = packed >= 0
+    return jnp.where(painted, (packed % MAX_CLS) + 1, 0).astype(jnp.uint8)
+
+
 def build_color_table(class_names, color_maps=None):
     """Per-class BGR color rows honoring the non-lane_marking fallback."""
     from cama_tpu.ops.lift import COLOR_MAPS

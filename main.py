@@ -1,0 +1,7 @@
+#!/usr/bin/env python3
+"""Entry point with the reference's surface: python3 main.py --config config.yaml
+(/root/reference/main.py)."""
+from cama_tpu.cli import main
+
+if __name__ == "__main__":
+    main()
