@@ -40,7 +40,7 @@ MAX_CLS = 8  # packing stride; class ids must stay below this
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
-def rasterize_packed(vu, keep, cls, width, height):
+def rasterize_packed(vu, keep, cls, width, height, prio_offset=0):
     """Rasterize one frame-camera batch of points into packed int32 buffers.
 
     Args:
@@ -48,15 +48,19 @@ def rasterize_packed(vu, keep, cls, width, height):
         keep: [..., P] bool
         cls:  [P] int32 class ids (< MAX_CLS)
         width/height: static ints
+        prio_offset: global index of this batch's first point — lets
+            point-sharded partial rasters keep globally correct paint order
+            (combined later with elementwise max)
 
     Returns:
         packed [..., height, width] int32; -1 where unpainted, else
-        point_index * MAX_CLS + class_id of the topmost (last-drawn) point.
+        (prio_offset + point_index) * MAX_CLS + class_id of the topmost
+        (last-drawn) point.
     """
     P = vu.shape[-2]
     vi = vu[..., 0].astype(jnp.int32)  # reference: points.astype(np.int32)
     ui = vu[..., 1].astype(jnp.int32)
-    prio = jnp.arange(P, dtype=jnp.int32) * MAX_CLS + cls  # [P]
+    prio = (prio_offset + jnp.arange(P, dtype=jnp.int32)) * MAX_CLS + cls  # [P]
     prio = jnp.broadcast_to(prio, vu.shape[:-1])
 
     offs = jnp.asarray(CIRCLE_R2_OFFSETS)  # [13, 2]
@@ -82,6 +86,48 @@ def rasterize_packed(vu, keep, cls, width, height):
     return out.reshape(batch_shape + (height, width))
 
 
+def _plus_dilate(img):
+    """One round of max-dilation with the 3x3 plus stencil; out-of-image
+    contributions are -1 (no paint), matching cv2's border clipping."""
+    n = jnp.pad(img, ((0, 0), (1, 1), (1, 1)), constant_values=-1)
+    return jnp.maximum(
+        img,
+        jnp.maximum(
+            jnp.maximum(n[..., :-2, 1:-1], n[..., 2:, 1:-1]),
+            jnp.maximum(n[..., 1:-1, :-2], n[..., 1:-1, 2:]),
+        ),
+    )
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def rasterize_packed_fast(vu, keep, cls, width, height, prio_offset=0):
+    """Same output as `rasterize_packed`, restructured for the TPU:
+
+    The radius-2 cv2 disk is exactly the L1 ball {|dy|+|dx| <= 2}, i.e. two
+    successive dilations by the 3x3 plus stencil.  So instead of scattering 13
+    samples per point (scatter is the TPU's weakest op), scatter each point's
+    packed priority ONCE at its center pixel and then run two rounds of
+    plus-shaped max-dilation — dense VPU work.  max-dilation of the
+    center-scatter == per-pixel max over covering points == last-drawn-wins.
+    """
+    P = vu.shape[-2]
+    vi = vu[..., 0].astype(jnp.int32)
+    ui = vu[..., 1].astype(jnp.int32)
+    prio = (prio_offset + jnp.arange(P, dtype=jnp.int32)) * MAX_CLS + cls
+    prio = jnp.broadcast_to(prio, vu.shape[:-1])
+    flat_idx = jnp.where(keep, vi * width + ui, height * width)
+
+    def one_image(idx1d, pr1d):
+        buf = jnp.full((height * width + 1,), -1, dtype=jnp.int32)
+        buf = buf.at[idx1d].max(pr1d, mode="drop")
+        return buf[:-1].reshape(height, width)
+
+    batch_shape = vu.shape[:-2]
+    out = jax.vmap(one_image)(flat_idx.reshape(-1, P), prio.reshape(-1, P))
+    out = _plus_dilate(_plus_dilate(out))
+    return out.reshape(batch_shape + (height, width))
+
+
 @jax.jit
 def packed_to_cls(packed):
     """Packed raster -> compact uint8 class raster (0 = unpainted, else
@@ -89,6 +135,30 @@ def packed_to_cls(packed):
     4x smaller than the packed buffer."""
     painted = packed >= 0
     return jnp.where(painted, (packed % MAX_CLS) + 1, 0).astype(jnp.uint8)
+
+
+@jax.jit
+def pack_cls_2bit(cls_raster):
+    """uint8 class raster (values 0..3) -> 2-bit packed [..., W/4] uint8.
+
+    Device->host overlay bytes drop 4x — decisive when the host link is thin
+    (tunneled TPU) and still free bandwidth on PCIe.  Values >= 4 would alias;
+    callers with more than 3 classes must use the uint8 raster instead.
+    """
+    x = cls_raster.astype(jnp.uint8)
+    a = x[..., 0::4] | (x[..., 1::4] << 2) | (x[..., 2::4] << 4) | (x[..., 3::4] << 6)
+    return a
+
+
+def unpack_cls_2bit(packed2, width):
+    """Host-side inverse of pack_cls_2bit (NumPy)."""
+    p = np.asarray(packed2)
+    out = np.empty(p.shape[:-1] + (p.shape[-1] * 4,), np.uint8)
+    out[..., 0::4] = p & 3
+    out[..., 1::4] = (p >> 2) & 3
+    out[..., 2::4] = (p >> 4) & 3
+    out[..., 3::4] = (p >> 6) & 3
+    return out[..., :width]
 
 
 def build_color_table(class_names, color_maps=None):

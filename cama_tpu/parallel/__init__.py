@@ -1,0 +1,7 @@
+from cama_tpu.parallel.sharding import (
+    make_mesh,
+    pad_to_multiple,
+    sharded_overlay_step,
+)
+
+__all__ = ["make_mesh", "pad_to_multiple", "sharded_overlay_step"]

@@ -1,0 +1,108 @@
+"""Multi-chip scale-out over a jax.sharding.Mesh.
+
+The reference is a single-threaded CPU loop (SURVEY.md §2.4); the TPU-native
+equivalents here are:
+
+  * data parallelism over the FRAME axis ("frames" mesh axis): each device
+    owns a shard of the clip's frames — the analogue of the reference's outer
+    frame loop (cama/dataset.py:88);
+  * sequence-parallel-style sharding over the POINT axis ("points" mesh
+    axis): the densified polyline point tensor is split across devices, each
+    rasterizes a partial overlay, and partial rasters combine with a
+    `jax.lax.pmax` collective — valid because the packed raster encodes paint
+    priority, so elementwise max across shards == global last-drawn-wins;
+  * scene-level metric accumulators reduced with `psum` across the whole mesh.
+
+Collectives ride ICI within a slice; there is no host round-trip anywhere in
+the step.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cama_tpu.ops.geometry import project_frames
+from cama_tpu.ops.raster import packed_to_cls, rasterize_packed_fast
+
+
+def make_mesh(n_frames_axis=None, n_points_axis=1, devices=None):
+    """Build a ('frames', 'points') mesh.  Defaults to all devices on the
+    frames axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_frames_axis is None:
+        n_frames_axis = len(devices) // n_points_axis
+    n = n_frames_axis * n_points_axis
+    arr = np.array(devices[:n]).reshape(n_frames_axis, n_points_axis)
+    return Mesh(arr, ("frames", "points"))
+
+
+def pad_to_multiple(arr, multiple, axis=0, fill=0):
+    n = arr.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return np.pad(arr, widths, constant_values=fill)
+
+
+def sharded_overlay_step(mesh, width, height):
+    """Build the jitted multi-device step:
+        (points, valid, cls, A, B, frame_valid, crop_lo, crop_hi)
+          -> (cls_rasters [F, C, H, W] uint8 sharded over frames,
+              painted_per_class [MAX_CLS] int32 replicated psum)
+
+    F must divide by mesh.shape['frames']; P by mesh.shape['points'].
+    """
+
+    def step(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi):
+        # local shards: points [P/p, 3]; A [F/f, 4, 4]; B [F/f, C, 3, 4]
+        shard_offset = jax.lax.axis_index("points") * points.shape[0]
+
+        def per_frame(args):
+            Af, Bf, fv = args
+            vu, keep = project_frames(
+                points, valid, Af[None], Bf[None], fv[None], width, height,
+                crop_lo, crop_hi,
+            )
+            packed = rasterize_packed_fast(
+                vu[0], keep[0], cls, width, height, prio_offset=shard_offset
+            )
+            # combine partial rasters across the point shards: packed values
+            # are paint priorities, so elementwise max == sequential order
+            packed = jax.lax.pmax(packed, axis_name="points")
+            return packed
+
+        packed = jax.lax.map(per_frame, (A, B, frame_valid))  # [F/f, C, H, W]
+        rasters = packed_to_cls(packed)
+        counts = jnp.zeros((8,), jnp.int32)
+        painted = packed >= 0
+        counts = counts.at[jnp.where(painted, packed % 8, 8)].add(1, mode="drop")
+        counts = jax.lax.psum(counts, axis_name="frames")
+        # already identical across 'points' members after pmax; psum would
+        # multiply-count, so divide is avoided by only reducing over 'frames'
+        return rasters, counts
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P("points", None),  # points
+                P("points"),  # valid
+                P("points"),  # cls
+                P("frames", None, None),  # A
+                P("frames", None, None, None),  # B
+                P("frames"),  # frame_valid
+                P(),  # crop_lo
+                P(),  # crop_hi
+            ),
+            out_specs=(P("frames", None, None, None), P()),
+        )
+    )

@@ -18,6 +18,7 @@ is replaced by a once-per-camera RemapCache.
 """
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
 import numpy as np
@@ -28,7 +29,14 @@ import jax.numpy as jnp
 from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS, Scene, compile_scene
 from cama_tpu.io.video import VideoSink, concat_camera_grid
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
-from cama_tpu.ops.raster import MAX_CLS, build_color_table, packed_to_cls, rasterize_packed
+from cama_tpu.ops.raster import (
+    MAX_CLS,
+    build_color_table,
+    pack_cls_2bit,
+    packed_to_cls,
+    rasterize_packed_fast,
+    unpack_cls_2bit,
+)
 from cama_tpu.ops.undistort import RemapCache, remap_host
 
 _P = jax.lax.Precision.HIGHEST
@@ -47,10 +55,17 @@ def _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, widt
         vu, keep = project_frames(
             points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
         )
-        packed = rasterize_packed(vu[0], keep[0], cls, width, height)  # [C, H, W]
+        packed = rasterize_packed_fast(vu[0], keep[0], cls, width, height)  # [C, H, W]
         return packed_to_cls(packed)
 
     return jax.lax.map(per_frame, (A, B, frame_valid))
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _overlay_chunk_2bit(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
+    """_overlay_chunk + on-device 2-bit packing: 4x fewer device->host bytes."""
+    rasters = _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height)
+    return pack_cls_2bit(rasters)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -107,18 +122,34 @@ class ClipPipeline:
 
     def iter_overlay_rasters(self, source):
         """Yield (image_idx, cls_raster [C, H, W] uint8 on host) per valid
-        frame, computed chunk-by-chunk on device."""
+        frame.  All chunks are dispatched up-front (JAX dispatch is async), so
+        device compute and device->host transfer of later chunks overlap with
+        host consumption of earlier ones — this hides the per-call latency of
+        a tunneled TPU."""
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
+        fp = self.scene.flat[source]
+        max_cls = int(fp.cls[fp.valid].max()) if fp.valid.any() else 0
+        use_2bit = max_cls <= 2  # raster values cls+1 must fit in 2 bits
         h, w = self.scene.output_size
+        kernel = _overlay_chunk_2bit if use_2bit else _overlay_chunk
+        pending = []
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
-            rasters = _overlay_chunk(
+            rasters = kernel(
                 points, valid, cls,
                 jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
                 self._crop_lo, self._crop_hi, w, h,
             )
-            rasters = np.asarray(rasters)  # [chunk, C, H, W] uint8
+            try:
+                rasters.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((s, rasters))  # dispatched async; fetched below
+        for s, rasters in pending:
+            rasters = np.asarray(rasters)
+            if use_2bit:
+                rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
             for k in range(rasters.shape[0]):
                 fidx = s + k
                 if fidx >= F or not fm.frame_valid[fidx]:
@@ -150,23 +181,32 @@ class ClipPipeline:
         img = cv2.imread(self.scene.image_path(camera, image_idx))
         return remap_host(img, mapx, mapy)
 
-    def composite_frame(self, source, image_idx, cls_raster):
-        """cls_raster [C, H, W] uint8 -> {camera: overlay image} (host)."""
+    def composite_frame(self, source, image_idx, cls_raster, pool=None):
+        """cls_raster [C, H, W] uint8 -> {camera: overlay image} (host).
+
+        Per-camera decode+remap+composite fans out over a thread pool when
+        given (cv2 releases the GIL); the reference does the six cameras
+        serially (cama/dataset.py:110-116)."""
         table = self._color_tables[source]
-        out = {}
-        for c, camera in enumerate(self.scene.camera_list):
+
+        def one(c_camera):
+            c, camera = c_camera
             img = self.undistorted_image(camera, image_idx)
             r = cls_raster[c]
             painted = r > 0
             img[painted] = table[(r[painted] - 1) % MAX_CLS]
-            out[camera] = img
-        return out
+            return camera, img
 
-    def iter_frames(self, source):
+        items = list(enumerate(self.scene.camera_list))
+        results = pool.map(one, items) if pool is not None else map(one, items)
+        return dict(results)
+
+    def iter_frames(self, source, n_threads=6):
         """Reference yield_frame + project_all_camera + render_vectors
         equivalent: yields (image_idx, {camera: overlay image})."""
-        for image_idx, raster in self.iter_overlay_rasters(source):
-            yield image_idx, self.composite_frame(source, image_idx, raster)
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            for image_idx, raster in self.iter_overlay_rasters(source):
+                yield image_idx, self.composite_frame(source, image_idx, raster, pool=pool)
 
     def write_video(self, source, output_path, fps=10):
         h, w = self.scene.output_size

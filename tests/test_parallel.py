@@ -1,0 +1,64 @@
+"""Sharded overlay step on the 8-device virtual CPU mesh: frame-axis DP +
+point-axis (sequence-parallel analogue) sharding with pmax raster combine."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cama_tpu.io.fixture import make_fixture_clip
+from cama_tpu.io.scene import compile_scene
+from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds
+from cama_tpu.parallel import make_mesh, pad_to_multiple, sharded_overlay_step
+from cama_tpu.pipeline import ClipPipeline
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    return make_fixture_clip(
+        tmp_path_factory.mktemp("fx"), n_frames=8, with_images=False, with_lidar=False
+    )
+
+
+def _prep(clip, mesh):
+    scene = compile_scene(clip)
+    fm = compose_frame_matrices(
+        scene.traj["cama"], scene.frame_times, scene.chassis2cam, scene.K_scaled
+    )
+    fp = scene.flat["cama"]
+    f_mult = mesh.shape["frames"]
+    p_mult = mesh.shape["points"]
+    A = pad_to_multiple(fm.A.astype(np.float32), f_mult)
+    B = pad_to_multiple(fm.B.astype(np.float32), f_mult)
+    fv = pad_to_multiple(fm.frame_valid, f_mult)
+    pts = pad_to_multiple(fp.points, p_mult)
+    valid = pad_to_multiple(fp.valid, p_mult)
+    cls = pad_to_multiple(fp.cls, p_mult)
+    return scene, fm, (pts, valid, cls, A, B, fv)
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2), (2, 4)])
+def test_sharded_step_matches_single_device(clip, shape):
+    assert len(jax.devices()) >= 8, "conftest should provide 8 CPU devices"
+    mesh = make_mesh(n_frames_axis=shape[0], n_points_axis=shape[1])
+    scene, fm, args = _prep(clip, mesh)
+    h, w = scene.output_size
+    lo, hi = crop_bounds()
+    step = sharded_overlay_step(mesh, w, h)
+    rasters, counts = step(*[jnp.asarray(a) for a in args], jnp.asarray(lo), jnp.asarray(hi))
+    rasters = np.asarray(rasters)
+
+    # single-device truth via the pipeline path
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    single = dict(pipe.iter_overlay_rasters("cama"))
+    F = len(fm.frame_indices)
+    got_valid = 0
+    for k in range(F):
+        if not fm.frame_valid[k]:
+            continue
+        idx = int(fm.frame_indices[k])
+        np.testing.assert_array_equal(rasters[k], single[idx], err_msg=f"frame {idx}")
+        got_valid += 1
+    assert got_valid > 0
+    total_painted = sum((r > 0).sum() for r in single.values())
+    assert int(np.asarray(counts).sum()) == total_painted
