@@ -1,0 +1,339 @@
+"""Converter tests: pure-NumPy geometry kernels, vector map extraction, and a
+full nuScenes->clip conversion against an in-memory fake devkit DB.  The
+produced clip must load in BOTH our ClipReader/pipeline and the reference
+DatasetReader."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+from conftest import add_reference_to_path, reference_available
+from cama_tpu.convert import geom
+from cama_tpu.convert.nuscenes import NuScenesConverter
+from cama_tpu.convert.vecmap import VectorizedLocalMap, quaternion_yaw
+
+RNG = np.random.default_rng(5)
+
+
+# ---------------------------------------------------------------------------
+# geometry kernels
+# ---------------------------------------------------------------------------
+
+
+def test_clip_polyline_inside_outside():
+    line = np.array([[-2.0, 0.0], [2.0, 0.0]])
+    out = geom.clip_polyline_to_box(line, -1, -1, 1, 1)
+    assert len(out) == 1
+    np.testing.assert_allclose(out[0], [[-1, 0], [1, 0]])
+
+    # crosses in and out twice
+    zig = np.array([[-2, 0], [0, 0], [0, 3], [2, 3], [2, 0.5], [3, 0.5]])
+    out = geom.clip_polyline_to_box(zig, -1, -1, 2.5, 1)
+    total = sum(np.linalg.norm(np.diff(p, axis=0), axis=1).sum() for p in out)
+    assert len(out) == 2
+    np.testing.assert_allclose(total, (1.0 + 1.0) + (0.5 + 0.5), atol=1e-9)
+
+    assert geom.clip_polyline_to_box(np.array([[5, 5], [6, 6]]), -1, -1, 1, 1) == []
+
+
+def test_clip_polygon_to_box():
+    square = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    ring = geom.clip_polygon_to_box(square, 2, 2, 6, 6)
+    assert ring is not None
+    assert abs(abs(geom.signed_area(ring)) - 4.0) < 1e-9
+    assert geom.clip_polygon_to_box(square, 10, 10, 12, 12) is None
+
+
+def test_union_tiling_two_squares():
+    a = np.array([[0, 0], [1, 0], [1, 1], [0, 1]], dtype=float)
+    b = np.array([[1, 0], [2, 0], [2, 1], [1, 1]], dtype=float)
+    out = geom.union_tiling_polygons([(a, []), (b, [])])
+    assert len(out) == 1
+    ext, holes = out[0]
+    assert holes == []
+    assert abs(abs(geom.signed_area(ext)) - 2.0) < 1e-9
+    assert geom.is_ccw(ext)
+
+
+def test_union_with_hole():
+    # 4 rectangles forming a ring around a 1x1 hole
+    outer = [
+        np.array([[0, 0], [3, 0], [3, 1], [0, 1]], float),
+        np.array([[0, 2], [3, 2], [3, 3], [0, 3]], float),
+        np.array([[0, 1], [1, 1], [1, 2], [0, 2]], float),
+        np.array([[2, 1], [3, 1], [3, 2], [2, 2]], float),
+    ]
+    out = geom.union_tiling_polygons([(r, []) for r in outer])
+    assert len(out) == 1
+    ext, holes = out[0]
+    assert abs(abs(geom.signed_area(ext)) - 9.0) < 1e-9
+    assert len(holes) == 1
+    assert abs(abs(geom.signed_area(holes[0])) - 1.0) < 1e-9
+    assert not geom.is_ccw(holes[0])
+
+
+def test_linemerge():
+    a = np.array([[0, 0], [1, 0]], float)
+    b = np.array([[1, 0], [2, 0]], float)
+    c = np.array([[5, 5], [6, 6]], float)
+    merged = geom.linemerge([a, b, c])
+    assert len(merged) == 2
+    lengths = sorted(np.linalg.norm(np.diff(m, axis=0), axis=1).sum() for m in merged)
+    np.testing.assert_allclose(lengths, [np.sqrt(2), 2.0])
+
+
+def test_quaternion_yaw():
+    from scipy.spatial.transform import Rotation as R
+
+    for yaw in [-2.5, -0.3, 0.0, 1.2, 3.0]:
+        q = R.from_euler("z", yaw).as_quat()  # xyzw
+        wxyz = [q[3], q[0], q[1], q[2]]
+        assert abs(quaternion_yaw(wxyz) - yaw) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# vector map extraction
+# ---------------------------------------------------------------------------
+
+
+class FakeMapSource:
+    def __init__(self):
+        # world-frame content around (100, 50)
+        self.lines = {
+            "road_divider": [np.array([[60, 48], [140, 48]], float)],
+            "lane_divider": [np.array([[60, 52], [140, 52]], float),
+                             np.array([[500, 500], [501, 501]], float)],  # far away
+        }
+        ped = np.array([[95, 40], [105, 40], [105, 44], [95, 44]], float)
+        road = np.array([[60, 35], [140, 35], [140, 65], [60, 65]], float)
+        lane = np.array([[60, 65], [140, 65], [140, 70], [60, 70]], float)
+        self.polys = {
+            "ped_crossing": [(ped, [])],
+            "road_segment": [(road, [])],
+            "lane": [(lane, [])],
+        }
+
+    def line_layer(self, location, layer):
+        return self.lines[layer]
+
+    def polygon_layer(self, location, layer):
+        return self.polys[layer]
+
+
+def test_vectorized_local_map_extraction():
+    vm = VectorizedLocalMap(FakeMapSource(), patch_size=(60.0, 100.0))
+    from scipy.spatial.transform import Rotation as R
+
+    yaw = 0.3
+    q = R.from_euler("z", yaw).as_quat()
+    anns = vm.gen_vectorized_samples(
+        "nowhere", [100.0, 50.0, 0.0], [q[3], q[0], q[1], q[2]],
+        (60.0, 100.0), (100.0, 50.0),
+    )
+    labels = anns["gt_vecs_label"]
+    vecs = anns["gt_vecs_pts_loc"]
+    assert 0 in labels and 1 in labels and 2 in labels
+    # dividers: the far-away lane_divider must be clipped out
+    assert labels.count(0) == 2
+    # all instance coords are in the rotated local frame: the road_divider at
+    # world y=48 passes ~2m right of ego -> local coords rotated by -yaw
+    for vec, label in zip(vecs, labels):
+        assert np.abs(np.asarray(vec)).max() < 120
+
+
+def test_vectorized_local_map_boundary_union():
+    """road_segment + lane share an edge; the boundary must be their union's
+    rings, not the shared internal edge."""
+    vm = VectorizedLocalMap(FakeMapSource(), patch_size=(80.0, 100.0))
+    anns = vm.gen_vectorized_samples(
+        "nowhere", [100.0, 50.0, 0.0], [1.0, 0, 0, 0], (80.0, 100.0), (100.0, 50.0)
+    )
+    boundary = [v for v, l in zip(anns["gt_vecs_pts_loc"], anns["gt_vecs_label"]) if l == 2]
+    assert boundary
+    # union of [35,65] and [65,70] => no boundary EDGE runs along the former
+    # shared edge y=65 (local y=15); nodes on it are fine (shapely keeps them)
+    for b in boundary:
+        b = np.asarray(b)
+        for p, q in zip(b[:-1], b[1:]):
+            both_on = abs(p[1] - 15.0) < 1e-6 and abs(q[1] - 15.0) < 1e-6
+            assert not (both_on and abs(p[0] - q[0]) > 1e-6), (p, q)
+
+
+# ---------------------------------------------------------------------------
+# full conversion with a fake DB
+# ---------------------------------------------------------------------------
+
+
+class FakeDB:
+    def __init__(self, root, n_frames=6, t0_us=1600000000000000):
+        from scipy.spatial.transform import Rotation as R
+
+        self.root = str(root)
+        os.makedirs(os.path.join(self.root, "files"), exist_ok=True)
+        self.tables = {k: {} for k in
+                       ["scene", "sample", "sample_data", "ego_pose", "calibrated_sensor", "log"]}
+        self.t0_us = t0_us
+        self.tables["log"]["log0"] = {"token": "log0", "location": "nowhere"}
+
+        cam_names = ["CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+                     "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT"]
+        sensors = cam_names + ["LIDAR_TOP"]
+        for i, s in enumerate(sensors):
+            yaw = [0, -55, 55, 180, 110, -110, 0][i] * np.pi / 180
+            q = R.from_euler("z", yaw).as_quat()
+            self.tables["calibrated_sensor"][f"cs_{s}"] = {
+                "token": f"cs_{s}",
+                "rotation": [q[3], q[0], q[1], q[2]],
+                "translation": [1.5 - 0.1 * i, 0.05 * i, 1.6],
+            }
+
+        sample_tokens = []
+        for k in range(n_frames):
+            ts = t0_us + k * 500000  # keyframes at 2 Hz
+            samp = {"token": f"s{k}", "scene_token": "sc0", "timestamp": ts, "data": {}}
+            self.tables["sample"][f"s{k}"] = samp
+            sample_tokens.append(f"s{k}")
+
+        for s in sensors:
+            period = 100000 if s != "LIDAR_TOP" else 50000
+            n_sd = n_frames * (500000 // period)
+            prev = None
+            for j in range(n_sd):
+                ts = t0_us + j * period + (3000 if s != "CAM_FRONT" else 0)
+                tok = f"sd_{s}_{j}"
+                ep_tok = f"ep_{s}_{j}"
+                x = 0.000003 * (ts - t0_us)
+                qe = R.from_euler("z", 0.0001 * j).as_quat()
+                self.tables["ego_pose"][ep_tok] = {
+                    "token": ep_tok,
+                    "rotation": [qe[3], qe[0], qe[1], qe[2]],
+                    "translation": [600.0 + x, 1600.0 + 0.1 * np.sin(j * 0.2), 0.0],
+                }
+                fname = f"files/{s}_{j}" + (".jpg" if s != "LIDAR_TOP" else ".bin")
+                fpath = os.path.join(self.root, fname)
+                if s == "LIDAR_TOP":
+                    np.arange(40, dtype=np.float64).reshape(10, 4).tofile(fpath)
+                elif not os.path.exists(fpath):
+                    with open(fpath, "wb") as f:
+                        f.write(b"\xff\xd8\xff\xe0fakejpg\xff\xd9")
+                sd = {"token": tok, "timestamp": ts, "next": "",
+                      "ego_pose_token": ep_tok,
+                      "calibrated_sensor_token": f"cs_{s}", "filename": fname}
+                self.tables["sample_data"][tok] = sd
+                if prev is not None:
+                    self.tables["sample_data"][prev]["next"] = tok
+                prev = tok
+            # keyframe pointers
+            for k in range(n_frames):
+                self.tables["sample"][f"s{k}"]["data"][s] = f"sd_{s}_{k * (500000 // period)}"
+
+        self.tables["scene"]["sc0"] = {
+            "token": "sc0", "name": "scene-fake1", "log_token": "log0",
+            "first_sample_token": "s0", "last_sample_token": f"s{n_frames - 1}",
+        }
+
+    @property
+    def samples(self):
+        return list(self.tables["sample"].values())
+
+    @property
+    def scenes(self):
+        return list(self.tables["scene"].values())
+
+    def get(self, table, token):
+        return self.tables[table][token]
+
+    def cam_intrinsic(self, cam_token):
+        return np.array([[1266.4, 0, 816.3], [0, 1266.4, 491.5], [0, 0, 1.0]])
+
+    def file_path(self, filename):
+        return os.path.join(self.root, filename)
+
+    def map_source(self):
+        # content near the fake trajectory (x ~600-609, y ~1600)
+        class MS:
+            def line_layer(self, location, layer):
+                if layer == "road_divider":
+                    return [np.array([[590, 1598], [620, 1598]], float)]
+                return [np.array([[590, 1602], [620, 1602]], float)]
+
+            def polygon_layer(self, location, layer):
+                if layer == "ped_crossing":
+                    return [(np.array([[604, 1595], [606, 1595], [606, 1605], [604, 1605]], float), [])]
+                if layer == "road_segment":
+                    return [(np.array([[585, 1590], [625, 1590], [625, 1610], [585, 1610]], float), [])]
+                return []
+
+        return MS()
+
+
+@pytest.fixture(scope="module")
+def converted(tmp_path_factory):
+    root = tmp_path_factory.mktemp("conv")
+    db = FakeDB(root / "raw")
+    configs = {
+        "version": "v1.0-test",
+        "dataroot": str(root / "raw"),
+        "converted_dataroot": str(root / "out"),
+        "map_classes": ["lane_marking", "Road_teeth", "Crosswalk_Line"],
+        "cama_configs": {"result_dir": "maps"},
+    }
+    conv = NuScenesConverter(configs, db=db)
+    clip = conv.convert("scene-fake1")
+    return clip
+
+
+def test_convert_produces_clip_contract(converted):
+    clip = converted
+    with open(os.path.join(clip, "attribute.json")) as f:
+        attr = json.load(f)
+    assert set(attr) >= {"start_time", "end_time", "status", "calibration", "sync", "unsync"}
+    for s in ["camera_front", "camera_rear", "lidar_top"]:
+        assert s in attr["unsync"] and len(attr["unsync"][s]) > 0
+    assert len(set(len(v) for v in attr["sync"].values())) == 1  # rectangular
+    assert "camera_front_2_chassis" in attr["calibration"]
+    assert attr["calibration"]["camera_rear"]["fov"] == 110
+    assert attr["calibration"]["camera_front"]["fov"] == 70
+    # odometry files exist, TUM 8 cols
+    wigo = np.loadtxt(os.path.join(clip, "odometry", "wigo.txt"))
+    off = np.loadtxt(os.path.join(clip, "odometry", "wigo_offset_clip.txt"))
+    assert wigo.shape[1] == 8 and off.shape == wigo.shape
+    mid = off[int(len(off) / 2), 1:4]
+    np.testing.assert_allclose(mid, 0, atol=1e-9)
+    # lidar bins padded to 6 cols
+    ms = attr["unsync"]["lidar_top"][0]
+    pc = np.fromfile(os.path.join(clip, "lidar_top", f"{ms}.bin"), dtype=np.float64)
+    assert pc.size % 6 == 0
+    # map json schema
+    with open(os.path.join(clip, "maps", "map_nuscenes.json")) as f:
+        labels = json.load(f)
+    assert len(labels) >= 3
+    types = {l["attrs"]["type"] for l in labels}
+    assert types <= {"lane_marking", "Road_teeth", "Crosswalk_Line"}
+    for l in labels:
+        assert l["shape_type"] == "polyline" and len(l["data"]) >= 2
+
+
+def test_converted_clip_loads_in_reader_and_reference(converted):
+    from cama_tpu.io.clip import ClipReader
+    from cama_tpu.io.scene import compile_scene
+
+    reader = ClipReader(converted)
+    E = reader.extrinsic("chassis", "camera_front")
+    assert E.shape == (4, 4)
+    # cross-sensor path through the graph
+    E2 = reader.extrinsic("camera_front", "lidar_top")
+    assert E2 is not None
+    scene = compile_scene(converted, sources=("nuscenes",))
+    assert "nuscenes" in scene.flat
+    assert scene.flat["nuscenes"].num_valid > 0
+
+    if reference_available():
+        add_reference_to_path()
+        from cama.dataset_reader import DatasetReader
+
+        dr = DatasetReader(converted)
+        np.testing.assert_allclose(dr.get_extrinsic("chassis", "camera_front"), E, atol=1e-12)
+        ts = dr.get_sensor_timestamp("camera_front", sync=True)
+        assert len(ts) == len(scene.frame_times)
