@@ -1,0 +1,193 @@
+"""Map-annotation quality metrics: SRE + precision / recall / F1.
+
+The reference README names these for the camav2 branch (release notes 2.1.0,
+/root/reference/README.md:18-20) but the code is not in the snapshot
+(SURVEY.md §2.3), so this module implements them from the CAMA / CAMAv2
+papers' evaluation protocol: reproject the 3-D map annotation into every
+camera image and compare against 2-D ground-truth lane segmentation masks
+(the clip format's `lane_ins_{camera}/<ms>.png` instance images the reference
+already reads, cama/reproject.py:217-226):
+
+  * SRE (semantic reprojection error): mean distance in pixels from each
+    reprojected map point to the nearest ground-truth mask pixel, capped at
+    `max_radius` (points farther than the cap contribute the cap).
+  * precision: fraction of reprojected points within `tolerance` px of the
+    mask.
+  * recall: fraction of ground-truth mask pixels within `tolerance` px of a
+    reprojected point.
+  * F1 = 2PR / (P + R).
+
+TPU-native formulation — no distance transform is materialized.  Distance to
+a mask is computed by iterated 3x3 max-dilation:
+
+    dist(p) = sum_{d=0}^{D-1} [ p not in dilate^d(mask) ]
+
+which is the Chebyshev (chessboard) distance capped at D, an upper-bound-tight
+analogue of the EDT that is pure dense VPU work + point gathers.  Reductions
+over frames are plain sums, so the whole evaluation psums cleanly across a
+frame-sharded mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.jit
+def dilate3x3(mask):
+    """One round of 8-neighborhood binary dilation ([..., H, W] bool)."""
+    m = mask
+    n = jnp.pad(m, [(0, 0)] * (m.ndim - 2) + [(1, 1), (1, 1)], constant_values=False)
+    out = m
+    for dy in (0, 1, 2):
+        for dx in (0, 1, 2):
+            if dy == 1 and dx == 1:
+                continue
+            out = out | n[..., dy:dy + m.shape[-2], dx:dx + m.shape[-1]]
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tolerance"))
+def frame_metrics(gt_mask, vu, keep, max_radius, tolerance):
+    """Per-(frame-)camera metric partials.
+
+    Args:
+        gt_mask: [C, H, W] bool ground-truth mask (already at output size)
+        vu:      [C, P, 2] float32 projected (v, u)
+        keep:    [C, P] bool
+        max_radius: int — SRE distance cap (dilation rounds)
+        tolerance:  int — precision/recall hit radius
+
+    Returns dict of scalars: sre_sum, n_points, n_hit (precision numerator),
+    gt_total, gt_covered (recall terms).
+    """
+    C, H, W = gt_mask.shape
+    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
+    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
+
+    def gather(mask_c, vi_c, ui_c):
+        return mask_c[vi_c, ui_c]
+
+    # SRE: accumulate not-covered indicators over dilation rounds
+    dist = jnp.zeros(vu.shape[:-1], jnp.float32)  # [C, P]
+    covered_tol = None
+    m = gt_mask
+    for d in range(max_radius):
+        at_pts = jax.vmap(gather)(m, vi, ui)  # [C, P]
+        dist = dist + (~at_pts).astype(jnp.float32)
+        if d == tolerance:
+            covered_tol = at_pts
+        m = dilate3x3(m)
+    if covered_tol is None:  # tolerance >= max_radius
+        covered_tol = jax.vmap(gather)(m, vi, ui)
+
+    kf = keep.astype(jnp.float32)
+    sre_sum = jnp.sum(dist * kf)
+    n_points = jnp.sum(kf)
+    n_hit = jnp.sum(covered_tol.astype(jnp.float32) * kf)
+
+    # recall: dilate the projected point raster by `tolerance`, intersect gt
+    def point_raster(vi_c, ui_c, keep_c):
+        buf = jnp.zeros((H * W + 1,), bool)
+        idx = jnp.where(keep_c, vi_c * W + ui_c, H * W)
+        buf = buf.at[idx].set(True, mode="drop")
+        return buf[:-1].reshape(H, W)
+
+    pr = jax.vmap(point_raster)(vi, ui, keep)
+    for _ in range(tolerance):
+        pr = dilate3x3(pr)
+    gt_total = jnp.sum(gt_mask)
+    gt_covered = jnp.sum(gt_mask & pr)
+    return {
+        "sre_sum": sre_sum,
+        "n_points": n_points,
+        "n_hit": n_hit,
+        "gt_total": gt_total.astype(jnp.float32),
+        "gt_covered": gt_covered.astype(jnp.float32),
+    }
+
+
+def reduce_metrics(partials):
+    """Sum per-frame partial dicts -> final metric dict."""
+    total = {}
+    for p in partials:
+        for k, v in p.items():
+            total[k] = total.get(k, 0.0) + float(v)
+    n_pts = total.get("n_points", 0.0)
+    gt_tot = total.get("gt_total", 0.0)
+    precision = total["n_hit"] / n_pts if n_pts else 0.0
+    recall = total["gt_covered"] / gt_tot if gt_tot else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "SRE": total["sre_sum"] / n_pts if n_pts else float("nan"),
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        "n_points": n_pts,
+        "gt_pixels": gt_tot,
+    }
+
+
+class MapEvaluator:
+    """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
+
+    def __init__(self, tolerance=5, max_radius=20):
+        self.tolerance = int(tolerance)
+        self.max_radius = int(max_radius)
+
+    def mask_loader(self, pipeline, camera, image_idx):
+        """Load + nearest-resize a `lane_ins_{camera}` instance PNG to the
+        output size, mirroring the reference's undistort-remap with
+        INTER_NEAREST (cama/reproject.py:222-226). Returns [H, W] bool."""
+        import cv2
+
+        scene = pipeline.scene
+        ms = scene.sync_ms[camera][image_idx]
+        path = f"{scene.clip_path}/lane_ins_{camera}/{ms}.png"
+        raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
+        if raw is None:
+            return None
+        c = scene.camera_list.index(camera)
+        h, w = scene.output_size
+        mapx, mapy = pipeline.remaps.get(
+            camera, scene.K_orig[c], scene.d[c], scene.K_scaled[c], (h, w)
+        )
+        resized = cv2.remap(raw, mapx, mapy, interpolation=cv2.INTER_NEAREST)
+        return resized > 0
+
+    def evaluate_scene(self, pipeline, source="cama", frames=None):
+        """Run the metric over all valid frames that have GT masks."""
+        fm, vu, keep = pipeline.project_source(source)
+        vu = np.asarray(vu)
+        keep = np.asarray(keep)
+        partials = []
+        evaluated = []
+        for k, image_idx in enumerate(fm.frame_indices):
+            if not fm.frame_valid[k]:
+                continue
+            if frames is not None and int(image_idx) not in frames:
+                continue
+            masks = []
+            ok = True
+            for camera in pipeline.scene.camera_list:
+                m = self.mask_loader(pipeline, camera, int(image_idx))
+                if m is None:
+                    ok = False
+                    break
+                masks.append(m)
+            if not ok:
+                continue
+            gt = jnp.asarray(np.stack(masks))
+            p = frame_metrics(
+                gt, jnp.asarray(vu[k]), jnp.asarray(keep[k]),
+                self.max_radius, self.tolerance,
+            )
+            partials.append({k2: np.asarray(v) for k2, v in p.items()})
+            evaluated.append(int(image_idx))
+        out = reduce_metrics(partials)
+        out["frames_evaluated"] = len(evaluated)
+        return out

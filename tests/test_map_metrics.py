@@ -1,0 +1,103 @@
+"""SRE / precision / recall / F1 map metrics: unit tests vs a brute-force
+NumPy Chebyshev distance, plus scene-level sanity on the fixture clip with
+self-consistent and deliberately-shifted GT masks."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cama_tpu.eval.map_metrics import MapEvaluator, frame_metrics, reduce_metrics
+from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+from cama_tpu.pipeline import ClipPipeline
+
+RNG = np.random.default_rng(9)
+
+
+def brute_force(gt, vu, keep, max_radius, tolerance):
+    C, H, W = gt.shape
+    ys, xs = np.mgrid[0:H, 0:W]
+    out = {"sre_sum": 0.0, "n_points": 0.0, "n_hit": 0.0, "gt_total": 0.0, "gt_covered": 0.0}
+    for c in range(C):
+        mask_pts = np.stack([ys[gt[c]], xs[gt[c]]], -1)
+        out["gt_total"] += gt[c].sum()
+        kept = np.flatnonzero(keep[c])
+        pv = np.clip(vu[c, kept, 0].astype(np.int32), 0, H - 1)
+        pu = np.clip(vu[c, kept, 1].astype(np.int32), 0, W - 1)
+        out["n_points"] += len(kept)
+        if len(mask_pts) == 0:
+            out["sre_sum"] += max_radius * len(kept)
+            continue
+        # chebyshev distance point -> mask
+        d = np.max(
+            np.abs(np.stack([pv, pu], -1)[:, None, :] - mask_pts[None, :, :]), axis=-1
+        ).min(axis=1)
+        d = np.minimum(d, max_radius)
+        out["sre_sum"] += d.sum()
+        out["n_hit"] += (d <= tolerance).sum()
+        # recall: gt pixels within tolerance (chebyshev) of any point
+        if len(kept):
+            dg = np.max(
+                np.abs(mask_pts[:, None, :] - np.stack([pv, pu], -1)[None, :, :]), axis=-1
+            ).min(axis=1)
+            out["gt_covered"] += (dg <= tolerance).sum()
+    return out
+
+
+def test_frame_metrics_matches_brute_force():
+    C, H, W, P = 2, 40, 56, 60
+    gt = RNG.random((C, H, W)) > 0.98
+    vu = np.stack([RNG.uniform(0, H, (C, P)), RNG.uniform(0, W, (C, P))], -1).astype(np.float32)
+    keep = RNG.random((C, P)) > 0.2
+    got = frame_metrics(jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep), 12, 3)
+    want = brute_force(gt, vu, keep, 12, 3)
+    for k, v in want.items():
+        np.testing.assert_allclose(float(got[k]), v, atol=1e-5, err_msg=k)
+
+
+def test_reduce_metrics_math():
+    partials = [
+        {"sre_sum": 10.0, "n_points": 10.0, "n_hit": 8.0, "gt_total": 20.0, "gt_covered": 10.0},
+        {"sre_sum": 0.0, "n_points": 10.0, "n_hit": 10.0, "gt_total": 20.0, "gt_covered": 20.0},
+    ]
+    out = reduce_metrics(partials)
+    assert out["SRE"] == 0.5
+    assert out["precision"] == 0.9
+    assert out["recall"] == 0.75
+    np.testing.assert_allclose(out["f1"], 2 * 0.9 * 0.75 / 1.65)
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    root = tmp_path_factory.mktemp("metrics_fx")
+    c = make_fixture_clip(root, n_frames=5, with_images=False, with_lidar=False)
+    add_instance_masks(c)
+    return c
+
+
+def test_scene_metrics_self_consistent(clip):
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    ev = MapEvaluator(tolerance=5, max_radius=20)
+    out = ev.evaluate_scene(pipe, "cama")
+    assert out["frames_evaluated"] > 0
+    # masks were drawn from the same projection with radius-3 circles:
+    # every projected point should sit on (or within a px of) the mask
+    assert out["precision"] > 0.995
+    assert out["SRE"] < 0.2
+    assert out["recall"] > 0.5  # thick masks cover more area than points
+    assert 0 < out["f1"] <= 1
+
+
+def test_scene_metrics_detect_mask_shift(clip, tmp_path):
+    import shutil
+
+    shifted = str(tmp_path / "shifted")
+    shutil.copytree(clip, shifted)
+    add_instance_masks(shifted, shift_px=12.0)
+    base = MapEvaluator(tolerance=3, max_radius=20).evaluate_scene(
+        ClipPipeline(clip_path=clip, chunk=4), "cama"
+    )
+    worse = MapEvaluator(tolerance=3, max_radius=20).evaluate_scene(
+        ClipPipeline(clip_path=shifted, chunk=4), "cama"
+    )
+    assert worse["SRE"] > base["SRE"] + 2.0
+    assert worse["precision"] < base["precision"] - 0.2
