@@ -1,0 +1,150 @@
+"""LiDAR point aggregation with reconstructed poses (reference README 2.1.0
+release note — code absent from the snapshot, SURVEY.md §2.3; built here from
+the primitives that exist: ClipReader.iter_lidar + pose chains + the
+save_pcd/save_xyz output paths of cama/reproject.py:133-160).
+
+TPU-native shape: lidar frames are padded into one [F, N, 4] tensor, poses
+composed on host (float64) into T_world<-lidar [F, 4, 4], and the transform +
+voxel dedup run as one device program (einsum + sort-based unique)."""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from cama_tpu.io.clip import ClipReader
+from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS
+from cama_tpu.se3.trajectory import Trajectory, apply_seek, seek_indices
+
+_P = jax.lax.Precision.HIGHEST
+
+
+def _chassis_trajectory(reader, source, configs):
+    tr = Trajectory()
+    if source == "cama":
+        chassis2cam = reader.extrinsic("chassis", configs["camera_main"])
+        tr.loadarray(reader.odometry(f"{configs['pose_prefix']}_{configs['camera_main']}.txt"))
+        tr.right_rotate(chassis2cam)
+    elif source == "wigo":
+        tr.loadarray(reader.odometry("wigo.txt"))
+    elif source == "wigo_offset":
+        tr.loadarray(reader.odometry("wigo_offset_clip.txt"))
+        tr.normalize2center()
+    else:
+        raise ValueError(f"unknown pose source {source}")
+    return tr
+
+
+@jax.jit
+def _transform_points(T, pts, valid):
+    """[F, 4, 4] x [F, N, 3] -> flat world points (masked).
+    Returns [F, N, 3] world coords."""
+    ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
+    out = jnp.einsum("fij,fnj->fni", T[:, :3, :], ph, precision=_P)
+    return jnp.where(valid[..., None], out, jnp.nan)
+
+
+def voxel_downsample(points, voxel):
+    """Keep one point per voxel (first in input order). Host NumPy: 64-bit
+    voxel keys don't survive JAX's default 32-bit ints, and aggregation is an
+    I/O-bound batch job anyway."""
+    pts = np.asarray(points, dtype=np.float32)
+    q = np.floor(pts / voxel).astype(np.int64)
+    _, first_idx = np.unique(q, axis=0, return_index=True)
+    return pts[np.sort(first_idx)]
+
+
+def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
+                    every=1, t_max_diff=0.5, deskewed=False, max_frames=None,
+                    with_intensity=False):
+    """Aggregate a clip's LiDAR sweeps into one world-frame cloud.
+
+    Args:
+        pose_source: 'cama' (SfM reconstructed chain — the CAMAv2 demo),
+                     'wigo' (raw ego odometry, UTM frame), or 'wigo_offset'.
+        voxel: optional voxel size in meters for downsampling.
+        every: take every k-th sweep.
+    Returns [N, 3] float32 world points (or [N, 4] with intensity).
+    """
+    configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
+    reader = ClipReader(clip_path)
+    traj = _chassis_trajectory(reader, pose_source, configs)
+    T_lidar2chassis = reader.extrinsic("lidar_top", "chassis")
+
+    frames, times = [], []
+    for i, (ts, pc) in enumerate(reader.iter_lidar(deskewed=deskewed)):
+        if i % every:
+            continue
+        frames.append(pc)
+        times.append(ts)
+        if max_frames and len(frames) >= max_frames:
+            break
+    if not frames:
+        return np.zeros((0, 3), np.float32)
+
+    idx = seek_indices(traj.timestamps[:, 0], np.asarray(times), t_max_diff, interpolate=True)
+    chassis2world = apply_seek(traj.as_transform(True), idx)
+    ok = idx["valid"]
+    T = (chassis2world @ T_lidar2chassis)[ok]
+    frames = [f for f, o in zip(frames, ok) if o]
+    if not frames:
+        return np.zeros((0, 3), np.float32)
+
+    n_max = max(len(f) for f in frames)
+    F = len(frames)
+    pts = np.zeros((F, n_max, 3), np.float32)
+    inten = np.zeros((F, n_max), np.float32)
+    valid = np.zeros((F, n_max), bool)
+    for i, f in enumerate(frames):
+        pts[i, : len(f)] = f[:, :3]
+        inten[i, : len(f)] = f[:, 3] if f.shape[1] > 3 else 0
+        valid[i, : len(f)] = True
+
+    world = np.asarray(_transform_points(
+        jnp.asarray(T, dtype=jnp.float32), jnp.asarray(pts), jnp.asarray(valid)
+    ))
+    flat = world.reshape(-1, 3)
+    keep = ~np.isnan(flat[:, 0])
+    out = flat[keep]
+    inten_flat = inten.reshape(-1)[keep]
+    if voxel:
+        out = voxel_downsample(out, voxel)
+        with_intensity = False  # intensity dropped by dedup
+    if with_intensity:
+        return np.concatenate([out, inten_flat[:, None]], axis=1)
+    return out
+
+
+def save_pcd(path, points, colors=None):
+    """Write an ASCII PCD v0.7 (open3d-free replacement for the reference's
+    save_pcd, cama/reproject.py:133-151)."""
+    points = np.asarray(points, dtype=np.float32)
+    n = len(points)
+    with open(path, "w") as f:
+        fields = "x y z" + (" rgb" if colors is not None else "")
+        sizes = "4 4 4" + (" 4" if colors is not None else "")
+        types = "F F F" + (" U" if colors is not None else "")
+        counts = "1 1 1" + (" 1" if colors is not None else "")
+        f.write(
+            "# .PCD v0.7 - Point Cloud Data file format\n"
+            f"VERSION 0.7\nFIELDS {fields}\nSIZE {sizes}\nTYPE {types}\n"
+            f"COUNT {counts}\nWIDTH {n}\nHEIGHT 1\n"
+            "VIEWPOINT 0 0 0 1 0 0 0\n"
+            f"POINTS {n}\nDATA ascii\n"
+        )
+        if colors is not None:
+            colors = np.asarray(colors, dtype=np.uint32)
+            rgb = (colors[:, 0] << 16) | (colors[:, 1] << 8) | colors[:, 2]
+            for (x, y, z), c in zip(points, rgb):
+                f.write(f"{x:.6f} {y:.6f} {z:.6f} {c}\n")
+        else:
+            for x, y, z in points:
+                f.write(f"{x:.6f} {y:.6f} {z:.6f}\n")
+    return path
+
+
+def save_xyz(path, points):
+    """%.3f xyz text (reference save_xyz, cama/reproject.py:153-160)."""
+    np.savetxt(path, np.asarray(points)[:, :3], fmt="%.3f")
+    return path

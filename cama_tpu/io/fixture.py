@@ -135,9 +135,32 @@ def make_fixture_clip(
     t0_ms=1600000000000,
     image_size=(1600, 900),
     seed=0,
+    traj_t_offset=0.0,
+    world_sim3=None,
+    flat_height=False,
 ):
-    """Build a clip directory under root/scene_name. Returns its path."""
+    """Build a clip directory under root/scene_name. Returns its path.
+
+    traj_t_offset shifts the trajectory parameterization (seconds) so several
+    clips cover overlapping road portions at different wall-clock times (the
+    CAMAv2 site scenario).  world_sim3 = dict(yaw_deg, tx, ty) expresses this
+    clip's SfM frame as an SE(2)-misaligned copy of the world frame: scmv
+    poses AND CAMA labels are written in that frame (wigo stays global UTM),
+    which site aggregation must undo.  flat_height zeroes the BEV height grid
+    (keeps cross-clip z consistent for site tests)."""
     rng = np.random.default_rng(seed)
+
+    if world_sim3 is None:
+        M_sfm = np.eye(4)
+    else:
+        yaw = np.deg2rad(world_sim3.get("yaw_deg", 0.0))
+        M_sfm = np.eye(4)
+        M_sfm[:2, :2] = [[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]]
+        M_sfm[0, 3] = world_sim3.get("tx", 0.0)
+        M_sfm[1, 3] = world_sim3.get("ty", 0.0)
+
+    def pose_at(t_rel):
+        return _pose_chassis2world(np.asarray(t_rel) + traj_t_offset)
     clip = os.path.join(str(root), scene_name)
     os.makedirs(clip, exist_ok=True)
     width, height = image_size
@@ -203,7 +226,7 @@ def make_fixture_clip(
     os.makedirs(od, exist_ok=True)
     all_ms = sorted(ms for tss in unsync.values() for ms in tss)
     t_rel = (np.asarray(all_ms, dtype=np.float64) - t0_ms) / 1000.0
-    T_wc = _pose_chassis2world(t_rel)
+    T_wc = pose_at(t_rel)
     quat = matrix_to_quat(T_wc[:, :3, :3])
     tum = np.concatenate(
         [np.asarray(all_ms, dtype=np.float64)[:, None] / 1000.0, T_wc[:, :3, 3], quat], axis=1
@@ -216,7 +239,7 @@ def make_fixture_clip(
     # scmv: camera_front SfM poses (cam2world) at sync camera_front times
     cam_ms = np.asarray(sync["camera_front"], dtype=np.float64)
     T_cam2ch = _cam2chassis("camera_front")
-    T_w_cam = _pose_chassis2world((cam_ms - t0_ms) / 1000.0) @ T_cam2ch
+    T_w_cam = M_sfm @ pose_at((cam_ms - t0_ms) / 1000.0) @ T_cam2ch
     keep = np.ones(len(cam_ms), dtype=bool)
     for i in drop_scmv_rows:
         if 0 <= i < len(keep):
@@ -230,10 +253,15 @@ def make_fixture_clip(
     # ---- maps ----
     maps_dir = os.path.join(clip, "maps")
     os.makedirs(maps_dir, exist_ok=True)
-    np.save(os.path.join(maps_dir, "vision_road_mlp_ft.npy"), _height_grid())
+    grid = np.zeros((GRID_SIZE, GRID_SIZE), np.float32) if flat_height else _height_grid()
+    np.save(os.path.join(maps_dir, "vision_road_mlp_ft.npy"), grid)
+
+    def to_sfm_px(w):
+        wh = np.concatenate([w, np.zeros((len(w), 1)), np.ones((len(w), 1))], axis=1)
+        return _world_xy_to_label_px((M_sfm @ wh.T).T[:, :2])
 
     cama_labels = [
-        _label_record(cls, _world_xy_to_label_px(w)) for cls, w in _world_polylines()
+        _label_record(cls, to_sfm_px(w)) for cls, w in _world_polylines()
     ]
     with open(os.path.join(maps_dir, "map_labels.json"), "w") as f:
         json.dump(cama_labels, f)
@@ -279,7 +307,7 @@ def make_fixture_clip(
         world_pts = np.stack([gx, gy, gz, np.ones(n_pts)], axis=-1)
         T_l_inv = inv_se3(T_lidar)
         for ms in unsync["lidar_top"]:
-            T_chassis = _pose_chassis2world((ms - t0_ms) / 1000.0)[0]
+            T_chassis = pose_at((ms - t0_ms) / 1000.0)[0]
             pts_l = (T_l_inv @ inv_se3(T_chassis) @ world_pts.T).T[:, :3]
             rec = np.concatenate(
                 [

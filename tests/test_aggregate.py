@@ -1,0 +1,129 @@
+"""LiDAR aggregation + CAMAv2 site aggregation tests on fixture clips.
+
+The fixture's LiDAR sweeps sample a known static world-frame point set from
+moving poses, so aggregation with the reconstructed chain must collapse all
+sweeps back onto that set.  For sites, two clips cover overlapping road with
+clip B's SfM frame SE(2)-misaligned; aggregation must recover the alignment
+from wigo and dedupe the shared map elements."""
+import os
+
+import numpy as np
+import pytest
+
+from cama_tpu.aggregate import Site, aggregate_lidar, save_pcd, save_xyz, voxel_downsample
+from cama_tpu.aggregate.site import estimate_sim3_to_world
+from cama_tpu.io.fixture import make_fixture_clip
+from cama_tpu.io.scene import compile_scene
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    return make_fixture_clip(
+        tmp_path_factory.mktemp("agg"), n_frames=8, with_images=False, with_lidar=True
+    )
+
+
+def test_lidar_aggregation_collapses_static_world(clip):
+    pts = aggregate_lidar(clip, pose_source="cama", every=1)
+    assert len(pts) > 10000
+    # fixture world content: ground plane z=0 plus a wall at y < -246
+    ground = pts[pts[:, 2] < 0.1]
+    assert len(ground) > 0.5 * len(pts)
+    np.testing.assert_allclose(ground[:, 2].mean(), 0.0, atol=0.02)
+    # x/y extents of the generated content
+    assert pts[:, 0].min() > -280 and pts[:, 0].max() < -200
+    # aggregating via wigo (same poses in the fixture, wider time coverage:
+    # scmv only spans the synced camera timestamps, so sweeps past its end
+    # are dropped by the cama chain)
+    pts_w = aggregate_lidar(clip, pose_source="wigo", every=1)
+    assert len(pts_w) >= len(pts)
+    ground_w = pts_w[pts_w[:, 2] < 0.1]
+    np.testing.assert_allclose(ground_w[:, 2].mean(), 0.0, atol=0.02)
+
+
+def test_lidar_aggregation_with_voxel_and_intensity(clip):
+    dense = aggregate_lidar(clip, pose_source="cama", every=2)
+    sparse = aggregate_lidar(clip, pose_source="cama", every=2, voxel=0.5)
+    assert 0 < len(sparse) < len(dense)
+    with_i = aggregate_lidar(clip, pose_source="cama", every=4, with_intensity=True)
+    assert with_i.shape[1] == 4
+
+
+def test_voxel_downsample_unique():
+    pts = np.array([[0.01, 0, 0], [0.02, 0, 0], [1.0, 1.0, 1.0]], np.float32)
+    out = voxel_downsample(pts, 0.1)
+    assert len(out) == 2
+
+
+def test_pcd_and_xyz_outputs(clip, tmp_path):
+    pts = aggregate_lidar(clip, pose_source="cama", every=4, voxel=1.0)
+    pcd = save_pcd(str(tmp_path / "a.pcd"), pts)
+    head = open(pcd).read(200)
+    assert "PCD v0.7" in head and f"POINTS {len(pts)}" in open(pcd).read()
+    colored = save_pcd(str(tmp_path / "b.pcd"), pts, np.full((len(pts), 3), 128))
+    assert "rgb" in open(colored).read(200)
+    xyz = save_xyz(str(tmp_path / "a.xyz"), pts)
+    assert np.loadtxt(xyz).shape == (len(pts), 3)
+
+
+@pytest.fixture(scope="module")
+def site_clips(tmp_path_factory):
+    root = tmp_path_factory.mktemp("site")
+    a = make_fixture_clip(root, scene_name="scene-a", n_frames=14, with_images=False,
+                          with_lidar=True, flat_height=True)
+    b = make_fixture_clip(root, scene_name="scene-b", n_frames=14, with_images=False,
+                          with_lidar=True, flat_height=True, traj_t_offset=0.7,
+                          t0_ms=1600000100000,
+                          world_sim3={"yaw_deg": 8.0, "tx": 15.0, "ty": -7.0})
+    return a, b
+
+
+def test_sim3_estimation_recovers_misalignment(site_clips):
+    a, b = site_clips
+    scene_b = compile_scene(b, sources=("cama",))
+    r, t, s = estimate_sim3_to_world(scene_b)
+    # the applied misalignment: p_sfm = M @ p_world; estimate inverts it
+    yaw = np.deg2rad(8.0)
+    M = np.array([[np.cos(yaw), -np.sin(yaw)], [np.sin(yaw), np.cos(yaw)]])
+    np.testing.assert_allclose(r[:2, :2], M.T, atol=1e-6)
+    np.testing.assert_allclose(s, 1.0, atol=1e-6)
+    p_sfm = M @ np.array([10.0, 5.0]) + np.array([15.0, -7.0])
+    p_back = s * r[:2, :2] @ p_sfm + t[:2]
+    np.testing.assert_allclose(p_back, [10.0, 5.0], atol=1e-6)
+
+    scene_a = compile_scene(a, sources=("cama",))
+    ra, ta, sa = estimate_sim3_to_world(scene_a)
+    np.testing.assert_allclose(ra, np.eye(3), atol=1e-9)
+    np.testing.assert_allclose(ta, 0, atol=1e-9)
+
+
+def test_site_merge_and_dedupe(site_clips, tmp_path):
+    a, b = site_clips
+    site = Site.from_clips([a, b], dedupe_tol=0.5)
+    # both clips label the same 8 world polylines -> all of B's dedupe away
+    n_a = sum(1 for _, _, ci in site.instances if ci == 0)
+    n_b = sum(1 for _, _, ci in site.instances if ci == 1)
+    assert n_a == 8
+    assert n_b == 0
+
+    fp = site.flat_points()
+    assert fp.num_valid > 0
+    out = site.save_labels_json(str(tmp_path / "site.json"))
+    import json
+
+    records = json.load(open(out))
+    assert len(records) == len(site.instances)
+    site.save_pcd(str(tmp_path / "site.pcd"))
+    assert os.path.getsize(tmp_path / "site.pcd") > 1000
+
+
+def test_site_lidar_aggregation(site_clips):
+    a, b = site_clips
+    site = Site.from_clips([a, b])
+    cloud = site.aggregate_lidar(voxel=0.5, every=4)
+    assert len(cloud) > 1000
+    # both clips observe the same static world; the merged cloud must stay
+    # within the world content bounds (i.e. B's misalignment was removed)
+    assert cloud[:, 0].min() > -285 and cloud[:, 0].max() < -195
+    ground = cloud[np.abs(cloud[:, 2]) < 0.1]
+    assert len(ground) > 0.3 * len(cloud)
