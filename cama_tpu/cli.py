@@ -13,8 +13,7 @@ import os
 import time
 import zipfile
 
-import yaml
-
+from cama_tpu.config import load_config
 from cama_tpu.pipeline import ClipPipeline
 
 
@@ -71,9 +70,7 @@ def main(argv=None):
         help="Path to the configuration file.",
     )
     args = parser.parse_args(argv)
-    with open(args.config, "r") as f:
-        configs = yaml.safe_load(f)
-    run(configs)
+    run(load_config(args.config))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,64 @@
+"""Config loading + schema validation.
+
+The reference passes a raw YAML dict around with no validation (SURVEY.md §5);
+here missing keys and type errors fail fast with actionable messages, while
+the accepted schema stays exactly the reference's config.yaml:1-25 surface.
+"""
+from __future__ import annotations
+
+import os
+
+import yaml
+
+from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS
+
+TOP_LEVEL_KEYS = {
+    "version": str,
+    "dataroot": str,
+    "converted_dataroot": str,
+    "scene_names": list,
+    "cama_label_file": str,
+    "output_video_dir": str,
+    "map_classes": list,
+}
+REQUIRED = ["converted_dataroot", "scene_names", "output_video_dir"]
+
+
+class ConfigError(ValueError):
+    pass
+
+
+def validate_config(configs):
+    if not isinstance(configs, dict):
+        raise ConfigError(f"config must be a mapping, got {type(configs).__name__}")
+    for key in REQUIRED:
+        if key not in configs:
+            raise ConfigError(f"missing required config key: {key!r}")
+    for key, typ in TOP_LEVEL_KEYS.items():
+        if key in configs and not isinstance(configs[key], typ):
+            raise ConfigError(
+                f"config key {key!r} must be {typ.__name__}, "
+                f"got {type(configs[key]).__name__}"
+            )
+    if not configs["scene_names"]:
+        raise ConfigError("scene_names is empty — nothing to process")
+    cama = configs.get("cama_configs") or {}
+    if not isinstance(cama, dict):
+        raise ConfigError("cama_configs must be a mapping")
+    unknown = set(cama) - set(DEFAULT_CAMA_CONFIGS)
+    if unknown:
+        raise ConfigError(
+            f"unknown cama_configs keys: {sorted(unknown)} "
+            f"(accepted: {sorted(DEFAULT_CAMA_CONFIGS)})"
+        )
+    merged = dict(configs)
+    merged["cama_configs"] = {**DEFAULT_CAMA_CONFIGS, **cama}
+    merged.setdefault("map_classes", ["lane_marking", "Road_teeth", "Crosswalk_Line"])
+    return merged
+
+
+def load_config(path):
+    if not os.path.exists(path):
+        raise ConfigError(f"config file not found: {path}")
+    with open(path, "r") as f:
+        return validate_config(yaml.safe_load(f))

@@ -162,6 +162,27 @@ class VectorizedLocalMap:
         polys = list(polygon_geom[0][1]) + list(polygon_geom[1][1])
         return self._rings_to_instances(polys, margin=0.2)
 
+    def line_geoms_to_vectors(self, line_geom):
+        """Sampled-point variant of line_geoms_to_instances
+        (nuscenes2clip.py:263-269)."""
+        out = {}
+        for layer, records in line_geom:
+            vecs = []
+            for pieces in records:
+                vecs.extend(self.sample_pts_from_line(p) for p in pieces)
+            out[layer] = vecs
+        return out
+
+    def poly_geoms_to_vectors(self, polygon_geom):
+        """Sampled-point variant of poly_geoms_to_instances
+        (nuscenes2clip.py:155-190)."""
+        return [self.sample_pts_from_line(l) for l in self.poly_geoms_to_instances(polygon_geom)]
+
+    def ped_geoms_to_vectors(self, ped_geom):
+        """Sampled-point variant of ped_poly_geoms_to_instances
+        (nuscenes2clip.py:279-297)."""
+        return [self.sample_pts_from_line(l) for l in self.ped_poly_geoms_to_instances(ped_geom)]
+
     def sample_pts_from_line(self, line):
         """Fixed-distance or fixed-count resampling (nuscenes2clip.py:401-428)."""
         line = np.asarray(line, dtype=np.float64)

@@ -195,6 +195,12 @@ class PoseEvaluator:
         # matters for file dumps, so normalize to (first, length)
         return out[np.lexsort((out[:, 3], out[:, 0]))]
 
+    def save_sequence_errors(self, err, file_name):
+        """Plain-text dump, one row per segment (pose_evaluator.py:307-317)."""
+        with open(file_name, "w") as fp:
+            for row in np.asarray(err):
+                fp.write(" ".join(str(v) for v in row) + "\n")
+
     def compute_segment_error(self, seq_errs):
         avg = {}
         for length in self.lengths:

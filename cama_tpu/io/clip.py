@@ -62,6 +62,63 @@ class ClipReader:
             pts = np.fromfile(path, dtype=np.float64).reshape(-1, 6)
             yield ts / 1000.0, pts
 
+    def _sensor_json(self, dirname):
+        with open(os.path.join(self.clip_path, dirname, "data.json"), "r") as f:
+            return json.load(f)
+
+    def iter_imu(self):
+        """Yield (timestamp_s, frame_dict) from IMU/data.json keyed by the
+        unsync ms table (dataset_reader.py:53-61)."""
+        data = self._sensor_json("IMU")
+        for ts in self.attribute["unsync"]["IMU"]:
+            yield float(ts) / 1000.0, data[str(ts)]
+
+    def iter_gnss(self):
+        """UB482 GNSS frames (dataset_reader.py:63-70)."""
+        data = self._sensor_json("UB482")
+        for ts in self.attribute["unsync"]["UB482"]:
+            yield float(ts) / 1000.0, data[str(ts)]
+
+    def iter_wheel(self, sync=True):
+        """Wheel odometry frames (dataset_reader.py:85-92)."""
+        data = self._sensor_json("wheel")
+        for ts in self.attribute["sync" if sync else "unsync"]["wheel"]:
+            yield float(ts) / 1000.0, data[str(ts)]
+
+    def gnss_tum(self):
+        """GNSS poses as a TUM array, supporting both reference JSON schemas
+        (v1 list-valued, v2 dict-valued — dataset_reader.py:296-348)."""
+        rows = []
+        for ts, g in self.iter_gnss():
+            pos, ori = g["position"], g["orientation"]
+            if isinstance(pos, dict) or "x" in pos:
+                rows.append([ts, pos["x"], pos["y"], pos["z"],
+                             ori["x"], ori["y"], ori["z"], ori["w"]])
+            else:
+                rows.append([ts, pos[0], pos[1], pos[2], ori[0], ori[1], ori[2], ori[3]])
+        return np.asarray(rows)
+
+    def wheel_tum(self, sync=False):
+        """Wheel odometry as TUM, v1 (roll/pitch/yaw) or v2 (yaw-only, z=0)
+        schemas (dataset_reader.py:350-407)."""
+        from cama_tpu.se3.core import from_euler
+
+        rows = []
+        for ts, w in self.iter_wheel(sync=sync):
+            if "roll" in w:
+                q = from_euler("XYZ", np.array([w["roll"], w["pitch"], w["yaw"]]))
+                rows.append([ts, w["x"], w["y"], w["z"], q[0], q[1], q[2], q[3]])
+            else:
+                q = from_euler("XYZ", np.array([0.0, 0.0, w["yaw"]]))
+                rows.append([ts, w["x"], w["y"], 0.0, q[0], q[1], q[2], q[3]])
+        return np.asarray(rows)
+
+    def iter_semantic(self, camera="camera_front", start_idx=None, end_idx=None):
+        """Yield (ts_s, path) of seg_{camera} PNGs (dataset_reader.py:78-83)."""
+        for ts, path in self.iter_sensor_files(camera, "png", sync=True,
+                                               start_idx=start_idx, end_idx=end_idx):
+            yield ts / 1000.0, path.replace(camera, "seg_" + camera)
+
     def odometry(self, name_txt):
         """Raw TUM array from odometry/<name_txt> (dataset_reader.py:409-411)."""
         return np.loadtxt(os.path.join(self.clip_path, "odometry", name_txt))

@@ -138,6 +138,7 @@ def make_fixture_clip(
     traj_t_offset=0.0,
     world_sim3=None,
     flat_height=False,
+    with_aux_sensors=False,
 ):
     """Build a clip directory under root/scene_name. Returns its path.
 
@@ -172,6 +173,13 @@ def make_fixture_clip(
         frame_ms[cam] = [t0_ms + round(1000 * k / fps) + cam_offsets[cam] for k in range(n_frames)]
     lidar_period = round(500 / fps)  # 2x camera rate
     frame_ms["lidar_top"] = [t0_ms + lidar_period * k + 5 for k in range(2 * n_frames)]
+    if with_aux_sensors:
+        # IMU 100 Hz, GNSS 10 Hz, wheel ~33 Hz (the richer internal-clip
+        # format DatasetReader supports, dataset_reader.py:53-92)
+        span = round(1000 * n_frames / fps)
+        frame_ms["IMU"] = [t0_ms + 10 * k for k in range(span // 10)]
+        frame_ms["UB482"] = [t0_ms + 100 * k + 1 for k in range(span // 100)]
+        frame_ms["wheel"] = [t0_ms + 30 * k + 2 for k in range(span // 30)]
 
     unsync = {s: list(v) for s, v in frame_ms.items()}
     # sync: nearest within 40 ms of camera_front (converter logic,
@@ -294,6 +302,40 @@ def make_fixture_clip(
                 cv2.imwrite(
                     os.path.join(cam_dir, f"{ms}.jpg"), _synth_image(cam, k, width, height)
                 )
+
+    # ---- aux sensor json (IMU / GNSS / wheel) ----
+    if with_aux_sensors:
+        pose_for = lambda ms: pose_at((np.asarray(ms) - t0_ms) / 1000.0)  # noqa: E731
+        imu = {}
+        for ms in unsync["IMU"]:
+            imu[str(ms)] = {
+                "gyro": (0.01 * rng.normal(size=3)).tolist(),
+                "accel": [0.0, 0.0, 9.81],
+            }
+        os.makedirs(os.path.join(clip, "IMU"), exist_ok=True)
+        with open(os.path.join(clip, "IMU", "data.json"), "w") as f:
+            json.dump(imu, f)
+
+        gnss = {}
+        for ms in unsync["UB482"]:
+            T = pose_for(ms)[0]
+            q = matrix_to_quat(T[:3, :3])
+            gnss[str(ms)] = {  # v2 ("tat") schema: dict-valued
+                "position": {"x": T[0, 3], "y": T[1, 3], "z": T[2, 3]},
+                "orientation": {"x": q[0], "y": q[1], "z": q[2], "w": q[3]},
+            }
+        os.makedirs(os.path.join(clip, "UB482"), exist_ok=True)
+        with open(os.path.join(clip, "UB482", "data.json"), "w") as f:
+            json.dump(gnss, f)
+
+        wheel = {}
+        for ms in unsync["wheel"]:
+            T = pose_for(ms)[0]
+            yaw = float(np.arctan2(T[1, 0], T[0, 0]))
+            wheel[str(ms)] = {"x": T[0, 3], "y": T[1, 3], "yaw": yaw}  # v2 schema
+        os.makedirs(os.path.join(clip, "wheel"), exist_ok=True)
+        with open(os.path.join(clip, "wheel", "data.json"), "w") as f:
+            json.dump(wheel, f)
 
     # ---- lidar ----
     if with_lidar:

@@ -176,6 +176,32 @@ def flatten_instances(instances, class_names=None, pad_multiple=1024):
     return FlatPoints(points, cls, inst, valid, class_names)
 
 
+def save_instances_pcd(flat, pcd_path, points_override=None, keep_mask=None):
+    """Colored PCD export of an instance map (reference MapManager.save_pcd,
+    cama/reproject.py:133-151, without the open3d dependency)."""
+    from cama_tpu.aggregate.lidar import save_pcd
+
+    instances = unflatten_to_instances(flat, points_override, keep_mask)
+    if not instances:
+        return save_pcd(pcd_path, np.zeros((0, 3), np.float32))
+    pts = np.concatenate([i["points"] for i in instances])
+    colors = np.concatenate([
+        np.tile(COLOR_MAPS.get(i["class"], COLOR_MAPS["Crosswalk_Line"]),
+                (len(i["points"]), 1))
+        for i in instances
+    ])
+    return save_pcd(pcd_path, pts, colors)
+
+
+def save_instances_xyz(flat, xyz_path, points_override=None, keep_mask=None):
+    """xyz text export (reference MapManager.save_xyz, cama/reproject.py:153-160)."""
+    instances = unflatten_to_instances(flat, points_override, keep_mask)
+    pts = (np.concatenate([i["points"] for i in instances])
+           if instances else np.zeros((0, 3)))
+    np.savetxt(xyz_path, pts, fmt="%.3f")
+    return xyz_path
+
+
 def unflatten_to_instances(flat, points_override=None, keep_mask=None):
     """FlatPoints -> reference-style [{'class': str, 'points': [P,3]}] list,
     dropping empty instances (crop semantics, cama/reproject.py:118-131).

@@ -38,6 +38,7 @@ from cama_tpu.ops.raster import (
     unpack_cls_2bit,
 )
 from cama_tpu.ops.undistort import RemapCache, remap_host
+from cama_tpu.profiling import PhaseTimers
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -82,6 +83,7 @@ class ClipPipeline:
             clip_path, self.configs, sources=sources
         )
         self.remaps = RemapCache()
+        self.timers = PhaseTimers()
         self._fm = {}
         self._dev = {}
         h, w = self.scene.output_size
@@ -134,22 +136,24 @@ class ClipPipeline:
         h, w = self.scene.output_size
         kernel = _overlay_chunk_2bit if use_2bit else _overlay_chunk
         pending = []
-        for s in range(0, len(fv), self.chunk):
-            sl = slice(s, s + self.chunk)
-            rasters = kernel(
-                points, valid, cls,
-                jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                self._crop_lo, self._crop_hi, w, h,
-            )
-            try:
-                rasters.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((s, rasters))  # dispatched async; fetched below
+        with self.timers.phase("device_dispatch"):
+            for s in range(0, len(fv), self.chunk):
+                sl = slice(s, s + self.chunk)
+                rasters = kernel(
+                    points, valid, cls,
+                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                    self._crop_lo, self._crop_hi, w, h,
+                )
+                try:
+                    rasters.copy_to_host_async()
+                except Exception:
+                    pass
+                pending.append((s, rasters))  # dispatched async; fetched below
         for s, rasters in pending:
-            rasters = np.asarray(rasters)
-            if use_2bit:
-                rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
+            with self.timers.phase("raster_fetch"):
+                rasters = np.asarray(rasters)
+                if use_2bit:
+                    rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
             for k in range(rasters.shape[0]):
                 fidx = s + k
                 if fidx >= F or not fm.frame_valid[fidx]:
@@ -206,7 +210,10 @@ class ClipPipeline:
         equivalent: yields (image_idx, {camera: overlay image})."""
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
             for image_idx, raster in self.iter_overlay_rasters(source):
-                yield image_idx, self.composite_frame(source, image_idx, raster, pool=pool)
+                with self.timers.phase("host_composite"):
+                    frame = self.composite_frame(source, image_idx, raster, pool=pool)
+                self.timers.add("frames", 0.0)
+                yield image_idx, frame
 
     def write_video(self, source, output_path, fps=10):
         h, w = self.scene.output_size

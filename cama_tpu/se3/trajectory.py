@@ -310,6 +310,27 @@ class Trajectory:
 
     # ---------------- in-place transforms ----------------
 
+    def get_timestamps(self):
+        if len(self.timestamps) == 0:
+            raise RuntimeError("please load timestamps first, from loadtxt()")
+        return self.timestamps
+
+    def as_axisangle(self, absolute):
+        from warnings import warn
+
+        warn("Warning(Deprecation): as_axisangle is renamed to as_axis_angle, "
+             "please consider update")
+        return self.as_axis_angle(absolute=absolute)
+
+    def rotate(self, extrinsic):
+        """Deprecated right-multiply (reference parity,
+        cama/pose_transformer.py:471-499)."""
+        from warnings import warn
+
+        warn("Warning(Deprecation): rotate function may lead misunderstanding\n"
+             "Please consider using transform()")
+        self.right_rotate(extrinsic)
+
     def normalize2origin(self):
         T = self._ensure_abs()
         self._abs = inv_se3(T[0]) @ T

@@ -1,0 +1,72 @@
+"""Config validation + profiling counters."""
+import time
+
+import pytest
+import yaml
+
+from cama_tpu.config import ConfigError, load_config, validate_config
+from cama_tpu.profiling import PhaseTimers
+
+
+def base_config():
+    return {
+        "version": "v1.0-test",
+        "dataroot": "/data",
+        "converted_dataroot": "/out",
+        "scene_names": ["scene-0550"],
+        "cama_label_file": "/labels.zip",
+        "output_video_dir": "/videos",
+        "map_classes": ["lane_marking", "Road_teeth", "Crosswalk_Line"],
+    }
+
+
+def test_valid_config_merges_defaults():
+    out = validate_config(base_config())
+    assert out["cama_configs"]["camera_main"] == "camera_front"
+    assert out["cama_configs"]["height_mlp"] == "vision_road_mlp_ft.npy"
+
+
+def test_missing_required_key():
+    cfg = base_config()
+    del cfg["scene_names"]
+    with pytest.raises(ConfigError, match="scene_names"):
+        validate_config(cfg)
+
+
+def test_wrong_type_and_unknown_cama_key():
+    cfg = base_config()
+    cfg["scene_names"] = "scene-0550"
+    with pytest.raises(ConfigError, match="must be list"):
+        validate_config(cfg)
+    cfg = base_config()
+    cfg["cama_configs"] = {"typo_key": 1}
+    with pytest.raises(ConfigError, match="typo_key"):
+        validate_config(cfg)
+
+
+def test_empty_scenes():
+    cfg = base_config()
+    cfg["scene_names"] = []
+    with pytest.raises(ConfigError, match="empty"):
+        validate_config(cfg)
+
+
+def test_load_config_roundtrip(tmp_path):
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(base_config()))
+    out = load_config(str(p))
+    assert out["scene_names"] == ["scene-0550"]
+    with pytest.raises(ConfigError, match="not found"):
+        load_config(str(tmp_path / "missing.yaml"))
+
+
+def test_phase_timers():
+    t = PhaseTimers()
+    with t.phase("work"):
+        time.sleep(0.01)
+    with t.phase("work"):
+        time.sleep(0.01)
+    assert t.count["work"] == 2
+    assert t.total["work"] >= 0.02
+    assert "work" in t.report()
+    assert t.as_dict()["work"]["count"] == 2
