@@ -161,6 +161,65 @@ def unpack_cls_2bit(packed2, width):
     return out[..., :width]
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k"))
+def compact_points(vu, keep, cls, width, height, k):
+    """Compact kept projected points into fixed-size sparse buffers, in paint
+    order — the scatter-free device path for video overlays.
+
+    Encodes each kept point as (v * width + u) * MAX_CLS + cls and stable-sorts
+    kept entries to the front per (frame, camera) (the sort key embeds the
+    point index, so paint order survives).  The host then draws circles with
+    one order-preserving fancy assignment (paint_sparse_host) — exact cv2
+    semantics with no scatter_max on device and k*4 bytes per camera on the
+    link instead of a dense raster.
+
+    Returns:
+        vals [..., k] int32 (-1 padding past the kept count)
+        counts [...] int32 — kept totals; count > k means overflow and the
+        caller must fall back to the dense raster path for that image.
+    """
+    P = vu.shape[-2]
+    vi = vu[..., 0].astype(jnp.int32)
+    ui = vu[..., 1].astype(jnp.int32)
+    enc = (vi * width + ui) * MAX_CLS + cls
+    enc = jnp.where(keep, enc, -1)
+    order = jnp.arange(P, dtype=jnp.int32)
+    key = jnp.where(keep, order, P + order)  # kept first, original order kept
+    batch = vu.shape[:-2]
+    skey, sval = jax.lax.sort_key_val(
+        key.reshape((-1, P)), enc.reshape((-1, P)), dimension=-1
+    )
+    vals = sval[:, :k].reshape(batch + (k,))
+    counts = keep.sum(axis=-1).astype(jnp.int32)
+    return vals, counts
+
+
+def paint_sparse_host(image_bgr, vals, count, color_table, width):
+    """Paint compacted points onto a host image with exact cv2.circle paint
+    order: stencil indices are laid out point-major, so NumPy's sequential
+    fancy-assignment (last duplicate wins) reproduces draw order."""
+    n = int(count)
+    if n <= 0:
+        return image_bgr
+    v = np.asarray(vals[:n])
+    enc = v[v >= 0]
+    if len(enc) == 0:
+        return image_bgr
+    cls = enc % MAX_CLS
+    pix = enc // MAX_CLS
+    py = pix // width
+    px = pix % width
+    h, w = image_bgr.shape[:2]
+    offs = CIRCLE_R2_OFFSETS
+    yy = py[:, None] + offs[None, :, 0]  # [n, 13] point-major
+    xx = px[:, None] + offs[None, :, 1]
+    ok = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+    flat = (yy * w + xx)[ok]
+    colors = np.broadcast_to(color_table[cls][:, None, :], (len(enc), len(offs), 3))[ok]
+    image_bgr.reshape(-1, 3)[flat] = colors
+    return image_bgr
+
+
 def build_color_table(class_names, color_maps=None):
     """Per-class BGR color rows honoring the non-lane_marking fallback."""
     from cama_tpu.ops.lift import COLOR_MAPS

@@ -32,8 +32,10 @@ from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_f
 from cama_tpu.ops.raster import (
     MAX_CLS,
     build_color_table,
+    compact_points,
     pack_cls_2bit,
     packed_to_cls,
+    paint_sparse_host,
     rasterize_packed_fast,
     unpack_cls_2bit,
 )
@@ -74,6 +76,23 @@ def _project_chunk(points, valid, A, B, frame_valid, crop_lo, crop_hi, width, he
     return project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, crop_hi)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k"))
+def _project_compact_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
+                           width, height, k):
+    """Scatter-free sparse path: project + compact kept points per
+    (frame, camera).  lax.map over frames bounds peak memory like
+    _overlay_chunk."""
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        vu, keep = project_frames(
+            points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
+        )
+        return compact_points(vu[0], keep[0], cls, width, height, k)
+
+    return jax.lax.map(per_frame, (A, B, frame_valid))
+
+
 class ClipPipeline:
     def __init__(self, configs=None, clip_path=None, sources=("cama", "nuscenes"),
                  chunk=8, scene: Scene = None):
@@ -86,6 +105,7 @@ class ClipPipeline:
         self.timers = PhaseTimers()
         self._fm = {}
         self._dev = {}
+        self._mode = {}
         h, w = self.scene.output_size
         self._crop_lo, self._crop_hi = crop_bounds()
         self._color_tables = {
@@ -205,15 +225,136 @@ class ClipPipeline:
         results = pool.map(one, items) if pool is not None else map(one, items)
         return dict(results)
 
-    def iter_frames(self, source, n_threads=6):
+    def overlay_mode(self, source):
+        """Pick 'sparse' vs 'raster' from measured kept-point counts: one
+        cheap device counting pass, then sparse only if its per-frame bytes
+        beat the 2-bit dense raster."""
+        if source in self._mode:
+            return self._mode[source]
+        fm, A, B, fv, F = self._chunked_AB(source)
+        points, cls, valid = self.device_points(source)
+        h, w = self.scene.output_size
+
+        @jax.jit
+        def max_count(A, B, fv):
+            def per_frame(args):
+                Af, Bf, fvv = args
+                _, keep = project_frames(
+                    points, valid, Af[None], Bf[None], fvv[None], w, h,
+                    self._crop_lo, self._crop_hi,
+                )
+                return keep[0].sum(axis=-1)
+
+            return jax.lax.map(per_frame, (A, B, fv)).max()
+
+        mc = int(max_count(jnp.asarray(A.astype(np.float32)),
+                           jnp.asarray(B.astype(np.float32)), jnp.asarray(fv)))
+        k = -(-max(mc, 1) // 1024) * 1024
+        C = len(self.scene.camera_list)
+        sparse_bytes = k * 4 * C
+        dense_bytes = h * w * C // 4
+        self._mode[source] = ("sparse", k) if sparse_bytes < dense_bytes else ("raster", None)
+        return self._mode[source]
+
+    def iter_sparse_points(self, source, k=None):
+        """Scatter-free device path: yields (image_idx, vals [C, k] int32,
+        counts [C]) per valid frame.  A count > k signals overflow (the caller
+        must fall back to the dense raster for that frame)."""
+        fm, A, B, fv, F = self._chunked_AB(source)
+        points, cls, valid = self.device_points(source)
+        h, w = self.scene.output_size
+        if k is None:
+            P = points.shape[0]
+            k = min(P, max(4096, -(-(P // 3) // 1024) * 1024))
+        pending = []
+        with self.timers.phase("device_dispatch"):
+            for s in range(0, len(fv), self.chunk):
+                sl = slice(s, s + self.chunk)
+                out = _project_compact_chunk(
+                    points, valid, cls,
+                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                    self._crop_lo, self._crop_hi, w, h, k,
+                )
+                for o in out:
+                    try:
+                        o.copy_to_host_async()
+                    except Exception:
+                        pass
+                pending.append((s, out))
+        for s, (vals, counts) in pending:
+            with self.timers.phase("sparse_fetch"):
+                vals = np.asarray(vals)
+                counts = np.asarray(counts)
+            for kk in range(vals.shape[0]):
+                fidx = s + kk
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                yield int(fm.frame_indices[fidx]), vals[kk], counts[kk]
+
+    def composite_frame_sparse(self, source, image_idx, vals, counts, pool=None):
+        table = self._color_tables[source]
+        h, w = self.scene.output_size
+
+        def one(c_camera):
+            c, camera = c_camera
+            img = self.undistorted_image(camera, image_idx)
+            paint_sparse_host(img, vals[c], counts[c], table, w)
+            return camera, img
+
+        items = list(enumerate(self.scene.camera_list))
+        results = pool.map(one, items) if pool is not None else map(one, items)
+        return dict(results)
+
+    def iter_frames(self, source, n_threads=6, mode="auto"):
         """Reference yield_frame + project_all_camera + render_vectors
-        equivalent: yields (image_idx, {camera: overlay image})."""
+        equivalent: yields (image_idx, {camera: overlay image}).
+
+        mode: 'raster' streams dense class rasters; 'sparse' streams compacted
+        point lists and paints on host (less link traffic, no device scatter);
+        'auto' picks sparse for small point sets and falls back to raster for
+        frames whose kept count overflows the sparse budget.
+        """
+        k = None
+        if mode == "auto":
+            mode, k = self.overlay_mode(source)
+        if mode == "raster":
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                for image_idx, raster in self.iter_overlay_rasters(source):
+                    with self.timers.phase("host_composite"):
+                        frame = self.composite_frame(source, image_idx, raster, pool=pool)
+                    yield image_idx, frame
+            return
+
         with ThreadPoolExecutor(max_workers=n_threads) as pool:
-            for image_idx, raster in self.iter_overlay_rasters(source):
-                with self.timers.phase("host_composite"):
-                    frame = self.composite_frame(source, image_idx, raster, pool=pool)
-                self.timers.add("frames", 0.0)
+            for image_idx, vals, counts in self.iter_sparse_points(source, k=k):
+                if counts.max() > vals.shape[-1]:
+                    # sparse budget overflow: dense raster for this one frame,
+                    # inline so frame order is preserved
+                    self.timers.add("sparse_overflow", 0.0)
+                    raster = self._overlay_single(source, image_idx)
+                    with self.timers.phase("host_composite"):
+                        frame = self.composite_frame(source, image_idx, raster, pool=pool)
+                else:
+                    with self.timers.phase("host_composite"):
+                        frame = self.composite_frame_sparse(
+                            source, image_idx, vals, counts, pool
+                        )
                 yield image_idx, frame
+
+    def _overlay_single(self, source, image_idx):
+        """Dense class raster for one frame (sparse-overflow fallback)."""
+        fm = self.frame_matrices(source)
+        k = int(np.flatnonzero(fm.frame_indices == image_idx)[0])
+        points, cls, valid = self.device_points(source)
+        h, w = self.scene.output_size
+        raster = _overlay_chunk(
+            points, valid, cls,
+            jnp.asarray(fm.A[k:k + 1].astype(np.float32)),
+            jnp.asarray(fm.B[k:k + 1].astype(np.float32)),
+            jnp.asarray(fm.frame_valid[k:k + 1]),
+            self._crop_lo, self._crop_hi, w, h,
+        )
+        return np.asarray(raster)[0]
 
     def write_video(self, source, output_path, fps=10):
         h, w = self.scene.output_size
