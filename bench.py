@@ -104,10 +104,19 @@ def bench_ours(clip):
     B = np.concatenate([fm.B, np.zeros((pad,) + fm.B.shape[1:])]).astype(np.float32)
     fv = np.concatenate([fm.frame_valid, np.zeros(pad, bool)])
 
+    _, k_compact = pipe.overlay_mode("cama")
+
     @jax.jit
     def chunk_checksum(A, B, fv):
-        r = _overlay_chunk(points, valid, cls, A, B, fv,
-                           pipe._crop_lo, pipe._crop_hi, w, h)
+        if k_compact is not None:
+            from cama_tpu.pipeline import _overlay_chunk_compact
+
+            r = _overlay_chunk_compact(points, valid, cls, A, B, fv,
+                                       pipe._crop_lo, pipe._crop_hi, w, h,
+                                       k_compact, False)
+        else:
+            r = _overlay_chunk(points, valid, cls, A, B, fv,
+                               pipe._crop_lo, pipe._crop_hi, w, h)
         return r.astype(jnp.int32).sum()
 
     chunks = [

@@ -166,32 +166,71 @@ def compact_points(vu, keep, cls, width, height, k):
     """Compact kept projected points into fixed-size sparse buffers, in paint
     order — the scatter-free device path for video overlays.
 
-    Encodes each kept point as (v * width + u) * MAX_CLS + cls and stable-sorts
-    kept entries to the front per (frame, camera) (the sort key embeds the
-    point index, so paint order survives).  The host then draws circles with
-    one order-preserving fancy assignment (paint_sparse_host) — exact cv2
-    semantics with no scatter_max on device and k*4 bytes per camera on the
-    link instead of a dense raster.
+    Encodes each kept point as (v * width + u) * MAX_CLS + cls, drops points
+    whose successor is kept and lands on the same pixel (densified polylines
+    step sub-pixel, so ~90 % of entries are such duplicates — the successor's
+    higher paint priority covers the identical stencil, so the result is
+    bit-identical), and stable-sorts survivors to the front per
+    (frame, camera) (the sort key embeds the point index, so paint order
+    survives).  The host then draws circles with one order-preserving fancy
+    assignment (paint_sparse_host) — exact cv2 semantics with no scatter_max
+    on device and k*4 bytes per camera on the link instead of a dense raster.
 
     Returns:
         vals [..., k] int32 (-1 padding past the kept count)
-        counts [...] int32 — kept totals; count > k means overflow and the
-        caller must fall back to the dense raster path for that image.
+        counts [...] int32 — effective (deduped) kept totals; count > k means
+        overflow and the caller must fall back to the dense path.
     """
     P = vu.shape[-2]
     vi = vu[..., 0].astype(jnp.int32)
     ui = vu[..., 1].astype(jnp.int32)
     enc = (vi * width + ui) * MAX_CLS + cls
     enc = jnp.where(keep, enc, -1)
+    # consecutive-duplicate suppression: successor kept & same pixel
+    pix = enc // MAX_CLS
+    dup = jnp.concatenate(
+        [keep[..., 1:] & keep[..., :-1] & (pix[..., 1:] == pix[..., :-1]),
+         jnp.zeros_like(keep[..., :1])],
+        axis=-1,
+    )
+    eff = keep & ~dup
+    enc = jnp.where(eff, enc, -1)
     order = jnp.arange(P, dtype=jnp.int32)
-    key = jnp.where(keep, order, P + order)  # kept first, original order kept
+    key = jnp.where(eff, order, P + order)  # kept first, original order kept
     batch = vu.shape[:-2]
     skey, sval = jax.lax.sort_key_val(
         key.reshape((-1, P)), enc.reshape((-1, P)), dimension=-1
     )
     vals = sval[:, :k].reshape(batch + (k,))
-    counts = keep.sum(axis=-1).astype(jnp.int32)
+    counts = eff.sum(axis=-1).astype(jnp.int32)
     return vals, counts
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def rasterize_from_compact(vals, width, height):
+    """Dense packed raster from compact_points output: scatter only the
+    deduped survivors (index within `vals` is ascending paint order, so it
+    serves as the priority), then the two-round plus dilation.
+
+    vals: [..., K] int32; returns packed [..., H, W] int32 (same contract as
+    rasterize_packed, with priorities renumbered — class and paint order are
+    preserved, absolute priority values differ).
+    """
+    K = vals.shape[-1]
+    ok = vals >= 0
+    pix = jnp.where(ok, vals // MAX_CLS, height * width)
+    prio = jnp.arange(K, dtype=jnp.int32) * MAX_CLS + jnp.where(ok, vals % MAX_CLS, 0)
+    prio = jnp.where(ok, prio, -1)
+
+    def one_image(idx1d, pr1d):
+        buf = jnp.full((height * width + 1,), -1, dtype=jnp.int32)
+        buf = buf.at[idx1d].max(pr1d, mode="drop")
+        return buf[:-1].reshape(height, width)
+
+    batch = vals.shape[:-1]
+    out = jax.vmap(one_image)(pix.reshape((-1, K)), prio.reshape((-1, K)))
+    out = _plus_dilate(_plus_dilate(out))
+    return out.reshape(batch + (height, width))
 
 
 def paint_sparse_host(image_bgr, vals, count, color_table, width):

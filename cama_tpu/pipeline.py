@@ -36,6 +36,7 @@ from cama_tpu.ops.raster import (
     pack_cls_2bit,
     packed_to_cls,
     paint_sparse_host,
+    rasterize_from_compact,
     rasterize_packed_fast,
     unpack_cls_2bit,
 )
@@ -74,6 +75,27 @@ def _overlay_chunk_2bit(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
 @partial(jax.jit, static_argnames=("width", "height"))
 def _project_chunk(points, valid, A, B, frame_valid, crop_lo, crop_hi, width, height):
     return project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, crop_hi)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k", "two_bit"))
+def _overlay_chunk_compact(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
+                           width, height, k, two_bit):
+    """Dense overlay via dedup+sort-compact then a K-entry scatter — ~8x fewer
+    scatter updates than rasterize_packed_fast on densified polylines.  `k`
+    must come from a counting pass over the same inputs (overlay_mode), so it
+    cannot overflow."""
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        vu, keep = project_frames(
+            points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
+        )
+        vals, _ = compact_points(vu[0], keep[0], cls, width, height, k)
+        packed = rasterize_from_compact(vals, width, height)
+        return packed_to_cls(packed)
+
+    rasters = jax.lax.map(per_frame, (A, B, frame_valid))
+    return pack_cls_2bit(rasters) if two_bit else rasters
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k"))
@@ -154,7 +176,13 @@ class ClipPipeline:
         max_cls = int(fp.cls[fp.valid].max()) if fp.valid.any() else 0
         use_2bit = max_cls <= 2  # raster values cls+1 must fit in 2 bits
         h, w = self.scene.output_size
-        kernel = _overlay_chunk_2bit if use_2bit else _overlay_chunk
+        _, k_compact = self.overlay_mode(source)
+        if k_compact is not None:
+            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
+                                              w_, h_, k_compact, use_2bit)
+        else:
+            kernel = _overlay_chunk_2bit if use_2bit else _overlay_chunk
         pending = []
         with self.timers.phase("device_dispatch"):
             for s in range(0, len(fv), self.chunk):
@@ -226,9 +254,10 @@ class ClipPipeline:
         return dict(results)
 
     def overlay_mode(self, source):
-        """Pick 'sparse' vs 'raster' from measured kept-point counts: one
-        cheap device counting pass, then sparse only if its per-frame bytes
-        beat the 2-bit dense raster."""
+        """Pick 'sparse' vs 'raster' from measured effective (deduped)
+        kept-point counts: one cheap device counting pass, then sparse only if
+        its per-frame bytes beat the 2-bit dense raster.  The count also sizes
+        the dense path's compact scatter (it cannot overflow, same inputs)."""
         if source in self._mode:
             return self._mode[source]
         fm, A, B, fv, F = self._chunked_AB(source)
@@ -239,11 +268,12 @@ class ClipPipeline:
         def max_count(A, B, fv):
             def per_frame(args):
                 Af, Bf, fvv = args
-                _, keep = project_frames(
+                vu, keep = project_frames(
                     points, valid, Af[None], Bf[None], fvv[None], w, h,
                     self._crop_lo, self._crop_hi,
                 )
-                return keep[0].sum(axis=-1)
+                _, counts = compact_points(vu[0], keep[0], cls, w, h, 1)
+                return counts.max()
 
             return jax.lax.map(per_frame, (A, B, fv)).max()
 
@@ -253,7 +283,7 @@ class ClipPipeline:
         C = len(self.scene.camera_list)
         sparse_bytes = k * 4 * C
         dense_bytes = h * w * C // 4
-        self._mode[source] = ("sparse", k) if sparse_bytes < dense_bytes else ("raster", None)
+        self._mode[source] = ("sparse", k) if sparse_bytes < dense_bytes else ("raster", k)
         return self._mode[source]
 
     def iter_sparse_points(self, source, k=None):

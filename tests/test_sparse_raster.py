@@ -37,12 +37,23 @@ def test_sparse_paint_matches_dense_raster():
 
 
 def test_compact_points_overflow_count():
-    vu = np.zeros((10, 2), np.float32)
+    # 10 distinct pixels (no dedup): deduped count exceeds k
+    vu = np.stack([np.arange(10), np.arange(10)], -1).astype(np.float32)
+    keep = np.ones(10, bool)
+    cls = np.zeros(10, np.int32)
+    vals, counts = compact_points(jnp.asarray(vu), jnp.asarray(keep), jnp.asarray(cls), 16, 16, 4)
+    assert int(counts) == 10  # > k: caller must fall back
+    assert np.asarray(vals).shape == (4,)
+
+
+def test_compact_points_dedups_consecutive_same_pixel():
+    vu = np.zeros((10, 2), np.float32)  # all on one pixel
     keep = np.ones(10, bool)
     cls = np.zeros(10, np.int32)
     vals, counts = compact_points(jnp.asarray(vu), jnp.asarray(keep), jnp.asarray(cls), 8, 8, 4)
-    assert int(counts) == 10  # > k: caller must fall back
-    assert np.asarray(vals).shape == (4,)
+    assert int(counts) == 1
+    v = np.asarray(vals)
+    assert (v >= 0).sum() == 1
 
 
 @pytest.fixture(scope="module")
