@@ -94,7 +94,7 @@ def bench_ours(clip):
     # ---- device-resident reprojection+rasterize throughput (the per-chip
     # compute capability: overlays stay on device, only a checksum returns;
     # this is what scales when rasters feed on-device metrics) ----
-    bench_chunk = int(os.environ.get("CAMA_BENCH_CHUNK", "32"))
+    bench_chunk = int(os.environ.get("CAMA_BENCH_CHUNK", "64"))
     fm = pipe.frame_matrices("cama")
     points, cls, valid = pipe.device_points("cama")
     h, w = pipe.scene.output_size
