@@ -148,3 +148,32 @@ def save_xyz(path, points):
     """%.3f xyz text (reference save_xyz, cama/reproject.py:153-160)."""
     np.savetxt(path, np.asarray(points)[:, :3], fmt="%.3f")
     return path
+
+
+def main(argv=None):
+    """LiDAR aggregation demo script (CAMAv2 release notes, README.md:21)."""
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Aggregate a clip's LiDAR sweeps with reconstructed poses"
+    )
+    parser.add_argument("--clip", required=True)
+    parser.add_argument("--out", required=True, help=".pcd or .xyz output path")
+    parser.add_argument("--pose-source", default="cama",
+                        choices=["cama", "wigo", "wigo_offset"])
+    parser.add_argument("--voxel", type=float, default=None)
+    parser.add_argument("--every", type=int, default=1)
+    parser.add_argument("--deskewed", action="store_true")
+    args = parser.parse_args(argv)
+
+    pts = aggregate_lidar(args.clip, pose_source=args.pose_source, voxel=args.voxel,
+                          every=args.every, deskewed=args.deskewed)
+    if args.out.endswith(".xyz"):
+        save_xyz(args.out, pts)
+    else:
+        save_pcd(args.out, pts)
+    print(f"{len(pts)} points -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

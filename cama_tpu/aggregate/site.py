@@ -181,3 +181,34 @@ class Site:
 
             merged = voxel_downsample(merged, voxel)
         return merged
+
+
+def main(argv=None):
+    """Site aggregation script: merge clips covering intersecting road into
+    one site map (CAMAv2 release notes, README.md:22-24)."""
+    import argparse
+    import os
+
+    parser = argparse.ArgumentParser(description="CAMAv2 site-level multi-scene aggregation")
+    parser.add_argument("--clips", nargs="+", required=True, help="clip directories")
+    parser.add_argument("--out-dir", required=True)
+    parser.add_argument("--name", default="site")
+    parser.add_argument("--dedupe-tol", type=float, default=0.5)
+    parser.add_argument("--lidar", action="store_true", help="also aggregate LiDAR")
+    parser.add_argument("--lidar-voxel", type=float, default=0.2)
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    site = Site.from_clips(args.clips, dedupe_tol=args.dedupe_tol, name=args.name)
+    labels = site.save_labels_json(os.path.join(args.out_dir, f"{args.name}_labels.json"))
+    pcd = site.save_pcd(os.path.join(args.out_dir, f"{args.name}_map.pcd"))
+    print(f"{len(site.clips)} clips -> {len(site.instances)} map elements")
+    print(f"labels: {labels}\nmap pcd: {pcd}")
+    if args.lidar:
+        cloud = site.aggregate_lidar(voxel=args.lidar_voxel)
+        out = save_pcd(os.path.join(args.out_dir, f"{args.name}_lidar.pcd"), cloud)
+        print(f"lidar: {len(cloud)} points -> {out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -191,3 +191,29 @@ class MapEvaluator:
         out = reduce_metrics(partials)
         out["frames_evaluated"] = len(evaluated)
         return out
+
+
+def main(argv=None):
+    """Map-quality evaluation script (the CAMAv2 release notes' "evaluation
+    scripts (SRE, precision, recall, F1-score)", README.md:19-20)."""
+    import argparse
+    import json
+
+    from cama_tpu.pipeline import ClipPipeline
+
+    parser = argparse.ArgumentParser(description="SRE / precision / recall / F1 map evaluation")
+    parser.add_argument("--clip", required=True, help="clip directory")
+    parser.add_argument("--source", default="cama", choices=["cama", "nuscenes"])
+    parser.add_argument("--tolerance", type=int, default=5, help="hit radius (px)")
+    parser.add_argument("--max-radius", type=int, default=20, help="SRE distance cap (px)")
+    args = parser.parse_args(argv)
+
+    pipe = ClipPipeline(clip_path=args.clip)
+    ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius)
+    result = ev.evaluate_scene(pipe, args.source)
+    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                      for k, v in result.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,8 +97,69 @@ def _build_nuscenes_trajectory(reader):
     return tr
 
 
+def save_scene_cache(scene, path):
+    """Persist the compiled device-layout tensors (the checkpoint artifact of
+    the TPU build, SURVEY.md §5: conversion + lifting never re-run)."""
+    payload = {
+        "camera_list": np.asarray(scene.camera_list, dtype=object),
+        "camera_main": scene.camera_main,
+        "output_size": np.asarray(scene.output_size),
+        "K_orig": scene.K_orig, "K_scaled": scene.K_scaled, "d": scene.d,
+        "image_size": np.asarray(scene.image_size),
+        "cam2chassis": scene.cam2chassis, "chassis2cam": scene.chassis2cam,
+        "frame_times": scene.frame_times,
+    }
+    for src, fp in scene.flat.items():
+        payload[f"flat_{src}_points"] = fp.points
+        payload[f"flat_{src}_cls"] = fp.cls
+        payload[f"flat_{src}_inst"] = fp.inst
+        payload[f"flat_{src}_valid"] = fp.valid
+        payload[f"flat_{src}_names"] = np.asarray(fp.class_names, dtype=object)
+        tr = scene.traj[src]
+        payload[f"traj_{src}_T"] = tr.as_transform(True)
+        payload[f"traj_{src}_ts"] = tr.timestamps
+    np.savez_compressed(path, **payload)
+    return path
+
+
+def load_scene_cache(path, clip_path):
+    """Rebuild a Scene from a cache file (attribute.json is still read for
+    image paths / sync tables)."""
+    from cama_tpu.ops.lift import FlatPoints
+    from cama_tpu.se3.trajectory import Trajectory
+
+    z = np.load(path, allow_pickle=True)
+    reader = ClipReader(clip_path)
+    flat, traj = {}, {}
+    for key in z.files:
+        if key.startswith("flat_") and key.endswith("_points"):
+            src = key[len("flat_"):-len("_points")]
+            flat[src] = FlatPoints(
+                z[f"flat_{src}_points"], z[f"flat_{src}_cls"], z[f"flat_{src}_inst"],
+                z[f"flat_{src}_valid"], list(z[f"flat_{src}_names"]),
+            )
+            tr = Trajectory()
+            tr.from_absolute_transform(z[f"traj_{src}_T"])
+            tr.timestamps = z[f"traj_{src}_ts"]
+            traj[src] = tr
+    return Scene(
+        clip_path=str(clip_path),
+        camera_list=list(z["camera_list"]),
+        camera_main=str(z["camera_main"]),
+        output_size=tuple(int(v) for v in z["output_size"]),
+        K_orig=z["K_orig"], K_scaled=z["K_scaled"], d=z["d"],
+        image_size=tuple(int(v) for v in z["image_size"]),
+        cam2chassis=z["cam2chassis"], chassis2cam=z["chassis2cam"],
+        frame_times=z["frame_times"],
+        sync_ms={s: list(v) for s, v in reader.attribute["sync"].items()},
+        flat=flat, traj=traj, reader=reader,
+    )
+
+
 def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
-                  output_size=OUTPUT_SIZE, pad_multiple=1024):
+                  output_size=OUTPUT_SIZE, pad_multiple=1024, cache=None):
+    if cache and os.path.exists(cache):
+        return load_scene_cache(cache, clip_path)
     configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
     reader = ClipReader(clip_path)
     camera_list = configs["camera_list"]
@@ -142,7 +203,7 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
             flat["nuscenes"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
             traj["nuscenes"] = _build_nuscenes_trajectory(reader)
 
-    return Scene(
+    scene = Scene(
         clip_path=str(clip_path),
         camera_list=list(camera_list),
         camera_main=camera_main,
@@ -159,3 +220,6 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
         traj=traj,
         reader=reader,
     )
+    if cache:
+        save_scene_cache(scene, cache)
+    return scene

@@ -1,0 +1,86 @@
+"""CLI surfaces: main driver, map-metrics script, lidar + site scripts, and
+the scene-compile cache."""
+import json
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliws")
+    clip = make_fixture_clip(root / "converted", scene_name="scene-cli", n_frames=5,
+                             with_images=True, with_lidar=True)
+    add_instance_masks(clip)
+    cfg = {
+        "version": "v1.0-test",
+        "dataroot": str(root / "raw"),
+        "converted_dataroot": str(root / "converted"),
+        "scene_names": ["scene-cli"],
+        "cama_label_file": str(root / "missing.zip"),
+        "output_video_dir": str(root / "videos"),
+        "map_classes": ["lane_marking", "Road_teeth", "Crosswalk_Line"],
+    }
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return {"root": root, "clip": clip, "config": str(cfg_path)}
+
+
+def test_main_cli_end_to_end(workspace):
+    from cama_tpu.cli import main
+
+    main(["--config", workspace["config"]])
+    videos = os.listdir(workspace["root"] / "videos")
+    assert any("cama" in v for v in videos)
+    assert any("nuScenes" in v for v in videos)
+
+
+def test_map_metrics_cli(workspace, capsys):
+    from cama_tpu.eval.map_metrics import main
+
+    main(["--clip", workspace["clip"], "--tolerance", "4"])
+    out = json.loads(capsys.readouterr().out)
+    assert {"SRE", "precision", "recall", "f1"} <= set(out)
+    assert out["precision"] > 0.9
+
+
+def test_lidar_cli(workspace, tmp_path, capsys):
+    from cama_tpu.aggregate.lidar import main
+
+    out = str(tmp_path / "agg.pcd")
+    main(["--clip", workspace["clip"], "--out", out, "--every", "4", "--voxel", "0.5"])
+    assert os.path.getsize(out) > 1000
+    assert "points ->" in capsys.readouterr().out
+
+
+def test_site_cli(workspace, tmp_path, capsys):
+    from cama_tpu.aggregate.site import main
+
+    out_dir = str(tmp_path / "site")
+    main(["--clips", workspace["clip"], "--out-dir", out_dir, "--lidar",
+          "--lidar-voxel", "1.0"])
+    files = os.listdir(out_dir)
+    assert "site_labels.json" in files and "site_map.pcd" in files and "site_lidar.pcd" in files
+
+
+def test_scene_cache_roundtrip(workspace, tmp_path):
+    from cama_tpu.io.scene import compile_scene
+
+    cache = str(tmp_path / "scene.npz")
+    s1 = compile_scene(workspace["clip"], cache=cache)
+    assert os.path.exists(cache)
+    s2 = compile_scene(workspace["clip"], cache=cache)
+    assert s2.sources == s1.sources
+    for src in s1.sources:
+        np.testing.assert_array_equal(s2.flat[src].points, s1.flat[src].points)
+        np.testing.assert_array_equal(s2.flat[src].cls, s1.flat[src].cls)
+        assert s2.flat[src].class_names == s1.flat[src].class_names
+        np.testing.assert_allclose(
+            s2.traj[src].as_transform(True), s1.traj[src].as_transform(True), atol=0
+        )
+    np.testing.assert_allclose(s2.K_scaled, s1.K_scaled)
+    np.testing.assert_array_equal(s2.frame_times, s1.frame_times)
