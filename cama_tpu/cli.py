@@ -32,35 +32,49 @@ def run(configs):
     output_video_dir = configs["output_video_dir"]
     os.makedirs(output_video_dir, exist_ok=True)
 
-    converter = None
+    state = {"converter": None}
+    failures = []
     for scene_name in configs["scene_names"]:
-        clip_path = os.path.join(output_dir, scene_name)
+        try:
+            _run_scene(configs, scene_name, output_dir, output_video_dir, state)
+        except Exception as e:  # keep going: one bad scene must not kill the batch
+            import traceback
 
-        # Step 1: convert nuScenes scene -> clip (optional dependency)
-        if not os.path.exists(os.path.join(clip_path, "attribute.json")):
-            if converter is None:
-                from cama_tpu.convert.nuscenes import NuScenesConverter
+            traceback.print_exc()
+            failures.append((scene_name, repr(e)))
+    if failures:
+        print(f"{len(failures)} scene(s) failed: {failures}")
+    return failures
 
-                converter = NuScenesConverter(configs)
-            converter.convert(scene_name)
 
-        # Step 2: CAMA label files into the clip dir
-        zip_file = configs.get("cama_label_file")
-        if zip_file and os.path.exists(zip_file):
-            extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
+def _run_scene(configs, scene_name, output_dir, output_video_dir, state):
+    clip_path = os.path.join(output_dir, scene_name)
 
-        # Step 3: reprojection videos
-        pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
-        for source, suffix in (("cama", "cama"), ("nuscenes", "nuScenes")):
-            if source not in pipe.scene.flat:
-                print(f"[{scene_name}] no {source} labels; skipping video")
-                continue
-            print(f"Generating reprojection video with {source} labels...")
-            out = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
-            t0 = time.perf_counter()
-            n = pipe.write_video(source, out)
-            dt = time.perf_counter() - t0
-            print(f"  {n} frames -> {out} in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
+    # Step 1: convert nuScenes scene -> clip (optional dependency)
+    if not os.path.exists(os.path.join(clip_path, "attribute.json")):
+        if state["converter"] is None:
+            from cama_tpu.convert.nuscenes import NuScenesConverter
+
+            state["converter"] = NuScenesConverter(configs)
+        state["converter"].convert(scene_name)
+
+    # Step 2: CAMA label files into the clip dir
+    zip_file = configs.get("cama_label_file")
+    if zip_file and os.path.exists(zip_file):
+        extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
+
+    # Step 3: reprojection videos
+    pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
+    for source, suffix in (("cama", "cama"), ("nuscenes", "nuScenes")):
+        if source not in pipe.scene.flat:
+            print(f"[{scene_name}] no {source} labels; skipping video")
+            continue
+        print(f"Generating reprojection video with {source} labels...")
+        out = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
+        t0 = time.perf_counter()
+        n = pipe.write_video(source, out)
+        dt = time.perf_counter() - t0
+        print(f"  {n} frames -> {out} in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
 
 
 def main(argv=None):

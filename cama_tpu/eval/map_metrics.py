@@ -160,34 +160,51 @@ class MapEvaluator:
         return resized > 0
 
     def evaluate_scene(self, pipeline, source="cama", frames=None):
-        """Run the metric over all valid frames that have GT masks."""
-        fm, vu, keep = pipeline.project_source(source)
-        vu = np.asarray(vu)
-        keep = np.asarray(keep)
+        """Run the metric over all valid frames that have GT masks.
+
+        Projection runs chunk-by-chunk (pipeline.chunk frames at a time) so
+        memory stays bounded for long scenes; per-frame partials are plain
+        sums, so they reduce the same way on one chip or psum'd across a
+        frame-sharded mesh (see parallel.sharded_map_metrics)."""
+        import jax.numpy as jnp
+
+        from cama_tpu.pipeline import _project_chunk
+
+        fm, A, B, fv, F = pipeline._chunked_AB(source)
+        points, cls, valid = pipeline.device_points(source)
+        h, w = pipeline.scene.output_size
         partials = []
         evaluated = []
-        for k, image_idx in enumerate(fm.frame_indices):
-            if not fm.frame_valid[k]:
-                continue
-            if frames is not None and int(image_idx) not in frames:
-                continue
-            masks = []
-            ok = True
-            for camera in pipeline.scene.camera_list:
-                m = self.mask_loader(pipeline, camera, int(image_idx))
-                if m is None:
-                    ok = False
-                    break
-                masks.append(m)
-            if not ok:
-                continue
-            gt = jnp.asarray(np.stack(masks))
-            p = frame_metrics(
-                gt, jnp.asarray(vu[k]), jnp.asarray(keep[k]),
-                self.max_radius, self.tolerance,
+        for s in range(0, len(fv), pipeline.chunk):
+            sl = slice(s, s + pipeline.chunk)
+            vu_c, keep_c = _project_chunk(
+                points, valid,
+                jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                pipeline._crop_lo, pipeline._crop_hi, w, h,
             )
-            partials.append({k2: np.asarray(v) for k2, v in p.items()})
-            evaluated.append(int(image_idx))
+            for kk in range(vu_c.shape[0]):
+                k = s + kk
+                if k >= F or not fm.frame_valid[k]:
+                    continue
+                image_idx = int(fm.frame_indices[k])
+                if frames is not None and image_idx not in frames:
+                    continue
+                masks = []
+                ok = True
+                for camera in pipeline.scene.camera_list:
+                    m = self.mask_loader(pipeline, camera, image_idx)
+                    if m is None:
+                        ok = False
+                        break
+                    masks.append(m)
+                if not ok:
+                    continue
+                gt = jnp.asarray(np.stack(masks))
+                p = frame_metrics(
+                    gt, vu_c[kk], keep_c[kk], self.max_radius, self.tolerance
+                )
+                partials.append({k2: np.asarray(v) for k2, v in p.items()})
+                evaluated.append(image_idx)
         out = reduce_metrics(partials)
         out["frames_evaluated"] = len(evaluated)
         return out

@@ -52,6 +52,53 @@ def pad_to_multiple(arr, multiple, axis=0, fill=0):
     return np.pad(arr, widths, constant_values=fill)
 
 
+def sharded_map_metrics(mesh, width, height, max_radius, tolerance):
+    """Multi-device SRE/precision/recall partials: frames sharded over the
+    'frames' axis (gt masks + frame matrices per shard), partial sums psum'd
+    into replicated scene totals — the north-star "SRE/F1 as on-device
+    reductions over reprojected masks" (BASELINE.json).
+
+    Step signature:
+        (points [P,3], valid [P], gt [F,C,H,W] bool, A [F,4,4], B [F,C,3,4],
+         frame_valid [F], crop_lo, crop_hi)
+          -> dict of replicated scalars (sre_sum, n_points, n_hit, gt_total,
+             gt_covered)
+    """
+    from cama_tpu.eval.map_metrics import frame_metrics
+
+    def step(points, valid, gt, A, B, frame_valid, crop_lo, crop_hi):
+        def per_frame(args):
+            gt_f, Af, Bf, fv = args
+            vu, keep = project_frames(
+                points, valid, Af[None], Bf[None], fv[None], width, height,
+                crop_lo, crop_hi,
+            )
+            p = frame_metrics(gt_f, vu[0], keep[0], max_radius, tolerance)
+            # masked-out frames contribute nothing
+            z = fv.astype(jnp.float32)
+            return {k: v * z for k, v in p.items()}
+
+        partials = jax.lax.map(per_frame, (gt, A, B, frame_valid))
+        return {k: jax.lax.psum(v.sum(), axis_name="frames") for k, v in partials.items()}
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P(), P(),  # points, valid replicated (metrics need all points)
+                P("frames", None, None, None),  # gt masks
+                P("frames", None, None),  # A
+                P("frames", None, None, None),  # B
+                P("frames"),  # frame_valid
+                P(), P(),
+            ),
+            out_specs={k: P() for k in
+                       ["sre_sum", "n_points", "n_hit", "gt_total", "gt_covered"]},
+        )
+    )
+
+
 def sharded_overlay_step(mesh, width, height):
     """Build the jitted multi-device step:
         (points, valid, cls, A, B, frame_valid, crop_lo, crop_hi)
