@@ -18,6 +18,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 FIXTURE_ROOT = os.environ.get("CAMA_BENCH_DIR", "/tmp/cama_bench")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 N_FRAMES = int(os.environ.get("CAMA_BENCH_FRAMES", "40"))
 REFERENCE_ROOT = "/root/reference"
 REF_FRAME_BUDGET = int(os.environ.get("CAMA_BENCH_REF_FRAMES", "6"))

@@ -31,6 +31,9 @@ DEFAULT_CAMA_CONFIGS = {
     "pose_prefix": "scmv",
     "cama_map_file": "map_labels.json",
     "nuscenes_map_file": "map_nuscenes.json",
+    # extension: BEV map extent in meters (600 for v2 labels, 300 for v1 —
+    # the reference requires editing reproject.py:26 by hand, README.md:29)
+    "map_size_m": 600.0,
 }
 
 OUTPUT_SIZE = (540, 960)  # (h, w), reference CameraManager default
@@ -192,7 +195,8 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
         if os.path.exists(label_path):
             labels = reader.map_json(result_dir, configs["cama_map_file"])
             grid = reader.height_grid(result_dir, configs["height_mlp"])
-            instances = lift.lift_cama_instances(labels, grid)
+            m = float(configs.get("map_size_m", 600.0))
+            instances = lift.lift_cama_instances(labels, grid, map_width=m, map_height=m)
             flat["cama"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
             traj["cama"] = _build_cama_trajectory(reader, configs)
     if "nuscenes" in sources:

@@ -94,10 +94,14 @@ def sample_height(bev_height, dense_xy):
     return bev_height[px[:, 0], px[:, 1]]
 
 
-def lift_cama_instances(labels, bev_height, solution=SOLUTION):
+def lift_cama_instances(labels, bev_height, solution=SOLUTION,
+                        map_width=MAP_WIDTH, map_height=MAP_HEIGHT):
     """CAMA path (cama/reproject.py:72-106): label polylines are in BEV pixel
     coords; densify, sample per-point height from the BEV grid, convert
-    pixels->meters.  Returns list of (class_name, points[P, 3])."""
+    pixels->meters.  Returns list of (class_name, points[P, 3]).
+
+    map_width/map_height default to the v2 labels' 600 m; v1 labels use 300 m
+    (reference README.md:29's manual edit becomes a parameter here)."""
     out = []
     for instance in labels:
         cls = instance["attrs"]["type"]
@@ -110,7 +114,7 @@ def lift_cama_instances(labels, bev_height, solution=SOLUTION):
             # the empty-array indexing that follows; we drop the instance
             continue
         h = sample_height(bev_height, dense)
-        world_xy = pixel2world_xy(dense, solution)
+        world_xy = pixel2world_xy(dense, solution, map_width, map_height)
         out.append((cls, np.concatenate([world_xy, h[:, None]], axis=-1).reshape(-1, 3)))
     return out
 
