@@ -15,10 +15,13 @@ from cama.pose_evaluator import PoseEvaluator as RefEvaluator  # noqa: E402
 RNG = np.random.default_rng(11)
 
 
-def synthetic_pair(n=1200, dt=0.1, drift=0.002, rot_noise=0.002, t_jitter=0.004):
-    """A driving-like GT trajectory + noisy/drifting/misaligned prediction."""
+def synthetic_pair(n=1200, dt=0.1, drift=0.002, rot_noise=0.002, t_jitter=0.004, seed=11):
+    """A driving-like GT trajectory + noisy/drifting/misaligned prediction.
+    Self-seeded so golden generation and tests see identical data regardless
+    of call order."""
+    rng = np.random.default_rng(seed)
     t = 1600000000.0 + np.arange(n) * dt
-    yaw = np.cumsum(RNG.normal(0.0, 0.01, n)) + 0.02 * np.sin(np.arange(n) * 0.01)
+    yaw = np.cumsum(rng.normal(0.0, 0.01, n)) + 0.02 * np.sin(np.arange(n) * 0.01)
     speed = 8.0 + 2.0 * np.sin(np.arange(n) * 0.005)
     xy = np.cumsum(np.stack([np.cos(yaw), np.sin(yaw)], -1) * (speed * dt)[:, None], axis=0)
     z = 0.3 * np.sin(np.arange(n) * 0.003)
@@ -26,16 +29,16 @@ def synthetic_pair(n=1200, dt=0.1, drift=0.002, rot_noise=0.002, t_jitter=0.004)
     gt = np.concatenate([t[:, None], xy, z[:, None], rots.as_quat()], axis=1)
 
     # prediction: drift + noise + a rigid offset + time jitter
-    pred_xyz = gt[:, 1:4] * 1.01 + np.cumsum(RNG.normal(0, drift, (n, 3)), axis=0)
-    dq = R.from_rotvec(RNG.normal(0, rot_noise, (n, 3)))
+    pred_xyz = gt[:, 1:4] * 1.01 + np.cumsum(rng.normal(0, drift, (n, 3)), axis=0)
+    dq = R.from_rotvec(rng.normal(0, rot_noise, (n, 3)))
     pred_rots = dq * rots
     misalign = R.from_euler("zxy", [0.2, 0.05, -0.1])
     pred_xyz = pred_xyz @ misalign.as_matrix().T + np.array([5.0, -3.0, 1.0])
     pred_rots = misalign * pred_rots
-    tp = t + RNG.uniform(-t_jitter, t_jitter, n)
+    tp = t + rng.uniform(-t_jitter, t_jitter, n)
     pred = np.concatenate([tp[:, None], pred_xyz, pred_rots.as_quat()], axis=1)
     # drop some rows to force non-trivial association
-    keep = RNG.random(n) > 0.03
+    keep = rng.random(n) > 0.03
     return gt, pred[keep]
 
 
