@@ -165,6 +165,27 @@ class Site:
         )
         return save_pcd(path, pts, colors)
 
+    def pipeline_for_clip(self, clip_index, chunk=8):
+        """A ClipPipeline that reprojects the MERGED site map into one member
+        clip's cameras: site-frame points go back through the clip's inverse
+        Sim(3) into its SfM frame and ride its own pose chain — the CAMAv2
+        benefit that head/tail frames a single clip drops are covered by the
+        site (README.md:23-24).  The injected source is named 'site'."""
+        from cama_tpu.pipeline import ClipPipeline
+
+        path, scene, (r, t, s) = self.clips[clip_index]
+        # invert p_world = s R p + t  ->  p_sfm = (1/s) R^T (p_world - t)
+        rinv = np.asarray(r).T
+        instances = []
+        for cls_name, pts, _ in self.instances:
+            local = ((np.asarray(pts, np.float64) - t) @ rinv.T) / s
+            instances.append((cls_name, local.astype(np.float32)))
+        flat = lift.flatten_instances(instances,
+                                      class_names=scene.flat["cama"].class_names)
+        scene.flat["site"] = flat
+        scene.traj["site"] = scene.traj["cama"]
+        return ClipPipeline(clip_path=path, scene=scene, chunk=chunk)
+
     def aggregate_lidar(self, voxel=0.2, every=2, **kw):
         """Cross-clip LiDAR aggregation: each clip's sweeps through its own
         reconstructed chain, then Sim(3) into the site frame."""

@@ -117,6 +117,26 @@ def test_site_merge_and_dedupe(site_clips, tmp_path):
     assert os.path.getsize(tmp_path / "site.pcd") > 1000
 
 
+def test_site_reprojection_into_member_clip(site_clips):
+    """The merged site map, pulled back through clip B's inverse Sim(3), must
+    reproject (almost) like clip B's own labels."""
+    from cama_tpu.pipeline import ClipPipeline
+
+    a, b = site_clips
+    site = Site.from_clips([a, b])
+    pipe_site = site.pipeline_for_clip(1, chunk=4)  # clip B
+    assert "site" in pipe_site.scene.flat
+    own = dict(ClipPipeline(clip_path=b, chunk=4).iter_overlay_rasters("cama"))
+    via_site = dict(pipe_site.iter_overlay_rasters("site"))
+    assert set(own) == set(via_site)
+    agree = total = 0
+    for idx in own:
+        agree += (own[idx] == via_site[idx]).sum()
+        total += own[idx].size
+    # Sim(3) round-trip + dedupe keep the overlays nearly identical
+    assert agree / total > 0.999, agree / total
+
+
 def test_site_lidar_aggregation(site_clips):
     a, b = site_clips
     site = Site.from_clips([a, b])
