@@ -14,26 +14,10 @@ import jax
 import jax.numpy as jnp
 
 from cama_tpu.io.clip import ClipReader
-from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS
-from cama_tpu.se3.trajectory import Trajectory, apply_seek, seek_indices
+from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS, build_chassis_trajectory
+from cama_tpu.se3.trajectory import apply_seek, seek_indices
 
 _P = jax.lax.Precision.HIGHEST
-
-
-def _chassis_trajectory(reader, source, configs):
-    tr = Trajectory()
-    if source == "cama":
-        chassis2cam = reader.extrinsic("chassis", configs["camera_main"])
-        tr.loadarray(reader.odometry(f"{configs['pose_prefix']}_{configs['camera_main']}.txt"))
-        tr.right_rotate(chassis2cam)
-    elif source == "wigo":
-        tr.loadarray(reader.odometry("wigo.txt"))
-    elif source == "wigo_offset":
-        tr.loadarray(reader.odometry("wigo_offset_clip.txt"))
-        tr.normalize2center()
-    else:
-        raise ValueError(f"unknown pose source {source}")
-    return tr
 
 
 @jax.jit
@@ -69,7 +53,7 @@ def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
     """
     configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
     reader = ClipReader(clip_path)
-    traj = _chassis_trajectory(reader, pose_source, configs)
+    traj = build_chassis_trajectory(reader, pose_source, configs)
     T_lidar2chassis = reader.extrinsic("lidar_top", "chassis")
 
     frames, times = [], []

@@ -72,18 +72,19 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance):
     def gather(mask_c, vi_c, ui_c):
         return mask_c[vi_c, ui_c]
 
-    # SRE: accumulate not-covered indicators over dilation rounds
+    # SRE: accumulate not-covered indicators over dilation rounds; run enough
+    # rounds to serve BOTH the (capped) distance sum and the tolerance
+    # hit-test so precision and recall use the same radius
     dist = jnp.zeros(vu.shape[:-1], jnp.float32)  # [C, P]
     covered_tol = None
     m = gt_mask
-    for d in range(max_radius):
+    for d in range(max(max_radius, tolerance + 1)):
         at_pts = jax.vmap(gather)(m, vi, ui)  # [C, P]
-        dist = dist + (~at_pts).astype(jnp.float32)
+        if d < max_radius:
+            dist = dist + (~at_pts).astype(jnp.float32)
         if d == tolerance:
             covered_tol = at_pts
         m = dilate3x3(m)
-    if covered_tol is None:  # tolerance >= max_radius
-        covered_tol = jax.vmap(gather)(m, vi, ui)
 
     kf = keep.astype(jnp.float32)
     sre_sum = jnp.sum(dist * kf)

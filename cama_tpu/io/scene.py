@@ -80,23 +80,30 @@ class Scene:
         )
 
 
-def _build_cama_trajectory(reader, configs):
-    """CAMA chain (cama/dataset.py:60-69): SfM camera_front pose sequence,
-    right-multiplied by chassis->camera_front => chassis2world."""
-    camera_main = configs["camera_main"]
-    chassis2cam_main = reader.extrinsic("chassis", camera_main)
-    pose = reader.odometry(f"{configs['pose_prefix']}_{camera_main}.txt")
-    tr = Trajectory()
-    tr.loadarray(pose)
-    tr.right_rotate(chassis2cam_main)
-    return tr
+def build_chassis_trajectory(reader, source, configs=None):
+    """chassis2world pose chains, shared by the pipeline and LiDAR
+    aggregation:
 
-
-def _build_nuscenes_trajectory(reader):
-    """nuScenes chain (cama/dataset.py:71-76): recentered ego odometry."""
+      'cama'        SfM camera_front poses right-multiplied by
+                    chassis->camera_front (cama/dataset.py:60-69)
+      'nuscenes' /
+      'wigo_offset' recentered ego odometry (cama/dataset.py:71-76)
+      'wigo'        raw ego odometry, global UTM frame
+    """
+    configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
     tr = Trajectory()
-    tr.loadarray(reader.odometry("wigo_offset_clip.txt"))
-    tr.normalize2center()
+    if source == "cama":
+        camera_main = configs["camera_main"]
+        chassis2cam_main = reader.extrinsic("chassis", camera_main)
+        tr.loadarray(reader.odometry(f"{configs['pose_prefix']}_{camera_main}.txt"))
+        tr.right_rotate(chassis2cam_main)
+    elif source in ("nuscenes", "wigo_offset"):
+        tr.loadarray(reader.odometry("wigo_offset_clip.txt"))
+        tr.normalize2center()
+    elif source == "wigo":
+        tr.loadarray(reader.odometry("wigo.txt"))
+    else:
+        raise ValueError(f"unknown pose source {source}")
     return tr
 
 
@@ -198,14 +205,14 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
             m = float(configs.get("map_size_m", 600.0))
             instances = lift.lift_cama_instances(labels, grid, map_width=m, map_height=m)
             flat["cama"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
-            traj["cama"] = _build_cama_trajectory(reader, configs)
+            traj["cama"] = build_chassis_trajectory(reader, "cama", configs)
     if "nuscenes" in sources:
         label_path = os.path.join(clip_path, result_dir, configs["nuscenes_map_file"])
         if os.path.exists(label_path):
             labels = reader.map_json(result_dir, configs["nuscenes_map_file"])
             instances = lift.lift_nuscenes_instances(labels)
             flat["nuscenes"] = lift.flatten_instances(instances, pad_multiple=pad_multiple)
-            traj["nuscenes"] = _build_nuscenes_trajectory(reader)
+            traj["nuscenes"] = build_chassis_trajectory(reader, "nuscenes", configs)
 
     scene = Scene(
         clip_path=str(clip_path),

@@ -42,6 +42,9 @@ class VideoSink:
                 [
                     "ffmpeg", "-y", "-loglevel", "quiet",
                     "-f", "rawvideo", "-pix_fmt", "bgr24", "-s", f"{w}x{h}",
+                    # input framerate must be declared or ffmpeg assumes 25
+                    # fps and the output -r resamples away ~60% of the frames
+                    "-framerate", str(self.fps),
                     "-i", "pipe:",
                     "-r", str(self.fps), "-pix_fmt", "yuv420p", "-vcodec", "libx264",
                     self.output_path,

@@ -157,11 +157,21 @@ def flatten_instances(instances, class_names=None, pad_multiple=1024):
     Unknown class names are appended to class_names (insertion order kept so
     render/PCD color lookups stay deterministic).
     """
+    from cama_tpu.ops.raster import MAX_CLS
+
     class_names = list(class_names) if class_names else list(DEFAULT_CLASS_NAMES)
     pts_list, cls_list, inst_list = [], [], []
     for i, (cls, pts) in enumerate(instances):
         if cls not in class_names:
             class_names.append(cls)
+            if len(class_names) > MAX_CLS:
+                # the raster paths pack class ids modulo MAX_CLS; more classes
+                # would silently alias paint priorities and colors
+                raise ValueError(
+                    f"more than {MAX_CLS} map classes ({class_names}) — the "
+                    f"overlay packing stride cannot represent class id "
+                    f"{len(class_names) - 1}"
+                )
         pts = np.asarray(pts, dtype=np.float32).reshape(-1, 3)
         pts_list.append(pts)
         cls_list.append(np.full(len(pts), class_names.index(cls), dtype=np.int32))

@@ -144,8 +144,13 @@ def pack_cls_2bit(cls_raster):
     Device->host overlay bytes drop 4x — decisive when the host link is thin
     (tunneled TPU) and still free bandwidth on PCIe.  Values >= 4 would alias;
     callers with more than 3 classes must use the uint8 raster instead.
+    Widths that aren't a multiple of 4 are zero-padded (unpack_cls_2bit slices
+    back to the true width).
     """
     x = cls_raster.astype(jnp.uint8)
+    pad = (-x.shape[-1]) % 4
+    if pad:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
     a = x[..., 0::4] | (x[..., 1::4] << 2) | (x[..., 2::4] << 4) | (x[..., 3::4] << 6)
     return a
 
@@ -201,7 +206,11 @@ def compact_points(vu, keep, cls, width, height, k):
     skey, sval = jax.lax.sort_key_val(
         key.reshape((-1, P)), enc.reshape((-1, P)), dimension=-1
     )
-    vals = sval[:, :k].reshape(batch + (k,))
+    k_eff = min(k, P)
+    vals = sval[:, :k_eff]
+    if k > P:  # budget larger than the point count: pad with empty slots
+        vals = jnp.pad(vals, ((0, 0), (0, k - P)), constant_values=-1)
+    vals = vals.reshape(batch + (k,))
     counts = eff.sum(axis=-1).astype(jnp.int32)
     return vals, counts
 

@@ -65,11 +65,6 @@ def _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, widt
     return jax.lax.map(per_frame, (A, B, frame_valid))
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _overlay_chunk_2bit(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
-    """_overlay_chunk + on-device 2-bit packing: 4x fewer device->host bytes."""
-    rasters = _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height)
-    return pack_cls_2bit(rasters)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
@@ -138,15 +133,16 @@ class ClipPipeline:
     # ---------------- cached per-source state ----------------
 
     def frame_matrices(self, source, t_max_diff=0.5):
-        if source not in self._fm:
-            self._fm[source] = compose_frame_matrices(
+        key = (source, t_max_diff)
+        if key not in self._fm:
+            self._fm[key] = compose_frame_matrices(
                 self.scene.traj[source],
                 self.scene.frame_times,
                 self.scene.chassis2cam,
                 self.scene.K_scaled,
                 t_max_diff=t_max_diff,
             )
-        return self._fm[source]
+        return self._fm[key]
 
     def device_points(self, source):
         if source not in self._dev:
@@ -172,17 +168,14 @@ class ClipPipeline:
         a tunneled TPU."""
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
-        fp = self.scene.flat[source]
-        max_cls = int(fp.cls[fp.valid].max()) if fp.valid.any() else 0
-        use_2bit = max_cls <= 2  # raster values cls+1 must fit in 2 bits
+        use_2bit = self._use_2bit(source)
         h, w = self.scene.output_size
         _, k_compact = self.overlay_mode(source)
-        if k_compact is not None:
-            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
-                                              w_, h_, k_compact, use_2bit)
-        else:
-            kernel = _overlay_chunk_2bit if use_2bit else _overlay_chunk
+
+        def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+            return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
+                                          w_, h_, k_compact, use_2bit)
+
         pending = []
         with self.timers.phase("device_dispatch"):
             for s in range(0, len(fv), self.chunk):
@@ -279,12 +272,19 @@ class ClipPipeline:
 
         mc = int(max_count(jnp.asarray(A.astype(np.float32)),
                            jnp.asarray(B.astype(np.float32)), jnp.asarray(fv)))
-        k = -(-max(mc, 1) // 1024) * 1024
+        P = int(points.shape[0])
+        k = min(-(-max(mc, 1) // 1024) * 1024, max(P, 1))
         C = len(self.scene.camera_list)
         sparse_bytes = k * 4 * C
-        dense_bytes = h * w * C // 4
+        # dense raster link cost: 2-bit packing only fits <= 3 class ids
+        dense_bytes = h * w * C // 4 if self._use_2bit(source) else h * w * C
         self._mode[source] = ("sparse", k) if sparse_bytes < dense_bytes else ("raster", k)
         return self._mode[source]
+
+    def _use_2bit(self, source):
+        fp = self.scene.flat[source]
+        max_cls = int(fp.cls[fp.valid].max()) if fp.valid.any() else 0
+        return max_cls <= 2  # raster values cls+1 must fit in 2 bits
 
     def iter_sparse_points(self, source, k=None):
         """Scatter-free device path: yields (image_idx, vals [C, k] int32,

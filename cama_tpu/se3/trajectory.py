@@ -55,14 +55,13 @@ def seek_indices(timestamps, queries, t_max_diff, interpolate=False):
     il = np.clip(left, 0, n - 1)
     ir = np.clip(right, 0, n - 1)
 
-    # exact-match shortcut (matches are contiguous in sorted ts, so checking
-    # the two bracketing neighbors covers it; prefer the left/first index like
-    # np.where(...)[0][0] in the reference)
+    # exact-match shortcut: matches form a contiguous run in sorted ts, and
+    # the reference takes the FIRST matching index (np.where(...)[0][0]), so
+    # find the first stamp >= q - tol and test it
     tol = 1e-9 + 1e-20 * np.abs(q)
-    exact_l = np.abs(ts[il] - q) <= tol
-    exact_r = np.abs(ts[ir] - q) <= tol
-    exact = exact_l | exact_r
-    i_exact = np.where(exact_l, il, ir)
+    first = np.searchsorted(ts, q - tol, side="left")
+    i_exact = np.clip(first, 0, n - 1)
+    exact = (first < n) & (np.abs(ts[i_exact] - q) <= tol)
 
     if interpolate:
         # tolerate q in [ts[0] - 1e-9, ts[0]) by snapping to the first segment
