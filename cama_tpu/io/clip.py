@@ -48,8 +48,22 @@ class ClipReader:
     def sensor_filepath(self, sensor, timestamp_ms, ext):
         return os.path.join(self.clip_path, sensor, f"{timestamp_ms}.{ext}")
 
-    def iter_sensor_files(self, sensor, ext, sync=True, start_idx=None, end_idx=None):
-        for ts in self.sensor_timestamps_ms(sensor, sync)[start_idx:end_idx]:
+    def iter_sensor_files(self, sensor, ext, sync=True, start_idx=None, end_idx=None,
+                          start_time=None, end_time=None):
+        """Yield (ts_ms, path) for a sensor, sliced by index or by time range
+        in seconds.  (The reference's time-range branch,
+        dataset_reader.py:127-145, dereferences an unset end_idx and cannot
+        run; this implements the documented intent: frames with
+        start_time <= t < end_time.)"""
+        ts_list = self.sensor_timestamps_ms(sensor, sync)
+        if start_time is not None or end_time is not None:
+            ts_s = np.asarray(ts_list, dtype=np.float64) / 1000.0
+            lo = 0 if start_time is None else int(np.searchsorted(ts_s, start_time, "left"))
+            hi = len(ts_list) if end_time is None else int(np.searchsorted(ts_s, end_time, "left"))
+            ts_list = ts_list[lo:hi]
+        else:
+            ts_list = ts_list[start_idx:end_idx]
+        for ts in ts_list:
             yield ts, self.sensor_filepath(sensor, ts, ext)
 
     def iter_lidar(self, start_idx=None, end_idx=None, deskewed=False):
@@ -190,6 +204,14 @@ class ClipReader:
         for key in self.attribute["calibration"]:
             names += key.split("_2_")
         return sorted(set(names))
+
+    def intrinsic(self, sensor):
+        """Deprecated (K, d) tuple variant (dataset_reader.py:261-276)."""
+        from warnings import warn
+
+        warn("intrinsic() is deprecated, use intrinsics() instead")
+        raw = self.attribute["calibration"][sensor]
+        return np.asarray(raw["K"]), np.asarray(raw["d"])
 
     def intrinsics(self, sensor):
         """dict with K [3,3], d, width, height, hfov (dataset_reader.py:278-294)."""
