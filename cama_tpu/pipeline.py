@@ -27,6 +27,16 @@ import jax
 import jax.numpy as jnp
 
 from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS, Scene, compile_scene
+
+# Kernel compiles are expensive through a remote-compile TPU tunnel (minutes
+# for the sort-bearing overlay kernel); persist them across processes unless
+# the user configured a cache themselves.
+if not jax.config.jax_compilation_cache_dir:
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # older jax or read-only fs: non-fatal
+        pass
 from cama_tpu.io.video import VideoSink, concat_camera_grid
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
 from cama_tpu.ops.raster import (
@@ -91,6 +101,24 @@ def _overlay_chunk_compact(points, valid, cls, A, B, frame_valid, crop_lo, crop_
 
     rasters = jax.lax.map(per_frame, (A, B, frame_valid))
     return pack_cls_2bit(rasters) if two_bit else rasters
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
+    """Max effective (deduped) kept count over a chunk of frames — module
+    level so the compiled program is reused across scenes and pipelines (an
+    inline closure recompiled per call: ~76 s per scene on a remote-compile
+    tunnel)."""
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        vu, keep = project_frames(
+            points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
+        )
+        _, counts = compact_points(vu[0], keep[0], cls, width, height, 1)
+        return counts.max()
+
+    return jax.lax.map(per_frame, (A, B, frame_valid)).max()
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k"))
@@ -257,23 +285,26 @@ class ClipPipeline:
         points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
 
-        @jax.jit
-        def max_count(A, B, fv):
-            def per_frame(args):
-                Af, Bf, fvv = args
-                vu, keep = project_frames(
-                    points, valid, Af[None], Bf[None], fvv[None], w, h,
-                    self._crop_lo, self._crop_hi,
-                )
-                _, counts = compact_points(vu[0], keep[0], cls, w, h, 1)
-                return counts.max()
-
-            return jax.lax.map(per_frame, (A, B, fv)).max()
-
-        mc = int(max_count(jnp.asarray(A.astype(np.float32)),
-                           jnp.asarray(B.astype(np.float32)), jnp.asarray(fv)))
+        # chunked so the compiled program is shared with other scenes of the
+        # same chunk size and point padding
+        partial_maxes = []
+        for s in range(0, len(fv), self.chunk):
+            sl = slice(s, s + self.chunk)
+            partial_maxes.append(_count_chunk(
+                points, valid, cls,
+                jnp.asarray(A[sl].astype(np.float32)),
+                jnp.asarray(B[sl].astype(np.float32)),
+                jnp.asarray(fv[sl]),
+                self._crop_lo, self._crop_hi, w, h,
+            ))
+        mc = max(int(m) for m in partial_maxes)
         P = int(points.shape[0])
-        k = min(-(-max(mc, 1) // 1024) * 1024, max(P, 1))
+        # round k to a power of two: k is a static compile arg, so coarser
+        # rounding means far more compile-cache reuse across scenes
+        k = 1024
+        while k < mc:
+            k *= 2
+        k = min(k, max(P, 1))
         C = len(self.scene.camera_list)
         sparse_bytes = k * 4 * C
         # dense raster link cost: 2-bit packing only fits <= 3 class ids
