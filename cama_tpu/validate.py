@@ -1,0 +1,147 @@
+"""Pixel-exactness validation harness (the north-star check of SURVEY.md §4):
+compare overlay output across this framework's paths — and, when the
+reference checkout is mounted, against the reference implementation itself —
+on any clip.
+
+    python -m cama_tpu.validate --clip /path/to/clip [--source cama]
+        [--reference /root/reference] [--frames 5]
+
+Reports per-path agreement: the host-exact path must be byte-identical to the
+reference; the device float32 path must agree on >= 99.9 % of pixels.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from cama_tpu.ops.geometry import project_frame_exact
+from cama_tpu.ops.raster import rasterize_exact_host
+from cama_tpu.pipeline import ClipPipeline
+
+
+def host_exact_frames(pipe, source, frame_ids):
+    """Reference-numerics overlays via the host float64 path + cv2 paint."""
+    scene = pipe.scene
+    fm = pipe.frame_matrices(source)
+    fp = scene.flat[source]
+    pts = fp.points[fp.valid]
+    cls_ids = fp.cls[fp.valid]
+    inst = fp.inst[fp.valid]
+    h, w = scene.output_size
+    out = {}
+    for k, image_idx in enumerate(fm.frame_indices):
+        if not fm.frame_valid[k] or int(image_idx) not in frame_ids:
+            continue
+        cam_outs = project_frame_exact(
+            pts, np.linalg.inv(fm.chassis2world_f32[k]), scene.chassis2cam,
+            scene.K_scaled, w, h,
+        )
+        frame = {}
+        for c, cam in enumerate(scene.camera_list):
+            vu, keep = cam_outs[c]
+            base = pipe.undistorted_image(cam, int(image_idx))
+            order = np.flatnonzero(keep)
+            vu_list = []
+            for i in np.unique(inst[order]):
+                m = order[inst[order] == i]
+                vu_list.append((fp.class_names[cls_ids[m[0]]], vu[m]))
+            frame[cam] = rasterize_exact_host(base, vu_list, fp.class_names)
+        out[int(image_idx)] = frame
+    return out
+
+
+def reference_frames(clip, source, frame_ids, reference_root):
+    sys.path.insert(0, reference_root)
+    from cama.dataset_reader import DatasetReader
+    from cama.pose_transformer import PoseTransformer
+    from cama.reproject import CameraManager, MapManager
+
+    mm = MapManager()
+    import json as _json
+
+    name = "map_labels.json" if source == "cama" else "map_nuscenes.json"
+    with open(os.path.join(clip, "maps", name)) as f:
+        labels = _json.load(f)
+    if source == "cama":
+        bev = np.load(os.path.join(clip, "maps", "vision_road_mlp_ft.npy"))
+        imap0 = mm.calculate_3d_instance_maps(bev, labels)
+    else:
+        imap0 = mm.load_3d_instance_maps(labels)
+    dr = DatasetReader(clip)
+    pt = PoseTransformer()
+    if source == "cama":
+        pt.loadarray(dr.get_odometry("scmv_camera_front.txt"))
+        pt.right_rotate(dr.get_extrinsic("chassis", "camera_front"))
+    else:
+        pt.loadarray(dr.get_odometry("wigo_offset_clip.txt"))
+        pt.normalize2center()
+    cams = ["camera_front_left", "camera_front", "camera_front_right",
+            "camera_rear_left", "camera_rear", "camera_rear_right"]
+    cm_list = [CameraManager(clip, cam) for cam in cams]
+    times = dr.get_sensor_timestamp("camera_front", sync=True)
+    out = {}
+    for image_idx in range(1, len(times)):
+        if image_idx not in frame_ids:
+            continue
+        try:
+            c2w = pt.seek_by_timestamp(times[image_idx], t_max_diff=0.5,
+                                       interpolate=True).astype(np.float32)
+        except RuntimeError:
+            continue
+        imap = mm.transform_3d_instance_maps(imap0, np.linalg.inv(c2w))
+        imap = mm.crop_3d_instance_maps(imap)
+        frame = {}
+        for cm in cm_list:
+            cam_map = mm.transform_3d_instance_maps(imap, cm.get_chassis2camera())
+            maps_2d = cm.project_to_image(cam_map)
+            image = cm.read_resized_image_by_index(image_idx)
+            frame[cm.camera_name] = cm.render_maps(image, maps_2d)
+        out[image_idx] = frame
+    return out
+
+
+def agreement(a, b):
+    same = (a == b).all(axis=-1)
+    return float(same.mean())
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Overlay pixel-exactness validation")
+    parser.add_argument("--clip", required=True)
+    parser.add_argument("--source", default="cama", choices=["cama", "nuscenes"])
+    parser.add_argument("--frames", type=int, default=5, help="number of frames to check")
+    parser.add_argument("--reference", default="/root/reference",
+                        help="reference checkout (skipped if absent)")
+    args = parser.parse_args(argv)
+
+    pipe = ClipPipeline(clip_path=args.clip)
+    fm = pipe.frame_matrices(args.source)
+    valid_ids = [int(i) for i, v in zip(fm.frame_indices, fm.frame_valid) if v]
+    frame_ids = set(valid_ids[: args.frames])
+
+    device = {i: f for i, f in pipe.iter_frames(args.source) if i in frame_ids}
+    exact = host_exact_frames(pipe, args.source, frame_ids)
+
+    report = {"clip": args.clip, "source": args.source, "frames": sorted(frame_ids)}
+    dev_vs_exact = [agreement(device[i][c], exact[i][c]) for i in frame_ids for c in device[i]]
+    report["device_vs_host_exact_min_agreement"] = min(dev_vs_exact)
+
+    if os.path.isdir(os.path.join(args.reference, "cama")):
+        ref = reference_frames(args.clip, args.source, frame_ids, args.reference)
+        ex = [int(np.array_equal(exact[i][c], ref[i][c])) for i in ref for c in ref[i]]
+        dv = [agreement(device[i][c], ref[i][c]) for i in ref for c in ref[i]]
+        report["host_exact_byte_identical_to_reference"] = bool(all(ex))
+        report["device_vs_reference_min_agreement"] = min(dv)
+    print(json.dumps(report))
+    ok = report["device_vs_host_exact_min_agreement"] > 0.999 and report.get(
+        "host_exact_byte_identical_to_reference", True
+    )
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
