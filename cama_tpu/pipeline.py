@@ -140,9 +140,14 @@ def _project_compact_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_
 
 class ClipPipeline:
     def __init__(self, configs=None, clip_path=None, sources=("cama", "nuscenes"),
-                 chunk=8, scene: Scene = None):
+                 chunk=8, scene: Scene = None, raster_kernel="compact"):
+        """raster_kernel: 'compact' (dedup+sort, fastest steady-state) or
+        'scatter' (no sort — ~2x slower per frame but compiles in seconds
+        instead of minutes on remote-compile TPU runtimes; right for one-shot
+        or interactive runs)."""
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.chunk = int(chunk)
+        self.raster_kernel = raster_kernel
         self.scene = scene if scene is not None else compile_scene(
             clip_path, self.configs, sources=sources
         )
@@ -198,11 +203,17 @@ class ClipPipeline:
         points, cls, valid = self.device_points(source)
         use_2bit = self._use_2bit(source)
         h, w = self.scene.output_size
-        _, k_compact = self.overlay_mode(source)
+        if self.raster_kernel == "compact":
+            _, k_compact = self.overlay_mode(source)
 
-        def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-            return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
-                                          w_, h_, k_compact, use_2bit)
+            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
+                                              w_, h_, k_compact, use_2bit)
+        else:  # 'scatter': sort-free, cheap to compile
+
+            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                r = _overlay_chunk(points, valid, cls, A, B, fv, lo, hi, w_, h_)
+                return pack_cls_2bit(r) if use_2bit else r
 
         pending = []
         with self.timers.phase("device_dispatch"):
