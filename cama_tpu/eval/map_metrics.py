@@ -169,7 +169,7 @@ class MapEvaluator:
         frame-sharded mesh (see parallel.sharded_map_metrics)."""
         import jax.numpy as jnp
 
-        from cama_tpu.pipeline import _project_chunk
+        from cama_tpu.ops.geometry import project_frames
 
         fm, A, B, fv, F = pipeline._chunked_AB(source)
         points, cls, valid = pipeline.device_points(source)
@@ -178,10 +178,10 @@ class MapEvaluator:
         evaluated = []
         for s in range(0, len(fv), pipeline.chunk):
             sl = slice(s, s + pipeline.chunk)
-            vu_c, keep_c = _project_chunk(
+            vu_c, keep_c = project_frames(
                 points, valid,
                 jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                pipeline._crop_lo, pipeline._crop_hi, w, h,
+                w, h, pipeline._crop_lo, pipeline._crop_hi,
             )
             for kk in range(vu_c.shape[0]):
                 k = s + kk

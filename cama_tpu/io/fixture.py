@@ -305,7 +305,9 @@ def make_fixture_clip(
 
     # ---- aux sensor json (IMU / GNSS / wheel) ----
     if with_aux_sensors:
-        pose_for = lambda ms: pose_at((np.asarray(ms) - t0_ms) / 1000.0)  # noqa: E731
+        def pose_for(ms):
+            return pose_at((np.asarray(ms) - t0_ms) / 1000.0)
+
         imu = {}
         for ms in unsync["IMU"]:
             imu[str(ms)] = {

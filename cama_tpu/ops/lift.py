@@ -220,15 +220,20 @@ def unflatten_to_instances(flat, points_override=None, keep_mask=None):
     """FlatPoints -> reference-style [{'class': str, 'points': [P,3]}] list,
     dropping empty instances (crop semantics, cama/reproject.py:118-131).
     Used by tests/golden comparisons and PCD export."""
-    pts = flat.points if points_override is None else points_override
+    pts = np.asarray(flat.points if points_override is None else points_override)
     mask = flat.valid if keep_mask is None else (flat.valid & keep_mask)
     out = []
-    if flat.num_valid == 0:
+    sel = np.flatnonzero(mask)
+    if len(sel) == 0:
         return out
-    max_inst = int(flat.inst[flat.valid].max()) if flat.valid.any() else -1
-    for i in range(max_inst + 1):
-        m = mask & (flat.inst == i)
-        if m.any():
-            cls_id = int(flat.cls[np.argmax(flat.inst == i)])
-            out.append({"class": flat.class_names[cls_id], "points": np.asarray(pts)[m]})
+    # inst is instance-major (sorted ascending over valid entries): one pass
+    inst_sel = flat.inst[sel]
+    starts = np.flatnonzero(np.concatenate([[True], inst_sel[1:] != inst_sel[:-1]]))
+    bounds = np.concatenate([starts, [len(sel)]])
+    for b0, b1 in zip(bounds[:-1], bounds[1:]):
+        idx = sel[b0:b1]
+        out.append({
+            "class": flat.class_names[int(flat.cls[idx[0]])],
+            "points": pts[idx],
+        })
     return out

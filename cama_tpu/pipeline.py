@@ -77,11 +77,6 @@ def _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, widt
 
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _project_chunk(points, valid, A, B, frame_valid, crop_lo, crop_hi, width, height):
-    return project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, crop_hi)
-
-
 @partial(jax.jit, static_argnames=("width", "height", "k", "two_bit"))
 def _overlay_chunk_compact(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
                            width, height, k, two_bit):
@@ -156,7 +151,6 @@ class ClipPipeline:
         self._fm = {}
         self._dev = {}
         self._mode = {}
-        h, w = self.scene.output_size
         self._crop_lo, self._crop_hi = crop_bounds()
         self._color_tables = {
             src: build_color_table(self.scene.flat[src].class_names)
@@ -183,12 +177,14 @@ class ClipPipeline:
         return self._dev[source]
 
     def _chunked_AB(self, source):
+        from cama_tpu.parallel.sharding import pad_to_multiple
+
         fm = self.frame_matrices(source)
         F = len(fm.frame_indices)
-        pad = (-F) % self.chunk
-        A = np.concatenate([fm.A, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
-        B = np.concatenate([fm.B, np.zeros((pad,) + fm.B.shape[1:])]).astype(np.float32)
-        fv = np.concatenate([fm.frame_valid, np.zeros(pad, bool)])
+        A = pad_to_multiple(fm.A.astype(np.float32), self.chunk)
+        A[F:] = np.eye(4, dtype=np.float32)  # keep pad matrices invertible
+        B = pad_to_multiple(fm.B.astype(np.float32), self.chunk)
+        fv = pad_to_multiple(fm.frame_valid, self.chunk)
         return fm, A, B, fv, F
 
     # ---------------- device passes ----------------
@@ -246,9 +242,9 @@ class ClipPipeline:
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
-        vu, keep = _project_chunk(
+        vu, keep = project_frames(
             points, valid, jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
-            self._crop_lo, self._crop_hi, w, h,
+            w, h, self._crop_lo, self._crop_hi,
         )
         return fm, vu[:F], keep[:F]
 

@@ -61,11 +61,9 @@ def reference_frames(clip, source, frame_ids, reference_root):
     from cama.reproject import CameraManager, MapManager
 
     mm = MapManager()
-    import json as _json
-
     name = "map_labels.json" if source == "cama" else "map_nuscenes.json"
     with open(os.path.join(clip, "maps", name)) as f:
-        labels = _json.load(f)
+        labels = json.load(f)
     if source == "cama":
         bev = np.load(os.path.join(clip, "maps", "vision_road_mlp_ft.npy"))
         imap0 = mm.calculate_3d_instance_maps(bev, labels)
