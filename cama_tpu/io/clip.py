@@ -127,6 +127,14 @@ class ClipReader:
                 rows.append([ts, w["x"], w["y"], 0.0, q[0], q[1], q[2], q[3]])
         return np.asarray(rows)
 
+    def iter_camera(self, camera="camera_front", start_idx=None, end_idx=None):
+        """Yield (ts_s, image BGR) decoded camera frames (dataset_reader.py:72-76)."""
+        import cv2
+
+        for ts, path in self.iter_sensor_files(camera, "jpg", sync=True,
+                                               start_idx=start_idx, end_idx=end_idx):
+            yield ts / 1000.0, cv2.imread(path)
+
     def iter_semantic(self, camera="camera_front", start_idx=None, end_idx=None):
         """Yield (ts_s, path) of seg_{camera} PNGs (dataset_reader.py:78-83)."""
         for ts, path in self.iter_sensor_files(camera, "png", sync=True,

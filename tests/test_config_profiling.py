@@ -60,6 +60,18 @@ def test_load_config_roundtrip(tmp_path):
         load_config(str(tmp_path / "missing.yaml"))
 
 
+def test_device_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from cama_tpu.profiling import device_trace
+
+    with device_trace(tmp_path / "trace"):
+        _ = jnp.arange(8).sum()
+    import os
+
+    assert any(os.scandir(tmp_path / "trace"))
+
+
 def test_phase_timers():
     t = PhaseTimers()
     with t.phase("work"):
