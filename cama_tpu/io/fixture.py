@@ -261,7 +261,9 @@ def make_fixture_clip(
     # ---- maps ----
     maps_dir = os.path.join(clip, "maps")
     os.makedirs(maps_dir, exist_ok=True)
-    grid = np.zeros((GRID_SIZE, GRID_SIZE), np.float32) if flat_height else _height_grid()
+    # flat grid sits at the chassis base height so cama z matches the
+    # nuScenes path's z=0-in-center-frame plane (world z ~= 0.5)
+    grid = np.full((GRID_SIZE, GRID_SIZE), 0.5, np.float32) if flat_height else _height_grid()
     np.save(os.path.join(maps_dir, "vision_road_mlp_ft.npy"), grid)
 
     def to_sfm_px(w):

@@ -87,7 +87,22 @@ def test_scene_metrics_self_consistent(clip):
     assert 0 < out["f1"] <= 1
 
 
-def test_scene_metrics_detect_mask_shift(clip, tmp_path):
+def test_cama_vs_nuscenes_origin_labels(clip, tmp_path):
+    """BASELINE.json config 3: score the CAMA map against ground truth derived
+    from the nuScenes ORIGIN labels.  The fixture's two sources describe the
+    same world polylines through different frames/chains, so cross-source
+    agreement should be high but below self-consistency."""
+    # flat height: the cama grid's synthetic z (vs nuScenes z=0) would
+    # otherwise dominate the cross-source comparison
+    cross = make_fixture_clip(tmp_path, scene_name="cross", n_frames=5,
+                              with_images=False, with_lidar=False, flat_height=True)
+    add_instance_masks(cross, source="nuscenes")  # GT masks from nuScenes labels
+    pipe = ClipPipeline(clip_path=cross, chunk=4)
+    out = MapEvaluator(tolerance=5, max_radius=20).evaluate_scene(pipe, "cama")
+    assert out["frames_evaluated"] > 0
+    assert out["precision"] > 0.9  # same world, small cross-chain error
+    assert out["SRE"] < 3.0
+    assert 0 < out["f1"] <= 1
     import shutil
 
     shifted = str(tmp_path / "shifted")
