@@ -1,0 +1,63 @@
+#!/usr/bin/env python3
+"""Profile the pipeline on a clip: phase wall-clock report + optional
+jax.profiler trace (view in TensorBoard/xprof).
+
+    python tools/profile_pipeline.py --clip <clip> [--source cama]
+        [--mode raster|sparse|auto] [--trace-dir /tmp/trace] [--chunk 8]
+"""
+import argparse
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--clip", required=True)
+    parser.add_argument("--source", default="cama")
+    parser.add_argument("--mode", default="auto", choices=["auto", "raster", "sparse"])
+    parser.add_argument("--chunk", type=int, default=8)
+    parser.add_argument("--raster-kernel", default="compact", choices=["compact", "scatter"])
+    parser.add_argument("--trace-dir", default=None)
+    parser.add_argument("--with-images", action="store_true",
+                        help="run the full composite path (requires camera JPEGs)")
+    args = parser.parse_args(argv)
+
+    from cama_tpu.pipeline import ClipPipeline
+    from cama_tpu.profiling import device_trace
+
+    t0 = time.perf_counter()
+    pipe = ClipPipeline(clip_path=args.clip, chunk=args.chunk,
+                        raster_kernel=args.raster_kernel)
+    print(f"scene compile: {time.perf_counter() - t0:.2f}s "
+          f"(sources: {pipe.scene.sources})")
+
+    def run():
+        if args.with_images:
+            return sum(1 for _ in pipe.iter_frames(args.source, mode=args.mode))
+        return sum(1 for _ in pipe.iter_overlay_rasters(args.source))
+
+    t0 = time.perf_counter()
+    n = run()
+    print(f"cold pass (incl compiles): {n} frames in {time.perf_counter() - t0:.2f}s")
+
+    pipe.timers = type(pipe.timers)()
+    if args.trace_dir:
+        with device_trace(args.trace_dir):
+            t0 = time.perf_counter()
+            n = run()
+    else:
+        t0 = time.perf_counter()
+        n = run()
+    dt = time.perf_counter() - t0
+    print(f"warm pass: {n} frames in {dt:.2f}s ({n / dt:.1f} fps)")
+    print(pipe.timers.report())
+    if args.trace_dir:
+        print("trace written to", args.trace_dir)
+
+
+if __name__ == "__main__":
+    main()
