@@ -76,9 +76,11 @@ def _world_xy_to_label_px(wxy):
     return np.stack([(wxy[:, 1] + 300.0) * 10.0, (wxy[:, 0] + 300.0) * 10.0], axis=-1)
 
 
-def _world_polylines():
-    """(class_name, vertices[N, 2] world meters) for the synthetic scene."""
-    xs = np.linspace(-278.0, -202.0, 9)
+def _world_polylines(label_span=(-278.0, -202.0)):
+    """(class_name, vertices[N, 2] world meters) for the synthetic scene.
+    label_span stretches the longitudinal extent (long spans exercise
+    crop-culling: most points fall outside the per-frame crop box)."""
+    xs = np.linspace(label_span[0], label_span[1], 9)
     lines = []
     for wy in (-243.0, -240.0, -237.0):
         pts = np.stack([xs, np.full_like(xs, wy) + 0.4 * np.sin(0.08 * xs)], axis=-1)
@@ -139,6 +141,7 @@ def make_fixture_clip(
     world_sim3=None,
     flat_height=False,
     with_aux_sensors=False,
+    label_span=(-278.0, -202.0),
 ):
     """Build a clip directory under root/scene_name. Returns its path.
 
@@ -271,7 +274,7 @@ def make_fixture_clip(
         return _world_xy_to_label_px((M_sfm @ wh.T).T[:, :2])
 
     cama_labels = [
-        _label_record(cls, to_sfm_px(w)) for cls, w in _world_polylines()
+        _label_record(cls, to_sfm_px(w)) for cls, w in _world_polylines(label_span)
     ]
     with open(os.path.join(maps_dir, "map_labels.json"), "w") as f:
         json.dump(cama_labels, f)
@@ -284,7 +287,7 @@ def make_fixture_clip(
     T_center[:3, 3] -= tum[mid, 1:4] - tum_off[mid, 1:4]  # translation after offset
     T_inv = inv_se3(T_center)
     nusc_labels = []
-    for cls, w in _world_polylines():
+    for cls, w in _world_polylines(label_span):
         p = np.concatenate([w, np.zeros((len(w), 1)), np.ones((len(w), 1))], axis=1)
         # offset world like wigo_offset does, then into center-pose frame
         p[:, :3] -= tum[mid, 1:4]

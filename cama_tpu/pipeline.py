@@ -100,20 +100,75 @@ def _overlay_chunk_compact(points, valid, cls, A, B, frame_valid, crop_lo, crop_
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
-    """Max effective (deduped) kept count over a chunk of frames — module
-    level so the compiled program is reused across scenes and pipelines (an
-    inline closure recompiled per call: ~76 s per scene on a remote-compile
-    tunnel)."""
+    """(max crop-box count, max effective deduped kept count) over a chunk of
+    frames — module level so the compiled program is reused across scenes and
+    pipelines (an inline closure recompiled per call: ~76 s per scene on a
+    remote-compile tunnel).  The crop count sizes the two-stage path's first
+    compaction; the eff count (computed on the full sequence — an upper bound
+    for the subsequence dedup) sizes the second."""
 
     def per_frame(args):
         Af, Bf, fv = args
+        p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+        xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4, precision=_P)
+        in_crop = jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), axis=-1)
+        crop_count = (in_crop & valid & fv).sum()
         vu, keep = project_frames(
             points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
         )
         _, counts = compact_points(vu[0], keep[0], cls, width, height, 1)
-        return counts.max()
+        return crop_count, counts.max()
 
-    return jax.lax.map(per_frame, (A, B, frame_valid)).max()
+    crop_counts, eff_counts = jax.lax.map(per_frame, (A, B, frame_valid))
+    return crop_counts.max(), eff_counts.max()
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k1", "k2", "two_bit"))
+def _overlay_chunk_two_stage(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
+                             width, height, k1, k2, two_bit):
+    """Dense overlay with crop-first compaction: the crop box test is
+    camera-independent, so long-range scenes (where most points fall outside
+    the per-frame crop) compact ONCE to k1 survivors before the six
+    per-camera dedup+sort passes run on k1 instead of P points.  Paint order
+    is preserved end-to-end (both compactions are stable), so rasters are
+    bit-identical to the single-stage path.  k1/k2 come from the counting
+    pass (k2 counted on the full sequence is an upper bound for the
+    subsequence dedup)."""
+    P = points.shape[0]
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+        xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4, precision=_P)
+        in_crop = jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), axis=-1)
+        sel = in_crop & valid & fv
+        order = jnp.arange(P, dtype=jnp.int32)
+        key = jnp.where(sel, order, P + order)
+        skey = jax.lax.sort(key)[:k1]
+        sel_valid = skey < P
+        idx = jnp.where(sel_valid, skey, 0)
+        pts_sel = points[idx]
+        cls_sel = cls[idx]
+
+        # per-camera projection on the k1 survivors (crop already satisfied)
+        p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], axis=-1)
+        xyw = jnp.einsum("cij,pj->cpi", Bf, p4s, precision=_P)
+        z = xyw[..., 2]
+        mask_z = z > 0
+        safe_z = jnp.where(mask_z, z, 1.0)
+        u = xyw[..., 0] / safe_z
+        v = xyw[..., 1] / safe_z
+        keep = (
+            mask_z & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+            & sel_valid[None, :]
+        )
+        vu = jnp.stack([v, u], axis=-1)  # [C, k1, 2]
+        vals, _ = compact_points(vu, keep, cls_sel, width, height, k2)
+        packed = rasterize_from_compact(vals, width, height)
+        return packed_to_cls(packed)
+
+    rasters = jax.lax.map(per_frame, (A, B, frame_valid))
+    return pack_cls_2bit(rasters) if two_bit else rasters
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k"))
@@ -151,6 +206,7 @@ class ClipPipeline:
         self._fm = {}
         self._dev = {}
         self._mode = {}
+        self._two_stage = {}
         self._crop_lo, self._crop_hi = crop_bounds()
         self._color_tables = {
             src: build_color_table(self.scene.flat[src].class_names)
@@ -201,10 +257,16 @@ class ClipPipeline:
         h, w = self.scene.output_size
         if self.raster_kernel == "compact":
             _, k_compact = self.overlay_mode(source)
-
-            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
-                                              w_, h_, k_compact, use_2bit)
+            k1 = self._two_stage.get(source)
+            if k1 is not None:
+                def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                    return _overlay_chunk_two_stage(points, valid, cls, A, B, fv,
+                                                    lo, hi, w_, h_, k1,
+                                                    min(k_compact, k1), use_2bit)
+            else:
+                def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                    return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
+                                                  w_, h_, k_compact, use_2bit)
         else:  # 'scatter': sort-free, cheap to compile
 
             def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
@@ -294,24 +356,36 @@ class ClipPipeline:
 
         # chunked so the compiled program is shared with other scenes of the
         # same chunk size and point padding
-        partial_maxes = []
+        crop_maxes, eff_maxes = [], []
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
-            partial_maxes.append(_count_chunk(
+            c1, c2 = _count_chunk(
                 points, valid, cls,
                 jnp.asarray(A[sl].astype(np.float32)),
                 jnp.asarray(B[sl].astype(np.float32)),
                 jnp.asarray(fv[sl]),
                 self._crop_lo, self._crop_hi, w, h,
-            ))
-        mc = max(int(m) for m in partial_maxes)
+            )
+            crop_maxes.append(c1)
+            eff_maxes.append(c2)
+        mc_crop = max(int(m) for m in crop_maxes)
+        mc = max(int(m) for m in eff_maxes)
         P = int(points.shape[0])
-        # round k to a power of two: k is a static compile arg, so coarser
-        # rounding means far more compile-cache reuse across scenes
-        k = 1024
-        while k < mc:
-            k *= 2
-        k = min(k, max(P, 1))
+
+        def pow2(n):
+            # static compile args: coarse rounding means far more
+            # compile-cache reuse across scenes
+            k = 1024
+            while k < n:
+                k *= 2
+            return min(k, max(P, 1))
+
+        k = pow2(mc)
+        k1 = pow2(mc_crop)
+        # crop-first two-stage pays when the crop culls at least half the
+        # points: the extra per-frame sort over P is repaid by six per-camera
+        # sorts over k1 instead of P
+        self._two_stage[source] = k1 if k1 * 2 <= P else None
         C = len(self.scene.camera_list)
         sparse_bytes = k * 4 * C
         # dense raster link cost: 2-bit packing only fits <= 3 class ids
