@@ -215,8 +215,10 @@ class FakeDB:
                 if s == "LIDAR_TOP":
                     np.arange(40, dtype=np.float64).reshape(10, 4).tofile(fpath)
                 elif not os.path.exists(fpath):
-                    with open(fpath, "wb") as f:
-                        f.write(b"\xff\xd8\xff\xe0fakejpg\xff\xd9")
+                    import cv2
+
+                    img = np.full((900, 1600, 3), (40 + 20 * (j % 5)), np.uint8)
+                    cv2.imwrite(fpath, img)
                 sd = {"token": tok, "timestamp": ts, "next": "",
                       "ego_pose_token": ep_tok,
                       "calibrated_sensor_token": f"cs_{s}", "filename": fname}
@@ -337,3 +339,15 @@ def test_converted_clip_loads_in_reader_and_reference(converted):
         np.testing.assert_allclose(dr.get_extrinsic("chassis", "camera_front"), E, atol=1e-12)
         ts = dr.get_sensor_timestamp("camera_front", sync=True)
         assert len(ts) == len(scene.frame_times)
+
+
+def test_converted_clip_renders_video(converted, tmp_path):
+    """BASELINE config 4 on CONVERTED data: overlay video from a clip the
+    converter itself produced (nuScenes labels; no CAMA label zip)."""
+    from cama_tpu.pipeline import ClipPipeline
+
+    pipe = ClipPipeline(clip_path=converted, sources=("nuscenes",), chunk=4)
+    out = tmp_path / "converted.mp4"
+    n = pipe.write_video("nuscenes", str(out))
+    assert n > 0
+    assert out.exists() and out.stat().st_size > 1000
