@@ -2,15 +2,16 @@
 
 The reference leans on shapely (dataset/nuscenes2clip.py:10-11) for patch
 clipping, polygon union, and ring extraction.  shapely is an optional
-dependency here: when importable, `shapely_backend()` delegates to it
-(reference-parity path); otherwise `numpy_backend()` provides pure-NumPy
-equivalents:
+dependency here: when importable, `shapely_backend()` delegates union /
+linemerge to it (reference-parity path); the default pure-NumPy backend
+provides:
 
   * polyline clip to an axis-aligned box (exact, splits at exits)
   * polygon clip via Sutherland-Hodgman (exact for the convex box window)
-  * polygon union via shared-edge cancellation — exact when input polygons
-    tile with exactly matching edges (the nuScenes lane/road_segment case it
-    is used for); partially-overlapping polygons need shapely
+  * general polygon union via planar arrangement (`union_polygons`) — exact
+    for arbitrary, possibly partially-overlapping polygons with holes: every
+    edge is split at every intersection, each sub-edge is classified by
+    coverage on its two sides, and the boundary is face-traced into rings
   * greedy endpoint linemerge, signed-area orientation
 
 Geometries are plain numpy arrays: polylines [N, 2]; polygons are
@@ -155,99 +156,240 @@ def _dedupe_ring(ring):
     return ring
 
 
-def union_tiling_polygons(polygons):
-    """Union of polygons whose shared edges match exactly (edge cancellation).
+def _points_in_ring(pts, ring):
+    """Even-odd test, vectorized over pts [M, 2] against one ring -> bool [M]."""
+    pts = np.asarray(pts, dtype=np.float64)
+    x, y = pts[:, 0][:, None], pts[:, 1][:, None]
+    x0, y0 = ring[:, 0][None, :], ring[:, 1][None, :]
+    x1 = np.roll(ring[:, 0], -1)[None, :]
+    y1 = np.roll(ring[:, 1], -1)[None, :]
+    cond = (y0 <= y) != (y1 <= y)
+    with np.errstate(all="ignore"):
+        xi = x0 + (y - y0) / (y1 - y0) * (x1 - x0)
+    return (np.sum(cond & (x < xi), axis=1) % 2).astype(bool)
 
-    polygons: list of (exterior_ring, [hole_rings...]).
+
+def _covered(pts, polys):
+    """bool [M]: point inside >=1 polygon (even-odd exterior minus holes)."""
+    out = np.zeros(len(pts), bool)
+    for ext, holes in polys:
+        inside = _points_in_ring(pts, ext)
+        for h in holes:
+            inside &= ~_points_in_ring(pts, h)
+        out |= inside
+    return out
+
+
+def union_polygons(polygons, snap=1e-6, eps=5e-5):
+    """Exact union of arbitrary — possibly partially-overlapping — polygons.
+
+    Replaces shapely.ops.unary_union (reference:
+    dataset/nuscenes2clip.py:155-190,299-345) via a planar arrangement:
+
+      1. snap all ring vertices to a `snap` grid; collect every edge
+      2. build a vertex pool = ring vertices + all pairwise proper edge
+         intersections; split every edge at every pool vertex lying on it
+         (handles crossings, T-junctions, and collinear overlaps uniformly)
+      3. classify each unique sub-edge by sampling coverage `eps` off each
+         side of its midpoint: it is union boundary iff exactly one side is
+         covered by >=1 input polygon; orient it interior-on-left
+      4. face-trace loops (next edge = first clockwise from the reversed
+         incoming direction), yielding CCW exteriors and CW holes
+
+    polygons: list of (exterior_ring [N, 2], [hole_rings...]).
     Returns list of (exterior_ring CCW, [hole_rings CW]).
+
+    When shapely is importable the union delegates to it (bit-level parity
+    with the reference); the arrangement below is the self-contained path.
     """
+    if HAVE_SHAPELY:
+        return shapely_backend().union_polygons(polygons)
     from collections import defaultdict
 
-    def key(p):
-        return (round(float(p[0]) * 1e9), round(float(p[1]) * 1e9))
-
-    # gather all vertices so differently-subdivided shared edges can be split
-    # at every vertex that lies on them (node insertion)
-    all_rings = []
+    polys, seg_list = [], []
     for ext, holes in polygons:
-        rings = [_dedupe_ring(ext)] + [_dedupe_ring(h) for h in holes]
-        for ri, ring in enumerate(rings):
-            want_ccw = ri == 0
-            if is_ccw(ring) != want_ccw:
-                ring = ring[::-1]
-            all_rings.append(ring)
-    if not all_rings:
+        ext = _dedupe_ring(np.round(np.asarray(ext, np.float64) / snap) * snap)
+        if len(ext) < 3:
+            continue
+        hs = []
+        for h in holes:
+            h = _dedupe_ring(np.round(np.asarray(h, np.float64) / snap) * snap)
+            if len(h) >= 3:
+                hs.append(h)
+        polys.append((ext, hs))
+        for ring in [ext] + hs:
+            seg_list.append(np.stack([ring, np.roll(ring, -1, axis=0)], axis=1))
+    if not polys:
         return []
-    verts = np.concatenate(all_rings, axis=0)
+    segs = np.concatenate(seg_list, axis=0)  # [E, 2, 2]
+    p0, p1 = segs[:, 0], segs[:, 1]
+    d = p1 - p0
+    n_seg = len(segs)
 
-    def split_edge(p, q):
-        """Yield the chain p..q subdivided at collinear interior vertices."""
-        d = q - p
-        L2 = float(d @ d)
-        if L2 < 1e-24:
-            return [p, q]
-        t = ((verts - p) @ d) / L2
-        on = (t > 1e-12) & (t < 1 - 1e-12)
+    # vertex pool: ring vertices + pairwise proper intersections (chunked to
+    # bound the [E, E] broadcast memory)
+    pool = [p0]
+    for lo in range(0, n_seg, 512):
+        hi = min(lo + 512, n_seg)
+        w = p0[None, :] - p0[lo:hi, None]  # [B, E, 2] = p0_j - p0_i
+        denom = d[lo:hi, None, 0] * d[None, :, 1] - d[lo:hi, None, 1] * d[None, :, 0]
+        with np.errstate(all="ignore"):
+            ti = (w[..., 0] * d[None, :, 1] - w[..., 1] * d[None, :, 0]) / denom
+            tj = (w[..., 0] * d[lo:hi, None, 1] - w[..., 1] * d[lo:hi, None, 0]) / denom
+        ok = (
+            (np.abs(denom) > 1e-12)
+            & (ti > -1e-12) & (ti < 1 + 1e-12)
+            & (tj > -1e-12) & (tj < 1 + 1e-12)
+        )
+        if ok.any():
+            ii, jj = np.nonzero(ok)
+            pool.append(p0[lo + ii] + ti[ii, jj, None] * d[lo + ii])
+    pool = np.concatenate(pool, axis=0)
+    pool = np.unique(np.round(pool / snap), axis=0) * snap
+
+    def key(p):
+        return (int(round(p[0] / snap)), int(round(p[1] / snap)))
+
+    # split segments at pool vertices lying on them
+    tol2 = (2.0 * snap) ** 2
+    sub = {}  # unordered key pair -> (a, b) representative
+    for i in range(n_seg):
+        L2 = float(d[i] @ d[i])
+        if L2 < tol2:
+            continue
+        t = ((pool - p0[i]) @ d[i]) / L2
+        on = (t > 1e-9) & (t < 1 - 1e-9)
+        chain = [p0[i], p1[i]]
         if on.any():
-            proj = p + t[on, None] * d
-            dist2 = np.sum((verts[on] - proj) ** 2, axis=1)
-            hit = dist2 < 1e-18
-            ts = np.unique(np.round(t[on][hit], 12))
-            pts = [p] + [p + tt * d for tt in ts] + [q]
-            return pts
-        return [p, q]
+            proj = p0[i] + t[on, None] * d[i]
+            hit = np.sum((pool[on] - proj) ** 2, axis=1) < tol2
+            if hit.any():
+                pts, ts = pool[on][hit], t[on][hit]
+                chain = [p0[i]] + list(pts[np.argsort(ts)]) + [p1[i]]
+        for a, b in zip(chain[:-1], chain[1:]):
+            ka, kb = key(a), key(b)
+            if ka == kb:
+                continue
+            sub.setdefault((min(ka, kb), max(ka, kb)), (np.asarray(a), np.asarray(b)))
 
-    edge_count = defaultdict(int)
-    edges = []
-    for ring in all_rings:
-        n = len(ring)
-        for i in range(n):
-            chain = split_edge(ring[i].copy(), ring[(i + 1) % n].copy())
-            for j in range(len(chain) - 1):
-                a, b = key(chain[j]), key(chain[j + 1])
-                if a == b:
-                    continue
-                edges.append((a, b, chain[j], chain[j + 1]))
-                edge_count[(a, b)] += 1
+    if not sub:
+        return []
+    A = np.stack([v[0] for v in sub.values()])
+    B = np.stack([v[1] for v in sub.values()])
+    mid = 0.5 * (A + B)
+    tang = B - A
+    nrm = np.stack([-tang[:, 1], tang[:, 0]], axis=1)
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    left_cov = _covered(mid + eps * nrm, polys)
+    right_cov = _covered(mid - eps * nrm, polys)
 
-    # cancel edges pairwise against their reverse twins (shared boundaries)
-    emitted = defaultdict(int)
-    boundary = defaultdict(list)  # start -> list of (end, start_pt, end_pt)
-    for a, b, pa, pb in edges:
-        net = edge_count[(a, b)] - edge_count.get((b, a), 0)
-        if emitted[(a, b)] < net:
-            emitted[(a, b)] += 1
-            boundary[a].append((b, pa, pb))
+    # boundary edges, oriented interior-on-left
+    adj = defaultdict(list)  # node key -> [[angle, end_key, a_pt, b_pt], ...]
+    for idx in np.nonzero(left_cov != right_cov)[0]:
+        a, b = (A[idx], B[idx]) if left_cov[idx] else (B[idx], A[idx])
+        ang = float(np.arctan2(b[1] - a[1], b[0] - a[0]))
+        adj[key(a)].append([ang, key(b), a, b, False])
 
-    # walk loops
+    # face-trace: at each node continue with the outgoing edge first
+    # clockwise from the reversed incoming direction
+    def next_edge(node_key, rev_angle):
+        best, best_delta = None, None
+        for rec in adj.get(node_key, ()):
+            if rec[4]:
+                continue
+            delta = (rev_angle - rec[0]) % (2 * np.pi)
+            if delta <= 1e-12:
+                delta = 2 * np.pi
+            if best is None or delta < best_delta:
+                best, best_delta = rec, delta
+        return best
+
     loops = []
-    while any(boundary.values()):
-        start = next(k for k, v in boundary.items() if v)
-        b, pa, pb = boundary[start].pop()
-        loop = [pa]
-        cur = b
-        cur_pt = pb
-        guard = 0
-        while cur != start and guard < 1000000:
-            loop.append(cur_pt)
-            nxts = boundary.get(cur)
-            if not nxts:
-                break  # open chain (shouldn't happen on valid tilings)
-            b2, pa2, pb2 = nxts.pop()
-            cur, cur_pt = b2, pb2
-            guard += 1
-        if len(loop) >= 3:
-            loops.append(np.asarray(loop))
+    for start_key in list(adj.keys()):
+        for rec in adj[start_key]:
+            if rec[4]:
+                continue
+            rec[4] = True
+            loop = [rec[2]]
+            cur_key, cur_pt = rec[1], rec[3]
+            in_ang = rec[0]
+            guard = 0
+            while cur_key != start_key and guard < 10_000_000:
+                loop.append(cur_pt)
+                nxt = next_edge(cur_key, (in_ang + np.pi) % (2 * np.pi))
+                if nxt is None:
+                    loop = None  # open chain: numerically degenerate, drop
+                    break
+                nxt[4] = True
+                cur_key, cur_pt, in_ang = nxt[1], nxt[3], nxt[0]
+                guard += 1
+            if loop is not None and len(loop) >= 3:
+                loops.append(np.asarray(loop))
 
     exteriors = [lp for lp in loops if is_ccw(lp)]
     holes = [lp for lp in loops if not is_ccw(lp)]
 
-    # assign holes to the exterior containing them
-    out = []
-    for ext in exteriors:
-        my_holes = [h for h in holes if _point_in_ring(h[0], ext)]
-        out.append((ext, my_holes))
+    # each hole belongs to the smallest exterior containing it (unions can
+    # nest: island exteriors sit inside another polygon's hole)
+    out = [(ext, []) for ext in exteriors]
+    for h in holes:
+        probe = h[0]
+        containing = [
+            (abs(signed_area(ext)), slot)
+            for slot, (ext, _) in enumerate(out)
+            if _point_in_ring(probe, ext)
+        ]
+        if containing:
+            out[min(containing)[1]][1].append(h)
     return out
+
+
+def union_tiling_polygons(polygons):
+    """Deprecated name kept for round-1 callers; now the general union."""
+    return union_polygons(polygons)
+
+
+def shapely_backend():
+    """Reference-parity geometry ops backed by shapely, when importable.
+
+    Returns a namespace with `union_polygons(polygons)` (shapely
+    unary_union, same signature/return as the NumPy one) and
+    `linemerge(lines)`.  Raises ImportError when shapely is absent — callers
+    should fall back to the module-level NumPy implementations.
+    """
+    if not HAVE_SHAPELY:
+        raise ImportError("shapely is not installed")
+    from types import SimpleNamespace
+
+    from shapely.geometry import MultiPolygon, Polygon, LineString
+    from shapely.ops import linemerge as shp_linemerge, unary_union
+
+    def _union(polygons):
+        shp = [Polygon(ext, holes) for ext, holes in polygons]
+        u = unary_union(shp)
+        geoms = list(u.geoms) if isinstance(u, MultiPolygon) else [u]
+        out = []
+        for g in geoms:
+            if g.is_empty:
+                continue
+            ext = np.asarray(g.exterior.coords)[:-1]
+            if not is_ccw(ext):
+                ext = ext[::-1]
+            hs = []
+            for hole in g.interiors:
+                h = np.asarray(hole.coords)[:-1]
+                if is_ccw(h):
+                    h = h[::-1]
+                hs.append(h)
+            out.append((ext, hs))
+        return out
+
+    def _linemerge(lines):
+        merged = shp_linemerge([LineString(l) for l in lines])
+        geoms = getattr(merged, "geoms", [merged])
+        return [np.asarray(g.coords) for g in geoms]
+
+    return SimpleNamespace(union_polygons=_union, linemerge=_linemerge)
 
 
 def _point_in_ring(pt, ring):

@@ -143,7 +143,7 @@ class VectorizedLocalMap:
         max_y = self.patch_size[0] / 2
         minx, miny = -max_x + margin, -max_y + margin
         maxx, maxy = max_x - margin, max_y - margin
-        unioned = geom.union_tiling_polygons(polygons)
+        unioned = geom.union_polygons(polygons)
         results = []
         for ext, holes in unioned:
             # reference: exterior forced CW, interiors forced CCW

@@ -73,6 +73,85 @@ def test_union_with_hole():
     assert not geom.is_ccw(holes[0])
 
 
+def _sq(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1]], float)
+
+
+def _union_mask(polys, xs, ys):
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], 1)
+    return geom._covered(pts, list(polys)).reshape(gy.shape)
+
+
+def test_union_partially_overlapping_squares():
+    """Partially-overlapping polygons share no edges — the round-1
+    edge-cancellation union was provably wrong here (it kept every input
+    edge, including the segments interior to the union)."""
+    a, b = _sq(0, 0, 2, 2), _sq(1, 1, 3, 3)
+    out = geom.union_polygons([(a, []), (b, [])])
+    assert len(out) == 1
+    ext, holes = out[0]
+    assert holes == []
+    assert abs(abs(geom.signed_area(ext)) - 7.0) < 1e-6  # 4 + 4 - 1 overlap
+    assert geom.is_ccw(ext)
+    # no output vertex may be interior to the union
+    eps = 1e-4
+    for p in ext:
+        nearby = np.array([p + [eps, eps], p - [eps, eps],
+                           p + [eps, -eps], p + [-eps, eps]])
+        assert not geom._covered(nearby, [(a, []), (b, [])]).all()
+
+
+def test_union_overlap_matches_coverage_mask():
+    """Union output must cover exactly the same region as the inputs, on a
+    fuzzed batch of random overlapping rectangles + a cross + a duplicate."""
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        polys = [
+            (_sq(*(lambda x0, y0: (x0, y0, x0 + w, y0 + h))(
+                rng.uniform(0, 4), rng.uniform(0, 4))), [])
+            for w, h in rng.uniform(0.5, 2.5, (4, 2))
+        ]
+        out = geom.union_polygons(polys)
+        xs = np.linspace(-0.51, 6.53, 91)
+        ys = np.linspace(-0.47, 6.49, 87)
+        assert (_union_mask(polys, xs, ys) == _union_mask(out, xs, ys)).all(), trial
+
+
+def test_union_island_inside_hole():
+    # big square with a hole, plus an island floating inside that hole
+    big = (_sq(0, 0, 4, 4), [_sq(1, 1, 3, 3)[::-1]])
+    island = (_sq(1.5, 1.5, 2.5, 2.5), [])
+    out = geom.union_polygons([big, island])
+    assert len(out) == 2
+    areas = sorted(abs(geom.signed_area(e)) for e, _ in out)
+    assert abs(areas[0] - 1.0) < 1e-6 and abs(areas[1] - 16.0) < 1e-6
+    n_holes = sorted(len(h) for _, h in out)
+    assert n_holes == [0, 1]
+    hole_ring = next(h[0] for _, h in out if h)
+    assert abs(abs(geom.signed_area(hole_ring)) - 4.0) < 1e-6
+
+
+def test_union_duplicate_and_contained():
+    # duplicates and fully-contained polygons collapse cleanly
+    out = geom.union_polygons([(_sq(0, 0, 2, 2), []), (_sq(0, 0, 2, 2), []),
+                               (_sq(0.5, 0.5, 1.5, 1.5), [])])
+    assert len(out) == 1
+    assert abs(abs(geom.signed_area(out[0][0])) - 4.0) < 1e-6
+
+
+def test_shapely_backend_gate():
+    if geom.HAVE_SHAPELY:
+        be = geom.shapely_backend()
+        out = be.union_polygons([(_sq(0, 0, 2, 2), []), (_sq(1, 1, 3, 3), [])])
+        assert len(out) == 1
+    else:
+        import pytest
+
+        with pytest.raises(ImportError):
+            geom.shapely_backend()
+
+
 def test_linemerge():
     a = np.array([[0, 0], [1, 0]], float)
     b = np.array([[1, 0], [2, 0]], float)
