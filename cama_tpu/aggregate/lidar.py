@@ -85,9 +85,16 @@ def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
         inten[i, : len(f)] = f[:, 3] if f.shape[1] > 3 else 0
         valid[i, : len(f)] = True
 
+    # recenter before the float32 device transform: 'wigo' poses live in a
+    # global/UTM frame where |t| ~ 1e5-1e6 m would crush world-point precision
+    # to centimeters in f32; subtracting the mean translation keeps everything
+    # near the origin, and it is added back in float64 afterwards
+    center = T[:, :3, 3].mean(axis=0)
+    T_local = T.copy()
+    T_local[:, :3, 3] -= center
     world = np.asarray(_transform_points(
-        jnp.asarray(T, dtype=jnp.float32), jnp.asarray(pts), jnp.asarray(valid)
-    ))
+        jnp.asarray(T_local, dtype=jnp.float32), jnp.asarray(pts), jnp.asarray(valid)
+    ), dtype=np.float64) + center
     flat = world.reshape(-1, 3)
     keep = ~np.isnan(flat[:, 0])
     out = flat[keep]

@@ -20,6 +20,10 @@ from dataclasses import dataclass, field
 import numpy as np
 
 SOLUTION = 0.1  # meter per BEV pixel AND densify step (cama/reproject.py:23)
+
+# numpy 1.x promotes float32-scalar / python-float to float64; NEP 50 keeps
+# float32 — densify_polyline matches the running regime (see its docstring)
+_SCALAR_DIV_PROMOTES_F64 = (np.float32(1) / 0.1).dtype == np.float64
 MAP_WIDTH = 600.0  # meters (cama/reproject.py:26-27; v1 labels use 300)
 MAP_HEIGHT = 600.0
 CENTER_X = 0.0
@@ -60,7 +64,13 @@ def densify_polyline(line_points, solution=SOLUTION):
         return np.zeros((0, 2), dtype=np.float32)
     seg = pts[1:] - pts[:-1]
     length = np.linalg.norm(seg, axis=-1).astype(np.float32)
-    num = (length / solution).astype(np.int64)  # int() truncation
+    # the reference divides a float32 SCALAR by a python float: float32 under
+    # NEP 50 (numpy >= 2), float64 under numpy 1.x — mirror whichever regime
+    # the running interpreter uses so the truncated count stays bit-exact
+    if _SCALAR_DIV_PROMOTES_F64:
+        num = (length.astype(np.float64) / solution).astype(np.int64)
+    else:
+        num = (length / np.float32(solution)).astype(np.int64)  # int() truncation
     total = int(num.sum())
     if total == 0:
         return np.zeros((0, 2), dtype=np.float32)

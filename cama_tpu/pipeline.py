@@ -28,15 +28,24 @@ import jax.numpy as jnp
 
 from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS, Scene, compile_scene
 
-# Kernel compiles are expensive through a remote-compile TPU tunnel (minutes
-# for the sort-bearing overlay kernel); persist them across processes unless
-# the user configured a cache themselves.
-if not jax.config.jax_compilation_cache_dir:
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:  # older jax or read-only fs: non-fatal
-        pass
+def enable_compile_cache(path="/tmp/jax_compile_cache"):
+    """Persist kernel compiles across processes — they are expensive through a
+    remote-compile TPU tunnel (minutes for the sort-bearing overlay kernel).
+    Called from ClipPipeline.__init__ (not at import time, so importing the
+    library never mutates global JAX config); no-op if the user configured a
+    cache themselves or set CAMA_TPU_NO_COMPILE_CACHE."""
+    import os
+
+    if os.environ.get("CAMA_TPU_NO_COMPILE_CACHE"):
+        return
+    if not jax.config.jax_compilation_cache_dir:
+        try:
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:  # older jax or read-only fs: non-fatal
+            pass
+
+
 from cama_tpu.io.video import VideoSink, concat_camera_grid
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
 from cama_tpu.ops.raster import (
@@ -195,6 +204,7 @@ class ClipPipeline:
         'scatter' (no sort — ~2x slower per frame but compiles in seconds
         instead of minutes on remote-compile TPU runtimes; right for one-shot
         or interactive runs)."""
+        enable_compile_cache()
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.chunk = int(chunk)
         self.raster_kernel = raster_kernel

@@ -125,6 +125,10 @@ def main(argv=None):
     exact = host_exact_frames(pipe, args.source, frame_ids)
 
     report = {"clip": args.clip, "source": args.source, "frames": sorted(frame_ids)}
+    if not frame_ids:
+        report["error"] = "no valid frames in clip"
+        print(json.dumps(report))
+        return 1
     dev_vs_exact = [agreement(device[i][c], exact[i][c]) for i in frame_ids for c in device[i]]
     report["device_vs_host_exact_min_agreement"] = min(dev_vs_exact)
 
