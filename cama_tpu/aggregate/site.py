@@ -26,6 +26,9 @@ import os
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from cama_tpu.aggregate.lidar import aggregate_lidar, save_pcd
 from cama_tpu.eval.pose_metrics import umeyama_alignment
 from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS, compile_scene
@@ -76,6 +79,28 @@ def chamfer_distance(a, b, subsample=256):
     return 0.5 * (d.min(axis=1).mean() + d.min(axis=0).mean())
 
 
+PAIR_BLOCK = 128  # chamfer pairs per device dispatch ([B, S, S] stays ~33 MB)
+
+
+@jax.jit
+def _chamfer_pairs(pts, w, ii, jj):
+    """Batched symmetric chamfer over index pairs.
+
+    pts: [I, S, 3] per-instance subsampled points (padded)
+    w:   [I, S] weights (1/n_i on real points, 0 on pads — so the masked
+         weighted sum IS the mean over real points)
+    ii, jj: [B] int32 pair indices
+    Returns [B] float32 chamfer distances.
+    """
+    a, b = pts[ii], pts[jj]          # [B, S, 3]
+    wa, wb = w[ii], w[jj]            # [B, S]
+    d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+    inf = jnp.float32(1e30)
+    d_ab = jnp.sqrt(jnp.min(jnp.where(wb[:, None, :] > 0, d2, inf), axis=2))
+    d_ba = jnp.sqrt(jnp.min(jnp.where(wa[:, :, None] > 0, d2, inf), axis=1))
+    return 0.5 * (jnp.sum(d_ab * wa, axis=1) + jnp.sum(d_ba * wb, axis=1))
+
+
 class Site:
     """A merged multi-clip site map in the shared wigo-world frame."""
 
@@ -103,30 +128,75 @@ class Site:
             world_pts = apply_sim3_points(inst["points"], r, t, s)
             self.instances.append((inst["class"], world_pts, ci))
 
-    def dedupe(self, tol=0.5):
+    def dedupe(self, tol=0.5, subsample=256):
         """Drop map elements that duplicate an earlier clip's element of the
         same class within `tol` m symmetric chamfer distance (the intersecting
-        portions shared by overlapping scenes)."""
-        kept = []
-        removed = 0
-        for cls_name, pts, ci in self.instances:
-            dup = False
-            for k_cls, k_pts, k_ci in kept:
-                if k_cls != cls_name or k_ci == ci:
-                    continue
-                # cheap bbox reject before chamfer
-                lo = np.maximum(pts.min(0), k_pts.min(0))
-                hi = np.minimum(pts.max(0), k_pts.max(0))
-                if np.any(lo - hi > tol):
-                    continue
-                if chamfer_distance(pts, k_pts) < tol:
-                    dup = True
-                    break
-            if dup:
-                removed += 1
-            else:
-                kept.append((cls_name, pts, ci))
-        self.instances = kept
+        portions shared by overlapping scenes).
+
+        Device-resident: every instance is subsampled once into a padded
+        [I, S, 3] tensor, bbox/class/clip prefiltering picks candidate pairs
+        on host (vectorized), and all candidate chamfers run as batched
+        [B, S, S] reductions on device.  Only the trivial greedy keep scan
+        (earlier-instance-wins, matching the reference-order semantics) stays
+        in Python — over precomputed booleans, not point sets."""
+        I = len(self.instances)
+        if I < 2:
+            return 0
+        S = subsample
+        pts = np.zeros((I, S, 3), np.float32)
+        w = np.zeros((I, S), np.float32)
+        for k, (_, p, _) in enumerate(self.instances):
+            # same per-instance subsample the host chamfer_distance draws
+            # (fresh default_rng(0) per set), so distances are unchanged
+            if len(p) > S:
+                sel = np.random.default_rng(0).choice(len(p), S, replace=False)
+                p = p[sel]
+            pts[k, : len(p)] = p
+            w[k, : len(p)] = 1.0 / len(p)
+
+        cls_id = np.asarray(
+            [hash(c) & 0x7FFFFFFF for c, _, _ in self.instances], np.int64
+        )
+        clip = np.asarray([ci for _, _, ci in self.instances], np.int32)
+        los = np.stack([p.min(0) for _, p, _ in self.instances])
+        his = np.stack([p.max(0) for _, p, _ in self.instances])
+
+        # candidate pairs (j later, i earlier): same class, different clip,
+        # bboxes within tol
+        jj, ii = np.nonzero(
+            np.tril(np.ones((I, I), bool), -1)
+            & (cls_id[:, None] == cls_id[None, :])
+            & (clip[:, None] != clip[None, :])
+            & np.all(
+                np.maximum(los[:, None], los[None, :])
+                - np.minimum(his[:, None], his[None, :])
+                <= tol,
+                axis=-1,
+            )
+        )
+        close = np.zeros((I, I), bool)
+        if len(ii):
+            pts_d, w_d = jnp.asarray(pts), jnp.asarray(w)
+            dists = []
+            for s in range(0, len(ii), PAIR_BLOCK):
+                bi = ii[s : s + PAIR_BLOCK]
+                bj = jj[s : s + PAIR_BLOCK]
+                pad = PAIR_BLOCK - len(bi)
+                if pad:
+                    bi = np.pad(bi, (0, pad))
+                    bj = np.pad(bj, (0, pad))
+                d = _chamfer_pairs(pts_d, w_d, jnp.asarray(bi.astype(np.int32)),
+                                   jnp.asarray(bj.astype(np.int32)))
+                dists.append(np.asarray(d)[: PAIR_BLOCK - pad])
+            dvals = np.concatenate(dists)
+            close[jj, ii] = dvals < tol
+
+        keep_mask = np.ones(I, bool)
+        for j in range(I):
+            if close[j, : j][keep_mask[: j]].any():
+                keep_mask[j] = False
+        removed = int((~keep_mask).sum())
+        self.instances = [inst for inst, k in zip(self.instances, keep_mask) if k]
         return removed
 
     # ---------------- outputs ----------------

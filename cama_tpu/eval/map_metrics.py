@@ -51,8 +51,52 @@ def dilate3x3(mask):
     return out
 
 
-@partial(jax.jit, static_argnames=("max_radius", "tolerance"))
-def frame_metrics(gt_mask, vu, keep, max_radius, tolerance):
+_EDT_INF = 1e4  # farther than any image diagonal; squared stays finite in f32
+
+
+def _nearest_dist_rows(mask):
+    """[..., H, W] bool -> float32 distance along axis -2 to the nearest True
+    in the same column (1e4 where the column is empty)."""
+    m = jnp.moveaxis(mask, -2, 0)  # [H, ..., W]
+    init = jnp.full(m.shape[1:], _EDT_INF, jnp.float32)
+
+    def step(carry, row):
+        d = jnp.where(row, 0.0, carry + 1.0)
+        return d, d
+
+    _, fwd = jax.lax.scan(step, init, m)
+    _, bwd = jax.lax.scan(step, init, m, reverse=True)
+    return jnp.moveaxis(jnp.minimum(fwd, bwd), 0, -2)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def squared_edt(mask, block=8):
+    """Exact squared Euclidean distance transform ([..., H, W] bool -> f32).
+
+    Two separable passes: (1) nearest-True scan along each column (exact,
+    because min_y' (y-y')^2 is attained at the nearest y'), (2) a min-plus
+    reduction along rows — D[y,x] = min_x' ((x-x')^2 + d_col[y,x']^2) —
+    evaluated in row blocks so the [W, W] parabola table broadcasts in
+    bounded memory.  Matches scipy.ndimage.distance_transform_edt**2 of ~mask
+    (see tests/test_map_metrics.py)."""
+    H, W = mask.shape[-2], mask.shape[-1]
+    D0 = _nearest_dist_rows(mask) ** 2
+    x = jnp.arange(W, dtype=jnp.float32)
+    d2 = (x[:, None] - x[None, :]) ** 2  # [W(out), W(src)]
+    flat = D0.reshape((-1, W))
+    pad = (-flat.shape[0]) % block
+    flat = jnp.pad(flat, ((0, pad), (0, 0)))
+
+    def one_block(rows):  # [block, W]
+        return jnp.min(rows[:, None, :] + d2[None], axis=-1)
+
+    out = jax.lax.map(one_block, flat.reshape((-1, block, W)))
+    out = out.reshape((-1, W))[: flat.shape[0] - pad]
+    return out.reshape(mask.shape).astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tolerance", "distance"))
+def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"):
     """Per-(frame-)camera metric partials.
 
     Args:
@@ -61,10 +105,15 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance):
         keep:    [C, P] bool
         max_radius: int — SRE distance cap (dilation rounds)
         tolerance:  int — precision/recall hit radius
+        distance: 'chebyshev' (iterated 8-neighborhood dilation, cheapest) or
+            'euclidean' (exact separable squared-EDT — the papers' pixel
+            distance; quantifies the Chebyshev approximation)
 
     Returns dict of scalars: sre_sum, n_points, n_hit (precision numerator),
     gt_total, gt_covered (recall terms).
     """
+    if distance == "euclidean":
+        return _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance)
     C, H, W = gt_mask.shape
     vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
     ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
@@ -112,6 +161,44 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance):
     }
 
 
+def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
+    """Euclidean variant of frame_metrics: point->mask distances sampled from
+    the gt EDT; recall from the EDT of the projected-point raster."""
+    C, H, W = gt_mask.shape
+    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
+    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
+
+    D_gt = squared_edt(gt_mask)  # [C, H, W]
+
+    def gather(d_c, vi_c, ui_c):
+        return d_c[vi_c, ui_c]
+
+    d2_pts = jax.vmap(gather)(D_gt, vi, ui)  # [C, P]
+    dist = jnp.minimum(jnp.sqrt(d2_pts), float(max_radius))
+    kf = keep.astype(jnp.float32)
+    sre_sum = jnp.sum(dist * kf)
+    n_points = jnp.sum(kf)
+    n_hit = jnp.sum((d2_pts <= float(tolerance) ** 2) * kf)
+
+    def point_raster(vi_c, ui_c, keep_c):
+        buf = jnp.zeros((H * W + 1,), bool)
+        idx = jnp.where(keep_c, vi_c * W + ui_c, H * W)
+        buf = buf.at[idx].set(True, mode="drop")
+        return buf[:-1].reshape(H, W)
+
+    pr = jax.vmap(point_raster)(vi, ui, keep)
+    D_pts = squared_edt(pr)
+    gt_total = jnp.sum(gt_mask)
+    gt_covered = jnp.sum(gt_mask & (D_pts <= float(tolerance) ** 2))
+    return {
+        "sre_sum": sre_sum,
+        "n_points": n_points,
+        "n_hit": n_hit,
+        "gt_total": gt_total.astype(jnp.float32),
+        "gt_covered": gt_covered.astype(jnp.float32),
+    }
+
+
 def reduce_metrics(partials):
     """Sum per-frame partial dicts -> final metric dict."""
     total = {}
@@ -136,9 +223,10 @@ def reduce_metrics(partials):
 class MapEvaluator:
     """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
 
-    def __init__(self, tolerance=5, max_radius=20):
+    def __init__(self, tolerance=5, max_radius=20, distance="chebyshev"):
         self.tolerance = int(tolerance)
         self.max_radius = int(max_radius)
+        self.distance = distance
 
     def mask_loader(self, pipeline, camera, image_idx):
         """Load + nearest-resize a `lane_ins_{camera}` instance PNG to the
@@ -202,7 +290,8 @@ class MapEvaluator:
                     continue
                 gt = jnp.asarray(np.stack(masks))
                 p = frame_metrics(
-                    gt, vu_c[kk], keep_c[kk], self.max_radius, self.tolerance
+                    gt, vu_c[kk], keep_c[kk], self.max_radius, self.tolerance,
+                    self.distance,
                 )
                 partials.append({k2: np.asarray(v) for k2, v in p.items()})
                 evaluated.append(image_idx)
@@ -224,10 +313,15 @@ def main(argv=None):
     parser.add_argument("--source", default="cama", choices=["cama", "nuscenes"])
     parser.add_argument("--tolerance", type=int, default=5, help="hit radius (px)")
     parser.add_argument("--max-radius", type=int, default=20, help="SRE distance cap (px)")
+    parser.add_argument("--distance", default="chebyshev",
+                        choices=["chebyshev", "euclidean"],
+                        help="point->mask metric: chebyshev (dilation rounds, "
+                             "cheapest) or euclidean (exact EDT)")
     args = parser.parse_args(argv)
 
     pipe = ClipPipeline(clip_path=args.clip)
-    ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius)
+    ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
+                      distance=args.distance)
     result = ev.evaluate_scene(pipe, args.source)
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in result.items()}))

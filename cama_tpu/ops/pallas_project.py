@@ -40,8 +40,12 @@ def _kernel(pm_ref, am_ref, bounds_ref, pts_ref, valid_ref, vu_ref, keep_ref,
     """
     pts = pts_ref[:]  # [4, TILE]
 
-    # chassis-frame crop: [4, 4] @ [4, TILE] on the MXU, masks on the VPU
-    xyz_ch = jnp.dot(am_ref[:], pts, preferred_element_type=jnp.float32)
+    # chassis-frame crop: [4, 4] @ [4, TILE] on the MXU, masks on the VPU.
+    # precision=HIGHEST is load-bearing: the TPU MXU defaults to bfloat16
+    # passes, which costs ~4 px at image scale (measured in
+    # tools/bench_pallas.py) and flips borderline keep bits
+    xyz_ch = jax.lax.dot(am_ref[:], pts, precision=jax.lax.Precision.HIGHEST,
+                         preferred_element_type=jnp.float32)
     lo = bounds_ref[0, :]
     hi = bounds_ref[1, :]
     in_crop = (
@@ -51,7 +55,8 @@ def _kernel(pm_ref, am_ref, bounds_ref, pts_ref, valid_ref, vu_ref, keep_ref,
     )
 
     # all cameras at once: [C*4, 4] @ [4, TILE]
-    proj = jnp.dot(pm_ref[:], pts, preferred_element_type=jnp.float32)
+    proj = jax.lax.dot(pm_ref[:], pts, precision=jax.lax.Precision.HIGHEST,
+                       preferred_element_type=jnp.float32)
     valid = valid_ref[0, :] > 0
 
     vu_rows = []

@@ -147,3 +147,54 @@ def test_site_lidar_aggregation(site_clips):
     assert cloud[:, 0].min() > -285 and cloud[:, 0].max() < -195
     ground = cloud[np.abs(cloud[:, 2]) < 0.1]
     assert len(ground) > 0.3 * len(cloud)
+
+
+def test_device_dedupe_matches_host_greedy():
+    """The batched device chamfer dedupe must keep exactly the set the
+    round-1 O(n^2) host loop kept — randomized 120-instance site."""
+    from cama_tpu.aggregate.site import chamfer_distance
+
+    rng = np.random.default_rng(42)
+    site = Site(name="t")
+    classes = ["lane_marking", "Crosswalk_Line", "stop_line"]
+    instances = []
+    base_curves = [
+        (rng.uniform(-40, 40, 2), rng.uniform(0.5, 3.0)) for _ in range(30)
+    ]
+    for k in range(120):
+        c = classes[k % 3]
+        ci = k % 4  # 4 pseudo-clips
+        center, radius = base_curves[rng.integers(0, len(base_curves))]
+        n = int(rng.integers(4, 400))
+        t = np.linspace(0, 1, n)
+        pts = np.stack(
+            [center[0] + radius * t * 10,
+             center[1] + np.sin(t * 6) * radius,
+             0.1 * t], axis=1
+        ).astype(np.float32)
+        pts += rng.normal(0, rng.choice([0.01, 0.2, 1.5]), pts.shape).astype(np.float32)
+        instances.append((c, pts, ci))
+    site.instances = list(instances)
+    removed_dev = site.dedupe(tol=0.5)
+    kept_dev = [(c, ci, len(p)) for c, p, ci in site.instances]
+
+    # legacy host greedy loop
+    kept = []
+    for cls_name, pts, ci in instances:
+        dup = False
+        for k_cls, k_pts, k_ci in kept:
+            if k_cls != cls_name or k_ci == ci:
+                continue
+            lo = np.maximum(pts.min(0), k_pts.min(0))
+            hi = np.minimum(pts.max(0), k_pts.max(0))
+            if np.any(lo - hi > 0.5):
+                continue
+            if chamfer_distance(pts, k_pts) < 0.5:
+                dup = True
+                break
+        if not dup:
+            kept.append((cls_name, pts, ci))
+    kept_host = [(c, ci, len(p)) for c, p, ci in kept]
+    assert kept_dev == kept_host
+    assert removed_dev == 120 - len(kept_host)
+    assert removed_dev > 10  # the fixture must actually exercise duplicates

@@ -54,6 +54,78 @@ def test_frame_metrics_matches_brute_force():
         np.testing.assert_allclose(float(got[k]), v, atol=1e-5, err_msg=k)
 
 
+def test_squared_edt_matches_scipy():
+    from scipy.ndimage import distance_transform_edt
+
+    from cama_tpu.eval.map_metrics import squared_edt
+
+    rng = np.random.default_rng(3)
+    for shape, p in (((48, 64), 0.02), ((37, 53), 0.2), ((16, 16), 0.0)):
+        mask = rng.random(shape) < p
+        got = np.asarray(squared_edt(jnp.asarray(mask)))
+        exp = distance_transform_edt(~mask) ** 2
+        if not mask.any():
+            assert (got >= 1e7).all()  # "no seed" sentinel distances
+            continue
+        np.testing.assert_allclose(got, exp, rtol=0, atol=1e-3)
+    # batched [C, H, W]
+    m = rng.random((3, 24, 40)) < 0.05
+    got = np.asarray(squared_edt(jnp.asarray(m)))
+    for c in range(3):
+        np.testing.assert_allclose(got[c], distance_transform_edt(~m[c]) ** 2, atol=1e-3)
+
+
+def test_frame_metrics_euclidean_vs_brute_force():
+    rng = np.random.default_rng(11)
+    C, H, W, P = 2, 40, 56, 300
+    gt = rng.random((C, H, W)) < 0.03
+    vu = np.stack([rng.uniform(0, H - 1, (C, P)), rng.uniform(0, W - 1, (C, P))],
+                  axis=-1).astype(np.float32)
+    keep = rng.random((C, P)) < 0.8
+    max_radius, tol = 12, 3
+    got = frame_metrics(jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep),
+                        max_radius, tol, "euclidean")
+    got = {k: float(v) for k, v in got.items()}
+
+    from scipy.ndimage import distance_transform_edt
+
+    sre, hits = 0.0, 0
+    for c in range(C):
+        d = distance_transform_edt(~gt[c])
+        vi = np.clip(vu[c, :, 0].astype(int), 0, H - 1)
+        ui = np.clip(vu[c, :, 1].astype(int), 0, W - 1)
+        dp = d[vi, ui]
+        sre += np.minimum(dp, max_radius)[keep[c]].sum()
+        hits += int((dp[keep[c]] <= tol).sum())
+        # recall: gt pixels within tol of a kept point
+        pr = np.zeros((H, W), bool)
+        pr[vi[keep[c]], ui[keep[c]]] = True
+        dpr = distance_transform_edt(~pr)
+        if c == 0:
+            cov0 = int((gt[c] & (dpr <= tol)).sum())
+    assert abs(got["sre_sum"] - sre) < 1e-2 * max(1.0, sre)
+    assert got["n_hit"] == hits
+    assert got["n_points"] == keep.sum()
+
+
+def test_chebyshev_vs_euclidean_bounded():
+    """The Chebyshev approximation is within sqrt(2)x of Euclidean — quantify
+    the deviation VERDICT flagged as unbounded."""
+    rng = np.random.default_rng(5)
+    C, H, W, P = 1, 48, 48, 400
+    gt = rng.random((C, H, W)) < 0.04
+    vu = np.stack([rng.uniform(0, H - 1, (C, P)), rng.uniform(0, W - 1, (C, P))],
+                  axis=-1).astype(np.float32)
+    keep = np.ones((C, P), bool)
+    a = frame_metrics(jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep), 15, 3,
+                      "chebyshev")
+    b = frame_metrics(jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep), 15, 3,
+                      "euclidean")
+    cheb, eucl = float(a["sre_sum"]), float(b["sre_sum"])
+    assert cheb <= eucl + 1e-3  # Chebyshev <= Euclidean pointwise
+    assert eucl <= cheb * np.sqrt(2) + 1e-3
+
+
 def test_reduce_metrics_math():
     partials = [
         {"sre_sum": 10.0, "n_points": 10.0, "n_hit": 8.0, "gt_total": 20.0, "gt_covered": 10.0},
