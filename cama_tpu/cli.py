@@ -63,18 +63,25 @@ def _run_scene(configs, scene_name, output_dir, output_video_dir, state):
     if zip_file and os.path.exists(zip_file):
         extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
 
-    # Step 3: reprojection videos
+    # Step 3: reprojection videos — one pass over the clip writes every
+    # source's video (base images decoded once; the reference loops the whole
+    # pipeline per source, /root/reference/main.py:55-70)
     pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
+    paths = {}
     for source, suffix in (("cama", "cama"), ("nuscenes", "nuScenes")):
         if source not in pipe.scene.flat:
             print(f"[{scene_name}] no {source} labels; skipping video")
             continue
-        print(f"Generating reprojection video with {source} labels...")
-        out = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
+        paths[source] = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
+    if paths:
+        print(f"Generating reprojection videos ({', '.join(paths)} labels)...")
         t0 = time.perf_counter()
-        n = pipe.write_video(source, out)
+        counts = pipe.write_videos(paths)
         dt = time.perf_counter() - t0
-        print(f"  {n} frames -> {out} in {dt:.1f}s ({n / max(dt, 1e-9):.1f} fps)")
+        for source, out in paths.items():
+            print(f"  {counts[source]} frames -> {out}")
+        total = sum(counts.values())
+        print(f"  {total} video-frames in {dt:.1f}s ({total / max(dt, 1e-9):.1f} fps)")
 
 
 def main(argv=None):

@@ -404,7 +404,11 @@ def _point_in_ring(pt, ring):
 
 
 def linemerge(lines):
-    """Greedy merge of polylines sharing endpoints (shapely.ops.linemerge-ish)."""
+    """Greedy merge of polylines sharing endpoints (shapely.ops.linemerge-ish).
+
+    Endpoint-indexed: each round picks, for the smallest i with any match,
+    the smallest j > i sharing an endpoint — the same (i, j) the round-1
+    pairwise scan chose, at O(1) candidate lookup instead of O(n) per i."""
     lines = [np.asarray(l, dtype=np.float64) for l in lines if len(l) >= 2]
 
     def key(p):
@@ -413,22 +417,34 @@ def linemerge(lines):
     merged = True
     while merged and len(lines) > 1:
         merged = False
+        by_start, by_end = {}, {}
+        for j, l in enumerate(lines):
+            by_start.setdefault(key(l[0]), []).append(j)
+            by_end.setdefault(key(l[-1]), []).append(j)
         for i in range(len(lines)):
-            for j in range(i + 1, len(lines)):
-                a, b = lines[i], lines[j]
-                if key(a[-1]) == key(b[0]):
-                    lines[i] = np.concatenate([a, b[1:]])
-                elif key(a[-1]) == key(b[-1]):
-                    lines[i] = np.concatenate([a, b[::-1][1:]])
-                elif key(a[0]) == key(b[-1]):
-                    lines[i] = np.concatenate([b, a[1:]])
-                elif key(a[0]) == key(b[0]):
-                    lines[i] = np.concatenate([b[::-1], a[1:]])
-                else:
-                    continue
-                lines.pop(j)
-                merged = True
-                break
-            if merged:
-                break
+            a = lines[i]
+            ka0, ka1 = key(a[0]), key(a[-1])
+            cands = [
+                j
+                for bucket in (by_start.get(ka1, ()), by_end.get(ka1, ()),
+                               by_end.get(ka0, ()), by_start.get(ka0, ()))
+                for j in bucket
+                if j > i
+            ]
+            if not cands:
+                continue
+            j = min(cands)
+            b = lines[j]
+            # case order matches the pairwise scan: a-end to b-start first
+            if ka1 == key(b[0]):
+                lines[i] = np.concatenate([a, b[1:]])
+            elif ka1 == key(b[-1]):
+                lines[i] = np.concatenate([a, b[::-1][1:]])
+            elif ka0 == key(b[-1]):
+                lines[i] = np.concatenate([b, a[1:]])
+            else:
+                lines[i] = np.concatenate([b[::-1], a[1:]])
+            lines.pop(j)
+            merged = True
+            break
     return lines

@@ -35,16 +35,19 @@ def associate(first_keys, second_keys, max_t_diff, offset=0.0):
     bo = b + offset
     lo = np.searchsorted(bo, a - max_t_diff, side="left")
     hi = np.searchsorted(bo, a + max_t_diff, side="right")
-    ai, bi = [], []
-    for i in range(len(a)):
-        for j in range(lo[i], hi[i]):
-            if abs(a[i] - bo[j]) < max_t_diff:
-                ai.append(i)
-                bi.append(j)
-    if not ai:
+    counts = hi - lo
+    total = int(counts.sum())
+    if total == 0:
         return []
-    ai = np.asarray(ai)
-    bi = np.asarray(bi)
+    # flatten the per-a candidate windows without a Python double loop
+    ai = np.repeat(np.arange(len(a)), counts)
+    bi = np.repeat(lo, counts) + (
+        np.arange(total) - np.repeat(np.cumsum(counts) - counts, counts)
+    )
+    strict = np.abs(a[ai] - bo[bi]) < max_t_diff  # window is closed, ref is strict
+    ai, bi = ai[strict], bi[strict]
+    if len(ai) == 0:
+        return []
     diff = np.abs(a[ai] - bo[bi])
     order = np.lexsort((b[bi], a[ai], diff))  # sort by (diff, a, b)
     used_a, used_b, matches = set(), set(), []

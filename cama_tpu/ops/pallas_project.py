@@ -80,7 +80,8 @@ def _kernel(pm_ref, am_ref, bounds_ref, pts_ref, valid_ref, vu_ref, keep_ref,
 
 
 @partial(jax.jit, static_argnames=("width", "height", "interpret"))
-def project_frame_pallas(points4_T, valid, A, B, width, height, interpret=False):
+def project_frame_pallas(points4_T, valid, A, B, width, height,
+                         crop_lo=None, crop_hi=None, interpret=None):
     """Project one frame's points into all cameras with the fused kernel.
 
     Args:
@@ -88,9 +89,18 @@ def project_frame_pallas(points4_T, valid, A, B, width, height, interpret=False)
         valid:     [P] bool
         A:         [4, 4] float32 world->chassis
         B:         [C, 3, 4] float32 world->pixel per camera
+        crop_lo/crop_hi: [3] float32 chassis crop box (defaults to the
+            reference CROP_BOX)
     Returns:
-        vu [C, P, 2] float32, keep [C, P] bool — matching project_frames.
+        vu [C, P, 2] float32, keep [C, P] bool — matching project_frames
+        (keep bit-identical on the real chip; vu within ~1e-4 px, the MXU
+        HIGHEST-precision decomposition's rounding — see tools/bench_pallas.py).
     """
+    if interpret is None:
+        # Mosaic only targets TPU ('axon' is the tunneled TPU platform);
+        # everywhere else (the virtual-CPU test mesh) the kernel runs in the
+        # interpreter with identical semantics
+        interpret = jax.default_backend() not in ("tpu", "axon")
     P0 = points4_T.shape[1]
     C = B.shape[0]
     pad = (-P0) % TILE
@@ -102,12 +112,13 @@ def project_frame_pallas(points4_T, valid, A, B, width, height, interpret=False)
     B4 = jnp.concatenate([B, jnp.zeros((C, 1, 4), B.dtype)], axis=1)  # [C, 4, 4]
     pm = B4.reshape(C * 4, 4)
 
-    from cama_tpu.ops.geometry import crop_bounds
+    if crop_lo is None or crop_hi is None:
+        from cama_tpu.ops.geometry import crop_bounds
 
-    lo, hi = crop_bounds()
+        crop_lo, crop_hi = crop_bounds()
     bounds = jnp.stack(
-        [jnp.concatenate([jnp.asarray(lo), jnp.zeros(1, jnp.float32)]),
-         jnp.concatenate([jnp.asarray(hi), jnp.zeros(1, jnp.float32)])]
+        [jnp.concatenate([jnp.asarray(crop_lo), jnp.zeros(1, jnp.float32)]),
+         jnp.concatenate([jnp.asarray(crop_hi), jnp.zeros(1, jnp.float32)])]
     )
 
     vu_rows, keep_rows = pl.pallas_call(

@@ -216,7 +216,7 @@ def compact_points(vu, keep, cls, width, height, k):
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
-def rasterize_from_compact(vals, width, height):
+def rasterize_from_compact(vals, width, height, prio_offset=0):
     """Dense packed raster from compact_points output: scatter only the
     deduped survivors (index within `vals` is ascending paint order, so it
     serves as the priority), then the two-round plus dilation.
@@ -224,11 +224,15 @@ def rasterize_from_compact(vals, width, height):
     vals: [..., K] int32; returns packed [..., H, W] int32 (same contract as
     rasterize_packed, with priorities renumbered — class and paint order are
     preserved, absolute priority values differ).
+    prio_offset: base paint priority — point-sharded callers pass
+    shard_index * K so partial rasters combine with elementwise max in
+    globally correct order (shards are contiguous point slices).
     """
     K = vals.shape[-1]
     ok = vals >= 0
     pix = jnp.where(ok, vals // MAX_CLS, height * width)
-    prio = jnp.arange(K, dtype=jnp.int32) * MAX_CLS + jnp.where(ok, vals % MAX_CLS, 0)
+    prio = (prio_offset + jnp.arange(K, dtype=jnp.int32)) * MAX_CLS + jnp.where(
+        ok, vals % MAX_CLS, 0)
     prio = jnp.where(ok, prio, -1)
 
     def one_image(idx1d, pr1d):

@@ -4,16 +4,28 @@ Design (SURVEY.md §2.4/§5): within a slice, the ('frames', 'points') mesh
 rides ICI (parallel/sharding.py); across hosts, sharding happens at the
 SCENE/SITE granularity — each host compiles and processes whole clips, and
 only scene-level metric partials (plain sums, see eval.map_metrics) cross DCN
-via psum on a global mesh.  Nothing per-frame ever crosses hosts.
+via psum on a global ('hosts', 'local') mesh.  Nothing per-frame ever crosses
+hosts.
 
-This module is the thin bootstrap; it is exercised in single-process form by
-the test suite (jax.distributed is a no-op with one process) and follows the
-standard JAX multi-controller recipe otherwise.
+Pieces:
+  * initialize()            — jax.distributed bootstrap (no-op single-process)
+  * global_mesh()           — [process_count, local_devices] ('hosts','local')
+  * virtual_hosts_mesh()    — the same topology carved out of one process's
+                              devices, so the DCN-tier programs compile and
+                              run under the 8-virtual-CPU-device test mesh
+  * assign_scenes()         — host-level scene round-robin
+  * run_local_scenes()      — per-scene driver with failure isolation
+  * cross_host_metric_sum() — jitted psum of a metric dict over 'hosts'
+  * allgather_host_results()— DCN allgather of per-host payload arrays
 """
 from __future__ import annotations
 
-import jax
 import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
@@ -28,18 +40,92 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
     return True
 
 
-def global_scene_mesh(scenes_per_host=1):
-    """A 1-D global mesh over all devices of all processes, axis 'scenes':
-    each host's local devices serve its local scene shard; psum over 'scenes'
-    aggregates site-level metrics across hosts (DCN)."""
-    from jax.sharding import Mesh
+def global_mesh():
+    """2-D global mesh [process_count, devices_per_process] with axes
+    ('hosts', 'local'): collectives over 'hosts' ride DCN, over 'local' ride
+    ICI.  Within a host, 'local' can be reshaped into the ('frames','points')
+    slice mesh by parallel.sharding.make_mesh over the host's devices."""
+    devs = np.array(jax.devices()).reshape(jax.process_count(), -1)
+    return Mesh(devs, ("hosts", "local"))
 
-    return Mesh(np.array(jax.devices()), ("scenes",))
+
+def virtual_hosts_mesh(n_hosts, per_host=1):
+    """The ('hosts', 'local') topology carved from this process's devices —
+    lets every DCN-tier program compile and execute on the virtual CPU mesh
+    (tests) or a single slice, with identical sharding semantics."""
+    devs = jax.devices()
+    need = n_hosts * per_host
+    if len(devs) < need:
+        raise ValueError(f"need {need} devices, have {len(devs)}")
+    return Mesh(np.array(devs[:need]).reshape(n_hosts, per_host),
+                ("hosts", "local"))
 
 
-def assign_scenes(scene_names):
+def global_scene_mesh():
+    """Deprecated round-1 name for global_mesh()."""
+    return global_mesh()
+
+
+def assign_scenes(scene_names, process_index=None, process_count=None):
     """Round-robin scene list over processes (host-level data parallelism —
     the analogue of the reference's outer scene loop, main.py:32)."""
-    n = jax.process_count()
-    i = jax.process_index()
+    n = process_count if process_count is not None else jax.process_count()
+    i = process_index if process_index is not None else jax.process_index()
     return [s for k, s in enumerate(scene_names) if k % n == i]
+
+
+def run_local_scenes(scene_names, process_fn, **assign_kw):
+    """Process this host's scene shard with per-scene failure isolation
+    (reference semantics: one bad scene must not kill the batch,
+    cama_tpu/cli.py).  Returns ({scene: result}, [(scene, error_repr)])."""
+    results, failures = {}, []
+    for scene in assign_scenes(scene_names, **assign_kw):
+        try:
+            results[scene] = process_fn(scene)
+        except Exception as e:  # noqa: BLE001 — isolation is the contract
+            failures.append((scene, repr(e)))
+    return results, failures
+
+
+def cross_host_metric_sum(mesh, metric_keys):
+    """Jitted DCN reduction: each host contributes one metric-partial dict
+    (float32 scalars shaped [1] on its 'hosts' row); the result is the psum
+    over every host, replicated everywhere.  This is the only thing that ever
+    crosses DCN in the evaluation path — O(#metrics) floats per scene."""
+    keys = tuple(sorted(metric_keys))
+
+    def step(vals):  # vals: {k: [1] local shard of a [n_hosts] array}
+        return {k: jax.lax.psum(v.sum(), axis_name="hosts") for k, v in vals.items()}
+
+    sharded = jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=({k: P("hosts") for k in keys},),
+            out_specs={k: P() for k in keys},
+        )
+    )
+
+    def run(per_host_partials):
+        """per_host_partials: list (len n_hosts) of {key: float}."""
+        n = mesh.shape["hosts"]
+        assert len(per_host_partials) == n, (len(per_host_partials), n)
+        arrs = {
+            k: jnp.asarray([float(p.get(k, 0.0)) for p in per_host_partials],
+                           jnp.float32)
+            for k in keys
+        }
+        out = sharded(arrs)
+        return {k: float(v) for k, v in out.items()}
+
+    return run
+
+
+def allgather_host_results(payload):
+    """Gather a small per-host array payload to every host (DCN).  Uses
+    multihost_utils when running multi-process; identity otherwise."""
+    if jax.process_count() == 1:
+        return np.asarray(payload)[None]
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(jnp.asarray(payload)))

@@ -28,7 +28,12 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cama_tpu.ops.geometry import project_frames
-from cama_tpu.ops.raster import packed_to_cls, rasterize_packed_fast
+from cama_tpu.ops.raster import (
+    compact_points,
+    packed_to_cls,
+    rasterize_from_compact,
+    rasterize_packed_fast,
+)
 
 
 def make_mesh(n_frames_axis=None, n_points_axis=1, devices=None):
@@ -99,13 +104,24 @@ def sharded_map_metrics(mesh, width, height, max_radius, tolerance):
     )
 
 
-def sharded_overlay_step(mesh, width, height):
+def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048):
     """Build the jitted multi-device step:
         (points, valid, cls, A, B, frame_valid, crop_lo, crop_hi)
           -> (cls_rasters [F, C, H, W] uint8 sharded over frames,
               painted_per_class [MAX_CLS] int32 replicated psum)
 
     F must divide by mesh.shape['frames']; P by mesh.shape['points'].
+
+    kernel: 'fast' (scatter-max + dilation, sort-free) or 'compact' (the
+    measured-fastest single-chip path: per-shard dedup+sort-compact to `k`
+    entries, K-entry scatter).  Cross-shard paint order stays globally
+    correct in both: 'fast' offsets priorities by the shard's first point
+    index; 'compact' offsets by shard_index * k (shards are contiguous point
+    slices, so any inter-shard order consistent with the slice order is the
+    sequential order).  A shard-boundary duplicate pixel that single-device
+    dedup would drop paints identically under pmax — the successor's higher
+    priority wins the same pixel — so class rasters are bit-identical to the
+    single-device compact path (tests/test_parallel.py).
     """
 
     def step(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi):
@@ -118,9 +134,16 @@ def sharded_overlay_step(mesh, width, height):
                 points, valid, Af[None], Bf[None], fv[None], width, height,
                 crop_lo, crop_hi,
             )
-            packed = rasterize_packed_fast(
-                vu[0], keep[0], cls, width, height, prio_offset=shard_offset
-            )
+            if kernel == "compact":
+                vals, _ = compact_points(vu[0], keep[0], cls, width, height, k)
+                packed = rasterize_from_compact(
+                    vals, width, height,
+                    prio_offset=jax.lax.axis_index("points") * k,
+                )
+            else:
+                packed = rasterize_packed_fast(
+                    vu[0], keep[0], cls, width, height, prio_offset=shard_offset
+                )
             # combine partial rasters across the point shards: packed values
             # are paint priorities, so elementwise max == sequential order
             packed = jax.lax.pmax(packed, axis_name="points")

@@ -180,6 +180,31 @@ def _overlay_chunk_two_stage(points, valid, cls, A, B, frame_valid, crop_lo, cro
     return pack_cls_2bit(rasters) if two_bit else rasters
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k", "two_bit"))
+def _overlay_chunk_pallas(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
+                          width, height, k, two_bit):
+    """North-star fused path: per frame, ONE Pallas launch projects every map
+    point into all 6 cameras with the crop test fused on the MXU/VPU
+    (ops/pallas_project.py); rasterization stays on XLA's scatter — measured
+    ~50x faster than a serial in-kernel paint loop on this chip
+    (tools/bench_pallas.py records the numbers)."""
+    from cama_tpu.ops.pallas_project import project_frame_pallas
+
+    p4T = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1).T
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        vu, keep = project_frame_pallas(p4T, valid, Af, Bf, width, height,
+                                        crop_lo, crop_hi)
+        keep = keep & fv
+        vals, _ = compact_points(vu, keep, cls, width, height, k)
+        packed = rasterize_from_compact(vals, width, height)
+        return packed_to_cls(packed)
+
+    rasters = jax.lax.map(per_frame, (A, B, frame_valid))
+    return pack_cls_2bit(rasters) if two_bit else rasters
+
+
 @partial(jax.jit, static_argnames=("width", "height", "k"))
 def _project_compact_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
                            width, height, k):
@@ -200,10 +225,12 @@ def _project_compact_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_
 class ClipPipeline:
     def __init__(self, configs=None, clip_path=None, sources=("cama", "nuscenes"),
                  chunk=8, scene: Scene = None, raster_kernel="compact"):
-        """raster_kernel: 'compact' (dedup+sort, fastest steady-state) or
+        """raster_kernel: 'compact' (dedup+sort, fastest steady-state),
         'scatter' (no sort — ~2x slower per frame but compiles in seconds
         instead of minutes on remote-compile TPU runtimes; right for one-shot
-        or interactive runs)."""
+        or interactive runs), or 'pallas' (fused 6-camera Pallas projection
+        kernel + the compact rasterizer; keep masks identical to 'compact',
+        pixel coords within ~1e-4 px)."""
         enable_compile_cache()
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.chunk = int(chunk)
@@ -265,7 +292,13 @@ class ClipPipeline:
         points, cls, valid = self.device_points(source)
         use_2bit = self._use_2bit(source)
         h, w = self.scene.output_size
-        if self.raster_kernel == "compact":
+        if self.raster_kernel == "pallas":
+            _, k_compact = self.overlay_mode(source)
+
+            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
+                return _overlay_chunk_pallas(points, valid, cls, A, B, fv,
+                                             lo, hi, w_, h_, k_compact, use_2bit)
+        elif self.raster_kernel == "compact":
             _, k_compact = self.overlay_mode(source)
             k1 = self._two_stage.get(source)
             if k1 is not None:
@@ -333,17 +366,35 @@ class ClipPipeline:
         img = cv2.imread(self.scene.image_path(camera, image_idx))
         return remap_host(img, mapx, mapy)
 
-    def composite_frame(self, source, image_idx, cls_raster, pool=None):
+    def base_images(self, image_idx, pool=None):
+        """Undistorted base images for one frame: {camera: [H, W, 3] uint8}.
+        Decoded + remapped once — write_videos shares the result across every
+        source's composite (the reference re-decodes per source,
+        /root/reference/main.py:55-70)."""
+
+        def one(camera):
+            return camera, self.undistorted_image(camera, image_idx)
+
+        cams = self.scene.camera_list
+        results = pool.map(one, cams) if pool is not None else map(one, cams)
+        return dict(results)
+
+    def composite_frame(self, source, image_idx, cls_raster, pool=None, base=None):
         """cls_raster [C, H, W] uint8 -> {camera: overlay image} (host).
 
         Per-camera decode+remap+composite fans out over a thread pool when
         given (cv2 releases the GIL); the reference does the six cameras
-        serially (cama/dataset.py:110-116)."""
+        serially (cama/dataset.py:110-116).  Pass `base` (from base_images)
+        to reuse already-decoded undistorted frames; they are copied before
+        painting."""
         table = self._color_tables[source]
 
         def one(c_camera):
             c, camera = c_camera
-            img = self.undistorted_image(camera, image_idx)
+            if base is not None:
+                img = np.array(base[camera], copy=True)
+            else:
+                img = self.undistorted_image(camera, image_idx)
             r = cls_raster[c]
             painted = r > 0
             img[painted] = table[(r[painted] - 1) % MAX_CLS]
@@ -443,13 +494,17 @@ class ClipPipeline:
                     continue
                 yield int(fm.frame_indices[fidx]), vals[kk], counts[kk]
 
-    def composite_frame_sparse(self, source, image_idx, vals, counts, pool=None):
+    def composite_frame_sparse(self, source, image_idx, vals, counts, pool=None,
+                               base=None):
         table = self._color_tables[source]
         h, w = self.scene.output_size
 
         def one(c_camera):
             c, camera = c_camera
-            img = self.undistorted_image(camera, image_idx)
+            if base is not None:
+                img = np.array(base[camera], copy=True)
+            else:
+                img = self.undistorted_image(camera, image_idx)
             paint_sparse_host(img, vals[c], counts[c], table, w)
             return camera, img
 
@@ -516,3 +571,61 @@ class ClipPipeline:
                 sink.add_frame(concat_camera_grid(images))
                 n += 1
         return n
+
+    def write_videos(self, source_paths, fps=10, n_threads=6):
+        """Write several sources' overlay videos in ONE pass over the clip.
+
+        The reference runs its whole frame loop once per label source
+        (/root/reference/main.py:55-70), decoding and undistorting every JPEG
+        twice.  Here each frame's base images are decoded + remapped once
+        (base_images) and every source composites onto a copy, while both
+        sources' device chunks are dispatched up-front and fetch
+        asynchronously.  Frame sets may differ per source (each rides its own
+        pose chain); streams are merged by image index.
+
+        Args:
+            source_paths: {source: output_video_path}
+        Returns {source: frames_written}.
+        """
+        sinks, streams, heads = {}, {}, {}
+        counts = {src: 0 for src in source_paths}
+        h, w = self.scene.output_size
+        try:
+            for src, path in source_paths.items():
+                mode, k = self.overlay_mode(src)
+                sinks[src] = VideoSink(path, output_shape=(w * 3, h * 2), fps=fps)
+                if mode == "raster":
+                    streams[src] = ("raster", self.iter_overlay_rasters(src))
+                else:
+                    streams[src] = ("sparse", self.iter_sparse_points(src, k=k))
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                for src, (_, it) in streams.items():
+                    heads[src] = next(it, None)
+                while any(head is not None for head in heads.values()):
+                    idx = min(head[0] for head in heads.values() if head is not None)
+                    with self.timers.phase("host_decode"):
+                        base = self.base_images(idx, pool=pool)
+                    for src, head in heads.items():
+                        if head is None or head[0] != idx:
+                            continue
+                        kind, it = streams[src]
+                        with self.timers.phase("host_composite"):
+                            if kind == "raster":
+                                frame = self.composite_frame(
+                                    src, idx, head[1], pool=pool, base=base)
+                            else:
+                                _, vals, cnts = head
+                                if cnts.max() > vals.shape[-1]:
+                                    raster = self._overlay_single(src, idx)
+                                    frame = self.composite_frame(
+                                        src, idx, raster, pool=pool, base=base)
+                                else:
+                                    frame = self.composite_frame_sparse(
+                                        src, idx, vals, cnts, pool=pool, base=base)
+                        sinks[src].add_frame(concat_camera_grid(frame))
+                        counts[src] += 1
+                        heads[src] = next(it, None)
+        finally:
+            for s in sinks.values():
+                s.close()
+        return counts

@@ -1,18 +1,23 @@
 """Test config: force an 8-device virtual CPU mesh so sharding paths are
-exercised without TPU hardware (SURVEY.md §4)."""
+exercised without TPU hardware (SURVEY.md §4).  Set CAMA_TPU_TESTS=1 to keep
+the ambient (real TPU) backend instead and run the on-chip lane:
+CAMA_TPU_TESTS=1 python -m pytest tests/ -m tpu."""
 import os
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # override: the ambient env pins a TPU platform
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+TPU_LANE = os.environ.get("CAMA_TPU_TESTS") == "1"
 
-# the baked sitecustomize force-registers the TPU platform and overrides
-# JAX_PLATFORMS via jax config; undo that before any backend initializes
-import jax  # noqa: E402
+if not TPU_LANE:
+    os.environ["JAX_PLATFORMS"] = "cpu"  # override: ambient env pins a TPU platform
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
-jax.config.update("jax_platforms", "cpu")
+    # the baked sitecustomize force-registers the TPU platform and overrides
+    # JAX_PLATFORMS via jax config; undo that before any backend initializes
+    import jax  # noqa: E402
+
+    jax.config.update("jax_platforms", "cpu")
 
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:

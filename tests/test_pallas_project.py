@@ -46,3 +46,25 @@ def test_pallas_matches_einsum_path(scene):
         np.testing.assert_allclose(
             np.asarray(vu_pl)[kept], np.asarray(vu_ref[0])[kept], atol=2e-2
         )
+
+
+def test_pipeline_pallas_kernel_matches_compact(tmp_path):
+    """ClipPipeline(raster_kernel='pallas') streams the same class rasters as
+    the production compact path (interpret mode on CPU; the on-chip run lives
+    in the `-m tpu` lane, tests/test_tpu_chip.py)."""
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path, scene_name="scene-pl", n_frames=3,
+                             with_images=False, with_lidar=False)
+    base = ClipPipeline(clip_path=clip, raster_kernel="compact", chunk=4)
+    pall = ClipPipeline(clip_path=clip, scene=base.scene, raster_kernel="pallas",
+                        chunk=4)
+    got_c = dict(base.iter_overlay_rasters("cama"))
+    got_p = dict(pall.iter_overlay_rasters("cama"))
+    assert got_c.keys() == got_p.keys() and len(got_c) > 0
+    for idx in got_c:
+        # keep masks are identical, but vu differs by ~1e-4 px between the
+        # MXU dot and the einsum, so a point sitting exactly on an integer
+        # pixel boundary can cast differently — allow a handful of pixels
+        diff = int((got_c[idx] != got_p[idx]).sum())
+        assert diff <= 16, f"frame {idx}: {diff} differing pixels"

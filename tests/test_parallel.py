@@ -62,3 +62,28 @@ def test_sharded_step_matches_single_device(clip, shape):
     assert got_valid > 0
     total_painted = sum((r > 0).sum() for r in single.values())
     assert int(np.asarray(counts).sum()) == total_painted
+
+
+@pytest.mark.parametrize("shape", [(4, 2), (2, 4)])
+def test_sharded_compact_kernel_matches_single_device(clip, shape):
+    """The sharded variant of the measured-fastest kernel (dedup+sort-compact)
+    must be bit-identical to the single-device compact path on a 2-D mesh."""
+    from cama_tpu.pipeline import _overlay_chunk_compact
+
+    assert len(jax.devices()) >= 8
+    mesh = make_mesh(n_frames_axis=shape[0], n_points_axis=shape[1])
+    scene, fm, args = _prep(clip, mesh)
+    pts, valid, cls, A, B, fv = args
+    h, w = scene.output_size
+    lo, hi = crop_bounds()
+    k = 4096
+    step = sharded_overlay_step(mesh, w, h, kernel="compact", k=k)
+    rasters, _ = step(*[jnp.asarray(a) for a in args], jnp.asarray(lo), jnp.asarray(hi))
+    rasters = np.asarray(rasters)
+
+    single = np.asarray(_overlay_chunk_compact(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(cls),
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
+        jnp.asarray(lo), jnp.asarray(hi), w, h, k, False,
+    ))
+    np.testing.assert_array_equal(rasters, single)

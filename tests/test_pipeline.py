@@ -104,3 +104,34 @@ def test_write_video(clip, pipe, tmp_path):
     n = pipe.write_video("cama", str(out))
     assert n > 0
     assert out.exists() or os.path.isdir(str(out) + ".frames")
+
+
+def test_write_videos_one_pass_matches_two_pass(clip, pipe, monkeypatch):
+    """write_videos (shared decode, merged streams) must emit pixel-identical
+    frames, in the same order, as the per-source write_video path."""
+    import cama_tpu.pipeline as pl_mod
+    from cama_tpu.io.video import concat_camera_grid
+
+    captured = {}
+
+    class FakeSink:
+        def __init__(self, path, output_shape=None, fps=10):
+            self.path = path
+            captured[path] = []
+
+        def add_frame(self, img):
+            captured[self.path].append(np.array(img, copy=True))
+
+        def close(self):
+            pass
+
+    monkeypatch.setattr(pl_mod, "VideoSink", FakeSink)
+    counts = pipe.write_videos({"cama": "v_cama", "nuscenes": "v_nusc"})
+
+    for source, path in (("cama", "v_cama"), ("nuscenes", "v_nusc")):
+        expected = [concat_camera_grid(f) for _, f in pipe.iter_frames(source)]
+        assert counts[source] == len(expected) > 0
+        got = captured[path]
+        assert len(got) == len(expected)
+        for g, e in zip(got, expected):
+            np.testing.assert_array_equal(g, e)
