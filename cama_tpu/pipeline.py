@@ -222,6 +222,99 @@ def _project_compact_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_
     return jax.lax.map(per_frame, (A, B, frame_valid))
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k", "two_bit"))
+def _overlay_chunk_batched(points, valid, cls, A, B, frame_valid, crop_lo,
+                           crop_hi, width, height, k, two_bit):
+    """Multi-scene batch: a leading scene axis S on every tensor
+    ([S, P, 3], [S, F, 4, 4], ...) runs S scenes' overlay chunks in ONE
+    device program — on a tunneled TPU this amortizes the ~30 ms dispatch
+    latency across scenes (site-scale serving; ROADMAP 'multi-scene batched
+    pipelines').  Same outputs as per-scene _overlay_chunk_compact."""
+
+    def one(p, v, c, a, b, f):
+        return _overlay_chunk_compact(p, v, c, a, b, f, crop_lo, crop_hi,
+                                      width, height, k, two_bit)
+
+    return jax.vmap(one)(points, valid, cls, A, B, frame_valid)
+
+
+class MultiScenePipeline:
+    """Batched overlay serving across scenes: pads every member scene to a
+    common (P, F) and dispatches one program per chunk for ALL scenes.
+
+    The reference's outer scene loop (main.py:32) is strictly sequential;
+    here scenes become a batch axis.  Intended for site-scale serving where
+    many clips' overlays are produced together (see aggregate.site)."""
+
+    def __init__(self, pipelines, source="cama", chunk=8):
+        self.pipelines = list(pipelines)
+        self.source = source
+        self.chunk = int(chunk)
+        if not self.pipelines:
+            raise ValueError("need at least one pipeline")
+        sizes = {p.scene.output_size for p in self.pipelines}
+        if len(sizes) != 1:
+            raise ValueError(f"scenes disagree on output size: {sizes}")
+
+    def _stacked(self):
+        from cama_tpu.parallel.sharding import pad_to_multiple
+
+        mats = [p._chunked_AB(self.source) for p in self.pipelines]
+        devs = [p.device_points(self.source) for p in self.pipelines]
+        P = max(d[0].shape[0] for d in devs)
+        Fp = max(len(m[2]) for m in mats)  # padded frame counts
+        Fp = -(-Fp // self.chunk) * self.chunk
+
+        def padP(a, fill=0):
+            return np.pad(np.asarray(a), [(0, P - a.shape[0])] + [(0, 0)] * (a.ndim - 1),
+                          constant_values=fill)
+
+        def padF(a, n, fill=0):
+            return np.pad(np.asarray(a), [(0, n - a.shape[0])] + [(0, 0)] * (a.ndim - 1),
+                          constant_values=fill)
+
+        pts = np.stack([padP(np.asarray(d[0])) for d in devs])
+        cls = np.stack([padP(np.asarray(d[1])) for d in devs])
+        valid = np.stack([padP(np.asarray(d[2]), fill=False) for d in devs])
+        # zero-padded A/B rows are masked by frame_valid=False downstream
+        A = np.stack([padF(m[1], Fp) for m in mats])
+        B = np.stack([padF(m[2], Fp) for m in mats])
+        fv = np.stack([padF(m[3], Fp, fill=False) for m in mats])
+        fms = [m[0] for m in mats]
+        Fs = [m[4] for m in mats]
+        return fms, Fs, pts, cls, valid, A, B, fv
+
+    def iter_overlay_rasters(self):
+        """Yields (scene_idx, image_idx, cls_raster [C, H, W] uint8) across
+        every member scene, chunk-batched over scenes."""
+        fms, Fs, pts, cls, valid, A, B, fv = self._stacked()
+        h, w = self.pipelines[0].scene.output_size
+        k = max(p.overlay_mode(self.source)[1] for p in self.pipelines)
+        lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
+        ptsj, clsj, validj = jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(valid)
+        pending = []
+        for s in range(0, fv.shape[1], self.chunk):
+            sl = slice(s, s + self.chunk)
+            rasters = _overlay_chunk_batched(
+                ptsj, validj, clsj,
+                jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl]),
+                lo, hi, w, h, k, False,
+            )
+            try:
+                rasters.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((s, rasters))
+        for s, rasters in pending:
+            rasters = np.asarray(rasters)  # [S, chunk, C, H, W]
+            for si, (fm, F) in enumerate(zip(fms, Fs)):
+                for kk in range(rasters.shape[1]):
+                    fidx = s + kk
+                    if fidx >= F or not fm.frame_valid[fidx]:
+                        continue
+                    yield si, int(fm.frame_indices[fidx]), rasters[si, kk]
+
+
 class ClipPipeline:
     def __init__(self, configs=None, clip_path=None, sources=("cama", "nuscenes"),
                  chunk=8, scene: Scene = None, raster_kernel="compact"):

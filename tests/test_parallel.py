@@ -87,3 +87,35 @@ def test_sharded_compact_kernel_matches_single_device(clip, shape):
         jnp.asarray(lo), jnp.asarray(hi), w, h, k, False,
     ))
     np.testing.assert_array_equal(rasters, single)
+
+
+def test_sharded_end_to_end_video_frames(tmp_path):
+    """Sharded rasters driven through the full host video path (composite +
+    mosaic) must reproduce the single-device pipeline's video frames exactly."""
+    from cama_tpu.io.video import concat_camera_grid
+
+    clip = make_fixture_clip(tmp_path, scene_name="scene-shv", n_frames=4,
+                             with_images=True, with_lidar=False)
+    mesh = make_mesh(n_frames_axis=4, n_points_axis=2)
+    scene, fm, args = _prep(clip, mesh)
+    h, w = scene.output_size
+    lo, hi = crop_bounds()
+    step = sharded_overlay_step(mesh, w, h, kernel="compact", k=4096)
+    rasters, _ = step(*[jnp.asarray(a) for a in args], jnp.asarray(lo), jnp.asarray(hi))
+    rasters = np.asarray(rasters)
+
+    pipe = ClipPipeline(clip_path=clip, scene=scene, chunk=4)
+    expected = {}
+    for idx, frame in pipe.iter_frames("cama"):
+        expected[idx] = concat_camera_grid(frame)
+
+    n_checked = 0
+    for k in range(len(fm.frame_indices)):
+        if not fm.frame_valid[k]:
+            continue
+        idx = int(fm.frame_indices[k])
+        frame = pipe.composite_frame("cama", idx, rasters[k])
+        got = concat_camera_grid(frame)
+        np.testing.assert_array_equal(got, expected[idx], err_msg=f"frame {idx}")
+        n_checked += 1
+    assert n_checked > 0

@@ -135,3 +135,30 @@ def test_write_videos_one_pass_matches_two_pass(clip, pipe, monkeypatch):
         assert len(got) == len(expected)
         for g, e in zip(got, expected):
             np.testing.assert_array_equal(g, e)
+
+
+def test_multi_scene_pipeline_matches_per_scene(tmp_path):
+    """MultiScenePipeline's batched program must reproduce each member
+    scene's per-scene rasters exactly (different frame counts + point pads)."""
+    from cama_tpu.pipeline import MultiScenePipeline
+
+    clips = [
+        make_fixture_clip(tmp_path, scene_name="scene-msa", n_frames=4,
+                          with_images=False, with_lidar=False),
+        make_fixture_clip(tmp_path, scene_name="scene-msb", n_frames=6,
+                          seed=9, with_images=False, with_lidar=False),
+    ]
+    pipes = [ClipPipeline(clip_path=c, chunk=4) for c in clips]
+    msp = MultiScenePipeline(pipes, source="cama", chunk=4)
+
+    got = {}
+    for si, idx, raster in msp.iter_overlay_rasters():
+        got[(si, idx)] = raster
+    assert len(got) > 0
+
+    for si, pipe in enumerate(pipes):
+        singles = dict(pipe.iter_overlay_rasters("cama"))
+        assert {i for s, i in got if s == si} == set(singles)
+        for idx, r in singles.items():
+            np.testing.assert_array_equal(got[(si, idx)], r,
+                                          err_msg=f"scene {si} frame {idx}")
