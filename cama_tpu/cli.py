@@ -76,7 +76,7 @@ def _run_scene(configs, scene_name, output_dir, output_video_dir, state):
     if paths:
         print(f"Generating reprojection videos ({', '.join(paths)} labels)...")
         t0 = time.perf_counter()
-        counts = pipe.write_videos(paths)
+        counts = pipe.write_videos(paths, preset=configs.get("video_preset"))
         dt = time.perf_counter() - t0
         for source, out in paths.items():
             print(f"  {counts[source]} frames -> {out}")

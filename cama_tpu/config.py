@@ -20,6 +20,9 @@ TOP_LEVEL_KEYS = {
     "cama_label_file": str,
     "output_video_dir": str,
     "map_classes": list,
+    # extension beyond the reference surface: optional libx264 preset
+    # ('ultrafast'..'veryslow'); unset keeps reference-parity encoding
+    "video_preset": str,
 }
 REQUIRED = ["converted_dataroot", "scene_names", "output_video_dir"]
 

@@ -199,6 +199,103 @@ def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
     }
 
 
+# ---------------------------------------------------------------------------
+# instance-level association metrics (lane_ins ids, not just binary masks)
+# ---------------------------------------------------------------------------
+
+
+def dilate_ids(ids, rounds):
+    """Max-dilate an instance-id image (0 = background) so points within
+    `rounds` px of an instance gather its id.  Where two instances are within
+    2*rounds px of each other the larger id wins in the overlap — an
+    approximation acceptable for association voting."""
+    out = jnp.asarray(ids)
+    for _ in range(rounds):
+        n = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(1, 1), (1, 1)])
+        out = jnp.maximum(
+            out,
+            jnp.maximum(
+                jnp.maximum(n[..., :-2, 1:-1], n[..., 2:, 1:-1]),
+                jnp.maximum(n[..., 1:-1, :-2], n[..., 1:-1, 2:]),
+            ),
+        )
+    return out
+
+
+def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance):
+    """Per-frame (map_instance_id, gt_instance_id) pairs for every kept
+    projected point: the raw material for association voting.
+
+    gt_ids: [C, H, W] integer GT instance image (0 = background)
+    vu/keep: [C, P, 2] / [C, P] projections;  point_inst: [P] map instance ids
+    Returns (mi [N], gi [N]) numpy arrays (gi = 0 where the point hit
+    background even after `tolerance` rounds of id dilation).
+    """
+    C, H, W = gt_ids.shape
+    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
+    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
+    gt_d = dilate_ids(jnp.asarray(gt_ids).astype(jnp.int32), tolerance)
+
+    def gather(g_c, vi_c, ui_c):
+        return g_c[vi_c, ui_c]
+
+    g_at = np.asarray(jax.vmap(gather)(gt_d, vi, ui))  # [C, P]
+    keep_np = np.asarray(keep)
+    mi = np.broadcast_to(np.asarray(point_inst)[None, :], keep_np.shape)[keep_np]
+    return mi.astype(np.int64), g_at[keep_np].astype(np.int64)
+
+
+def instance_association(pairs_mi, pairs_gi, gt_ids_visible=None):
+    """Majority-vote association + quality metrics over accumulated pairs.
+
+    gt_ids_visible: optional set of GT instance ids actually present in the
+    (undilated) masks — the recall denominator.  Defaults to the ids seen in
+    the gathered votes (an underestimate of the denominator when a GT
+    instance's map twin was culled before projection).
+
+    Returns dict:
+      instance_precision — fraction of visible map instances whose majority
+        vote lands on a real GT instance (not background)
+      instance_recall    — fraction of GT instance ids claimed by >=1 map
+        instance's majority vote
+      mean_purity        — mean over map instances of (votes for the winner /
+        total votes), background included in the denominator
+      n_map_instances / n_gt_instances
+    """
+    mi = np.asarray(pairs_mi)
+    gi = np.asarray(pairs_gi)
+    if len(mi) == 0:
+        return {"instance_precision": 0.0, "instance_recall": 0.0,
+                "mean_purity": 0.0, "n_map_instances": 0, "n_gt_instances": 0}
+    gt_total = (set(gt_ids_visible) if gt_ids_visible is not None
+                else set(np.unique(gi[gi > 0]).tolist()))
+    matched_gt = set()
+    purities = []
+    n_matched = 0
+    for m in np.unique(mi):
+        votes = gi[mi == m]
+        ids, counts = np.unique(votes, return_counts=True)
+        # majority among non-background; ties resolve to the smaller id
+        fg = ids > 0
+        if fg.any():
+            k = np.argmax(counts[fg])
+            winner, wcount = int(ids[fg][k]), int(counts[fg][k])
+        else:
+            winner, wcount = 0, 0
+        purities.append(wcount / len(votes))
+        if winner > 0:
+            n_matched += 1
+            matched_gt.add(winner)
+    n_map = len(np.unique(mi))
+    return {
+        "instance_precision": n_matched / n_map if n_map else 0.0,
+        "instance_recall": len(matched_gt) / len(gt_total) if gt_total else 0.0,
+        "mean_purity": float(np.mean(purities)) if purities else 0.0,
+        "n_map_instances": n_map,
+        "n_gt_instances": len(gt_total),
+    }
+
+
 def reduce_metrics(partials):
     """Sum per-frame partial dicts -> final metric dict."""
     total = {}
@@ -228,10 +325,11 @@ class MapEvaluator:
         self.max_radius = int(max_radius)
         self.distance = distance
 
-    def mask_loader(self, pipeline, camera, image_idx):
-        """Load + nearest-resize a `lane_ins_{camera}` instance PNG to the
+    def instance_loader(self, pipeline, camera, image_idx):
+        """Load + nearest-remap a `lane_ins_{camera}` instance-id PNG to the
         output size, mirroring the reference's undistort-remap with
-        INTER_NEAREST (cama/reproject.py:222-226). Returns [H, W] bool."""
+        INTER_NEAREST (cama/reproject.py:222-226). Returns [H, W] int ids
+        (0 = background) or None."""
         import cv2
 
         scene = pipeline.scene
@@ -245,8 +343,12 @@ class MapEvaluator:
         mapx, mapy = pipeline.remaps.get(
             camera, scene.K_orig[c], scene.d[c], scene.K_scaled[c], (h, w)
         )
-        resized = cv2.remap(raw, mapx, mapy, interpolation=cv2.INTER_NEAREST)
-        return resized > 0
+        return cv2.remap(raw, mapx, mapy, interpolation=cv2.INTER_NEAREST)
+
+    def mask_loader(self, pipeline, camera, image_idx):
+        """Binary-mask view of instance_loader. Returns [H, W] bool or None."""
+        ids = self.instance_loader(pipeline, camera, image_idx)
+        return None if ids is None else ids > 0
 
     def evaluate_scene(self, pipeline, source="cama", frames=None):
         """Run the metric over all valid frames that have GT masks.
@@ -300,6 +402,64 @@ class MapEvaluator:
         return out
 
 
+    def evaluate_scene_instances(self, pipeline, source="cama", frames=None):
+        """Instance-level association quality over all valid frames with GT
+        instance masks: each map instance's projected points vote on a GT
+        instance id; reports precision/recall/purity (see
+        instance_association)."""
+        import jax.numpy as jnp
+
+        from cama_tpu.ops.geometry import project_frames
+
+        fm, A, B, fv, F = pipeline._chunked_AB(source)
+        points, cls, valid = pipeline.device_points(source)
+        point_inst = pipeline.scene.flat[source].inst
+        h, w = pipeline.scene.output_size
+        all_mi, all_gi = [], []
+        gt_visible = set()
+        evaluated = 0
+        for s in range(0, len(fv), pipeline.chunk):
+            sl = slice(s, s + pipeline.chunk)
+            vu_c, keep_c = project_frames(
+                points, valid,
+                jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                w, h, pipeline._crop_lo, pipeline._crop_hi,
+            )
+            for kk in range(vu_c.shape[0]):
+                k = s + kk
+                if k >= F or not fm.frame_valid[k]:
+                    continue
+                image_idx = int(fm.frame_indices[k])
+                if frames is not None and image_idx not in frames:
+                    continue
+                ids = []
+                ok = True
+                for camera in pipeline.scene.camera_list:
+                    m = self.instance_loader(pipeline, camera, image_idx)
+                    if m is None:
+                        ok = False
+                        break
+                    ids.append(m)
+                if not ok:
+                    continue
+                stacked = np.stack(ids)
+                mi, gi = frame_instance_pairs(
+                    stacked, vu_c[kk], keep_c[kk], point_inst, self.tolerance
+                )
+                all_mi.append(mi)
+                all_gi.append(gi)
+                gt_visible.update(np.unique(stacked[stacked > 0]).tolist())
+                evaluated += 1
+        if not all_mi:
+            return {"instance_precision": 0.0, "instance_recall": 0.0,
+                    "mean_purity": 0.0, "n_map_instances": 0,
+                    "n_gt_instances": 0, "frames_evaluated": 0}
+        out = instance_association(np.concatenate(all_mi), np.concatenate(all_gi),
+                                   gt_ids_visible=gt_visible)
+        out["frames_evaluated"] = evaluated
+        return out
+
+
 def main(argv=None):
     """Map-quality evaluation script (the CAMAv2 release notes' "evaluation
     scripts (SRE, precision, recall, F1-score)", README.md:19-20)."""
@@ -317,12 +477,16 @@ def main(argv=None):
                         choices=["chebyshev", "euclidean"],
                         help="point->mask metric: chebyshev (dilation rounds, "
                              "cheapest) or euclidean (exact EDT)")
+    parser.add_argument("--instances", action="store_true",
+                        help="also report instance-level association metrics")
     args = parser.parse_args(argv)
 
     pipe = ClipPipeline(clip_path=args.clip)
     ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
                       distance=args.distance)
     result = ev.evaluate_scene(pipe, args.source)
+    if args.instances:
+        result.update(ev.evaluate_scene_instances(pipe, args.source))
     print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
                       for k, v in result.items()}))
 

@@ -35,10 +35,16 @@ def concat_camera_grid(image_dict, out=None):
 
 
 class VideoSink:
-    def __init__(self, output_path, output_shape=(2880, 1080), fps=10):
+    def __init__(self, output_path, output_shape=(2880, 1080), fps=10, preset=None):
+        """preset: optional libx264 preset (e.g. 'ultrafast', 'veryfast').
+        None keeps the encoder's default — byte-parity with the reference's
+        settings (cama/tools.py:13-17). x264 at 2880x1080 dominates video
+        writing on a 1-core host, so 'ultrafast' is a ~3-5x knob when output
+        bitrate parity does not matter (config key: video_preset)."""
         self.output_path = str(output_path)
         self.output_shape = tuple(output_shape)  # (w, h)
         self.fps = fps
+        self.preset = preset
         self._proc = None
         self._writer = None
         self._frames_dir = None
@@ -48,6 +54,7 @@ class VideoSink:
     def _open(self):
         w, h = self.output_shape
         if shutil.which("ffmpeg"):
+            preset_args = ["-preset", self.preset] if self.preset else []
             self._proc = subprocess.Popen(
                 [
                     "ffmpeg", "-y", "-loglevel", "quiet",
@@ -57,6 +64,7 @@ class VideoSink:
                     "-framerate", str(self.fps),
                     "-i", "pipe:",
                     "-r", str(self.fps), "-pix_fmt", "yuv420p", "-vcodec", "libx264",
+                    *preset_args,
                     self.output_path,
                 ],
                 stdin=subprocess.PIPE,

@@ -656,16 +656,17 @@ class ClipPipeline:
         )
         return np.asarray(raster)[0]
 
-    def write_video(self, source, output_path, fps=10):
+    def write_video(self, source, output_path, fps=10, preset=None):
         h, w = self.scene.output_size
         n = 0
-        with VideoSink(output_path, output_shape=(w * 3, h * 2), fps=fps) as sink:
+        with VideoSink(output_path, output_shape=(w * 3, h * 2), fps=fps,
+                       preset=preset) as sink:
             for _, images in self.iter_frames(source):
                 sink.add_frame(concat_camera_grid(images))
                 n += 1
         return n
 
-    def write_videos(self, source_paths, fps=10, n_threads=6):
+    def write_videos(self, source_paths, fps=10, n_threads=6, preset=None):
         """Write several sources' overlay videos in ONE pass over the clip.
 
         The reference runs its whole frame loop once per label source
@@ -686,7 +687,8 @@ class ClipPipeline:
         try:
             for src, path in source_paths.items():
                 mode, k = self.overlay_mode(src)
-                sinks[src] = VideoSink(path, output_shape=(w * 3, h * 2), fps=fps)
+                sinks[src] = VideoSink(path, output_shape=(w * 3, h * 2), fps=fps,
+                                       preset=preset)
                 if mode == "raster":
                     streams[src] = ("raster", self.iter_overlay_rasters(src))
                 else:

@@ -188,3 +188,32 @@ def test_cama_vs_nuscenes_origin_labels(clip, tmp_path):
     )
     assert worse["SRE"] > base["SRE"] + 2.0
     assert worse["precision"] < base["precision"] - 0.2
+
+
+def test_instance_association_unit():
+    from cama_tpu.eval.map_metrics import instance_association
+
+    # map inst 1: votes 10x gt 5, 2x bg -> matched, purity 10/12
+    # map inst 2: all background -> unmatched, purity 0
+    # map inst 3: votes gt 7 -> matched
+    mi = np.array([1] * 12 + [2] * 4 + [3] * 3)
+    gi = np.array([5] * 10 + [0] * 2 + [0] * 4 + [7] * 3)
+    out = instance_association(mi, gi)
+    assert out["n_map_instances"] == 3
+    assert out["n_gt_instances"] == 2
+    assert abs(out["instance_precision"] - 2 / 3) < 1e-9
+    assert out["instance_recall"] >= 0.7  # crop-culled map twins may leave GT ids unclaimed
+    assert abs(out["mean_purity"] - (10 / 12 + 0.0 + 1.0) / 3) < 1e-9
+
+
+def test_scene_instance_metrics_self_consistent(clip):
+    """Masks generated from the clip's own labels: every visible map instance
+    must associate cleanly with its own GT id."""
+    ev = MapEvaluator(tolerance=4)
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    out = ev.evaluate_scene_instances(pipe, "cama")
+    assert out["frames_evaluated"] > 0
+    assert out["n_map_instances"] > 0
+    assert out["instance_precision"] == 1.0
+    assert out["instance_recall"] >= 0.7  # crop-culled map twins may leave GT ids unclaimed
+    assert out["mean_purity"] > 0.8  # nearest-downsampled thin masks leak some background votes
