@@ -115,7 +115,7 @@ def test_write_videos_one_pass_matches_two_pass(clip, pipe, monkeypatch):
     captured = {}
 
     class FakeSink:
-        def __init__(self, path, output_shape=None, fps=10):
+        def __init__(self, path, output_shape=None, fps=10, preset=None):
             self.path = path
             captured[path] = []
 
