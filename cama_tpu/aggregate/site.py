@@ -110,12 +110,15 @@ class Site:
         self.instances = []  # (class_name, points [P, 3] world, clip_index)
 
     @classmethod
-    def from_clips(cls, clip_paths, configs=None, dedupe_tol=0.5, name="site"):
+    def from_clips(cls, clip_paths, configs=None, dedupe_tol=0.5, name="site",
+                   refine=False):
         site = cls(name=name)
         configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         for path in clip_paths:
             scene = compile_scene(path, configs, sources=("cama",))
             site.add_clip(path, scene)
+        if refine:
+            site.refine_alignment()
         site.dedupe(tol=dedupe_tol)
         return site
 
@@ -198,6 +201,146 @@ class Site:
         removed = int((~keep_mask).sum())
         self.instances = [inst for inst, k in zip(self.instances, keep_mask) if k]
         return removed
+
+    # ---------------- joint alignment refinement ----------------
+
+    def refine_alignment(self, iters=600, lr=2e-2, tol=2.0, subsample=128):
+        """Joint Sim(3) bundle refinement across clips (ROADMAP: 'jointly
+        re-optimize per-clip Sim(3) against map-element correspondences').
+
+        The per-clip wigo-Umeyama estimates are independent; here a residual
+        delta-Sim(3) per clip (clip 0 anchored) is optimized by Adam on the
+        symmetric chamfer distance between candidate duplicate instance pairs
+        — the same [B, S, S] batched device reduction the dedupe uses, but
+        differentiable end-to-end under jax.grad.  Parameters are (so(3)
+        rotation vector, translation, log-scale); deltas compose onto the
+        stored Sim(3)s and instance points afterwards.
+
+        Returns (chamfer_before, chamfer_after) mean pair distances; no-op
+        (returns (0, 0)) when no cross-clip pairs exist within `tol`.
+        """
+        import optax
+
+        I = len(self.instances)
+        n_clips = len(self.clips)
+        if I < 2 or n_clips < 2:
+            return 0.0, 0.0
+        S = subsample
+        pts = np.zeros((I, S, 3), np.float32)
+        w = np.zeros((I, S), np.float32)
+        for k, (_, p, _) in enumerate(self.instances):
+            if len(p) > S:
+                sel = np.random.default_rng(0).choice(len(p), S, replace=False)
+                p = p[sel]
+            pts[k, : len(p)] = p
+            w[k, : len(p)] = 1.0 / len(p)
+        cls_id = np.asarray([hash(c) & 0x7FFFFFFF for c, _, _ in self.instances])
+        clip = np.asarray([ci for _, _, ci in self.instances], np.int32)
+        los = np.stack([p.min(0) for _, p, _ in self.instances])
+        his = np.stack([p.max(0) for _, p, _ in self.instances])
+        jj, ii = np.nonzero(
+            np.tril(np.ones((I, I), bool), -1)
+            & (cls_id[:, None] == cls_id[None, :])
+            & (clip[:, None] != clip[None, :])
+            & np.all(
+                np.maximum(los[:, None], los[None, :])
+                - np.minimum(his[:, None], his[None, :]) <= tol,
+                axis=-1,
+            )
+        )
+        if len(ii) == 0:
+            return 0.0, 0.0
+
+        pts_d = jnp.asarray(pts)
+        w_d = jnp.asarray(w)
+        ii_d = jnp.asarray(ii.astype(np.int32))
+        jj_d = jnp.asarray(jj.astype(np.int32))
+        clip_d = jnp.asarray(clip)
+        center = jnp.asarray(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0))
+
+        def rotvec_to_matrix(v):
+            # unnormalized Rodrigues: smooth at v=0 (norm(0) has a NaN grad)
+            K = jnp.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+            theta2 = jnp.sum(v * v) + 1e-16
+            theta = jnp.sqrt(theta2)
+            return (jnp.eye(3) + (jnp.sin(theta) / theta) * K
+                    + ((1 - jnp.cos(theta)) / theta2) * (K @ K))
+
+        def apply_delta(params, p, ci):
+            """delta Sim(3) of clip ci applied about the site centroid (so
+            rotation/scale gradients do not fight translation)."""
+            rv = params["rot"][ci]
+            t = params["t"][ci]
+            s = jnp.exp(params["log_s"][ci])
+            R = rotvec_to_matrix(rv)
+            return s * ((p - center) @ R.T) + center + t
+
+        def pair_chamfer(params):
+            a = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[ii_d], clip_d[ii_d])
+            b = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[jj_d], clip_d[jj_d])
+            wa, wb = w_d[ii_d], w_d[jj_d]
+            d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+            big = 1e30
+            d_ab = jnp.sqrt(jnp.min(jnp.where(wb[:, None, :] > 0, d2, big), axis=2)
+                            + 1e-12)
+            d_ba = jnp.sqrt(jnp.min(jnp.where(wa[:, :, None] > 0, d2, big), axis=1)
+                            + 1e-12)
+            per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
+            return per_pair.mean()
+
+        params = {
+            "rot": jnp.zeros((n_clips, 3)),
+            "t": jnp.zeros((n_clips, 3)),
+            "log_s": jnp.zeros((n_clips,)),
+        }
+        anchor = jnp.asarray(
+            (np.arange(n_clips) != 0).astype(np.float32))  # clip 0 frozen
+
+        opt = optax.adam(lr)
+        state = opt.init(params)
+
+        @jax.jit
+        def step(params, state):
+            loss, g = jax.value_and_grad(pair_chamfer)(params)
+            g = {
+                "rot": g["rot"] * anchor[:, None],
+                "t": g["t"] * anchor[:, None],
+                "log_s": g["log_s"] * anchor,
+            }
+            updates, state = opt.update(g, state)
+            return optax.apply_updates(params, updates), state, loss
+
+        before = float(pair_chamfer(params))
+        for _ in range(iters):
+            params, state, loss = step(params, state)
+        after = float(pair_chamfer(params))
+        if after >= before:  # refinement must never make the site worse
+            return before, before
+
+        # fold the deltas into stored Sim(3)s and world-frame instance points
+        rot = np.asarray(params["rot"])
+        tns = np.asarray(params["t"])
+        lgs = np.asarray(params["log_s"])
+        cen = np.asarray(center, np.float64)
+        deltas = []
+        for c in range(n_clips):
+            Rd = np.asarray(rotvec_to_matrix(jnp.asarray(rot[c])), np.float64)
+            sd = float(np.exp(lgs[c]))
+            td = tns[c].astype(np.float64)
+            deltas.append((Rd, td, sd))
+            path, scene, (r0, t0, s0) = self.clips[c]
+            # p' = sd Rd (p - cen) + cen + td with p = s0 R0 q + t0
+            r_new = Rd @ np.asarray(r0)
+            s_new = sd * s0
+            t_new = sd * (Rd @ (np.asarray(t0, np.float64) - cen)) + cen + td
+            self.clips[c] = (path, scene, (r_new, t_new, s_new))
+        self.instances = [
+            (cn, (deltas[ci][2] * ((np.asarray(p, np.float64) - cen)
+                                   @ deltas[ci][0].T) + cen
+                  + deltas[ci][1]).astype(np.float32), ci)
+            for cn, p, ci in self.instances
+        ]
+        return before, after
 
     # ---------------- outputs ----------------
 
@@ -285,12 +428,16 @@ def main(argv=None):
     parser.add_argument("--out-dir", required=True)
     parser.add_argument("--name", default="site")
     parser.add_argument("--dedupe-tol", type=float, default=0.5)
+    parser.add_argument("--refine", action="store_true",
+                        help="jointly refine per-clip Sim(3) (device Adam on "
+                             "cross-clip chamfer) before dedupe")
     parser.add_argument("--lidar", action="store_true", help="also aggregate LiDAR")
     parser.add_argument("--lidar-voxel", type=float, default=0.2)
     args = parser.parse_args(argv)
 
     os.makedirs(args.out_dir, exist_ok=True)
-    site = Site.from_clips(args.clips, dedupe_tol=args.dedupe_tol, name=args.name)
+    site = Site.from_clips(args.clips, dedupe_tol=args.dedupe_tol, name=args.name,
+                           refine=args.refine)
     labels = site.save_labels_json(os.path.join(args.out_dir, f"{args.name}_labels.json"))
     pcd = site.save_pcd(os.path.join(args.out_dir, f"{args.name}_map.pcd"))
     print(f"{len(site.clips)} clips -> {len(site.instances)} map elements")

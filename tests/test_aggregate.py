@@ -198,3 +198,46 @@ def test_device_dedupe_matches_host_greedy():
     assert kept_dev == kept_host
     assert removed_dev == 120 - len(kept_host)
     assert removed_dev > 10  # the fixture must actually exercise duplicates
+
+
+def test_refine_alignment_recovers_perturbation(site_clips):
+    """Perturb clip 1's estimated Sim(3) by a known small transform; joint
+    refinement (device Adam on cross-clip chamfer) must pull the pair
+    chamfer back down near the unperturbed level."""
+    from cama_tpu.aggregate.site import apply_sim3_points
+
+    a, b = site_clips
+    site = Site(name="ref")
+    for path in (a, b):
+        scene = compile_scene(path, sources=("cama",))
+        site.add_clip(path, scene)
+
+    # apply a known perturbation to clip 1's world points + stored Sim(3)
+    ang = np.deg2rad(1.5)
+    Rp = np.array([[np.cos(ang), -np.sin(ang), 0],
+                   [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    tp = np.array([0.8, -0.5, 0.1])
+    path1, scene1, (r1, t1, s1) = site.clips[1]
+    site.clips[1] = (path1, scene1, (Rp @ r1, Rp @ t1 + tp, s1))
+    site.instances = [
+        (c, (p @ Rp.T + tp).astype(np.float32) if ci == 1 else p, ci)
+        for c, p, ci in site.instances
+    ]
+
+    before, after = site.refine_alignment(iters=600, lr=2e-2, tol=4.0)
+    assert before > 2.0  # the perturbation is visible in the pair chamfer
+    # the clean (unperturbed) site's candidate pairs sit at ~1.02 mean
+    # chamfer (non-duplicate same-class pairs within tol dominate); the
+    # refinement must recover most of the way back to that floor
+    assert after < before * 0.45
+
+    # the folded Sim(3)s must be consistent with the refined instance points
+    for cls_name, pts, ci in site.instances[:3]:
+        _, scene, (r, t, s) = site.clips[ci]
+        # round-trip world -> sfm -> world through the stored Sim(3)
+        local = ((np.asarray(pts, np.float64) - t) @ np.asarray(r)) / s
+        back = apply_sim3_points(local, r, t, s)
+        np.testing.assert_allclose(back, pts, atol=1e-3)
+
+    removed = site.dedupe(tol=0.5)
+    assert removed > 0  # refined overlaps now dedupe like the clean site
