@@ -30,16 +30,27 @@ def main(root="/tmp/cama_demo"):
                           world_sim3={"yaw_deg": 5.0, "tx": 10.0, "ty": -4.0})
     add_instance_masks(a)
 
-    print("== overlay videos ==")
+    print("== overlay videos (one pass, shared base-image decode) ==")
     pipe = ClipPipeline(clip_path=a)
-    for source in pipe.scene.sources:
-        n = pipe.write_video(source, os.path.join(root, f"scene-a_{source}.mp4"))
+    counts = pipe.write_videos({
+        source: os.path.join(root, f"scene-a_{source}.mp4")
+        for source in pipe.scene.sources
+    })
+    for source, n in counts.items():
         print(f"  {source}: {n} frames")
     print(pipe.timers.report())
 
-    print("== map quality (SRE / precision / recall / F1) ==")
+    print("== map quality (SRE / precision / recall / F1; Chebyshev + exact-EDT) ==")
+    for distance in ("chebyshev", "euclidean"):
+        ev = MapEvaluator(distance=distance)
+        out = ev.evaluate_scene(pipe, "cama")
+        print(distance, json.dumps({k: round(v, 4) if isinstance(v, float) else v
+                                    for k, v in out.items()}))
+
+    print("== instance-level association (lane_ins ids) ==")
     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
-                      for k, v in MapEvaluator().evaluate_scene(pipe, "cama").items()}))
+                      for k, v in MapEvaluator(tolerance=4)
+                      .evaluate_scene_instances(pipe, "cama").items()}))
 
     print("== pose evaluation (cama chain vs ego odometry) ==")
     scmv = np.loadtxt(os.path.join(a, "odometry", "scmv_camera_front.txt"))
@@ -53,9 +64,10 @@ def main(root="/tmp/cama_demo"):
     print(f"  {len(cloud)} voxelized points")
 
     print("== CAMAv2 site aggregation (scene-a + misaligned scene-b) ==")
-    site = Site.from_clips([a, b])
+    site = Site.from_clips([a, b], refine=True)
     site.save_pcd(os.path.join(root, "site_map.pcd"))
-    print(f"  {len(site.instances)} merged map elements from {len(site.clips)} clips")
+    print(f"  {len(site.instances)} merged map elements from {len(site.clips)} clips "
+          f"(joint Sim(3) refinement on)")
     print("outputs in", root)
 
 
