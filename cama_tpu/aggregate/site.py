@@ -67,14 +67,17 @@ def apply_sim3_points(points, r, t, s):
 
 
 def chamfer_distance(a, b, subsample=256):
-    """Symmetric mean nearest-neighbor distance between two point sets."""
-    rng = np.random.default_rng(0)
+    """Symmetric mean nearest-neighbor distance between two point sets.
+
+    Each set subsamples with its own fresh rng(0), so a set's subsample
+    depends only on its own length — exactly what the batched device path
+    draws once per instance (dedupe/_candidate_pairs)."""
     a = np.asarray(a, dtype=np.float64)
     b = np.asarray(b, dtype=np.float64)
     if len(a) > subsample:
-        a = a[rng.choice(len(a), subsample, replace=False)]
+        a = a[np.random.default_rng(0).choice(len(a), subsample, replace=False)]
     if len(b) > subsample:
-        b = b[rng.choice(len(b), subsample, replace=False)]
+        b = b[np.random.default_rng(0).choice(len(b), subsample, replace=False)]
     d = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
     return 0.5 * (d.min(axis=1).mean() + d.min(axis=0).mean())
 
@@ -99,6 +102,41 @@ def _chamfer_pairs(pts, w, ii, jj):
     d_ab = jnp.sqrt(jnp.min(jnp.where(wb[:, None, :] > 0, d2, inf), axis=2))
     d_ba = jnp.sqrt(jnp.min(jnp.where(wa[:, :, None] > 0, d2, inf), axis=1))
     return 0.5 * (jnp.sum(d_ab * wa, axis=1) + jnp.sum(d_ba * wb, axis=1))
+
+
+def _candidate_pairs(instances, subsample, tol):
+    """Shared prefilter for dedupe and refinement: subsample every instance
+    once (fresh rng(0) per instance — same draw chamfer_distance makes) into
+    padded [I, S, 3] points + [I, S] mean-weights, and select cross-clip
+    same-class pairs whose bboxes come within `tol`.
+
+    Returns (pts, w, ii, jj, clip) with ii earlier / jj later instance
+    indices; ii/jj empty when nothing is in range.
+    """
+    I = len(instances)
+    S = subsample
+    pts = np.zeros((I, S, 3), np.float32)
+    w = np.zeros((I, S), np.float32)
+    for k, (_, p, _) in enumerate(instances):
+        if len(p) > S:
+            p = p[np.random.default_rng(0).choice(len(p), S, replace=False)]
+        pts[k, : len(p)] = p
+        w[k, : len(p)] = 1.0 / len(p)
+    cls_id = np.asarray([hash(c) & 0x7FFFFFFF for c, _, _ in instances], np.int64)
+    clip = np.asarray([ci for _, _, ci in instances], np.int32)
+    los = np.stack([p.min(0) for _, p, _ in instances])
+    his = np.stack([p.max(0) for _, p, _ in instances])
+    jj, ii = np.nonzero(
+        np.tril(np.ones((I, I), bool), -1)
+        & (cls_id[:, None] == cls_id[None, :])
+        & (clip[:, None] != clip[None, :])
+        & np.all(
+            np.maximum(los[:, None], los[None, :])
+            - np.minimum(his[:, None], his[None, :]) <= tol,
+            axis=-1,
+        )
+    )
+    return pts, w, ii, jj, clip
 
 
 class Site:
@@ -145,38 +183,7 @@ class Site:
         I = len(self.instances)
         if I < 2:
             return 0
-        S = subsample
-        pts = np.zeros((I, S, 3), np.float32)
-        w = np.zeros((I, S), np.float32)
-        for k, (_, p, _) in enumerate(self.instances):
-            # same per-instance subsample the host chamfer_distance draws
-            # (fresh default_rng(0) per set), so distances are unchanged
-            if len(p) > S:
-                sel = np.random.default_rng(0).choice(len(p), S, replace=False)
-                p = p[sel]
-            pts[k, : len(p)] = p
-            w[k, : len(p)] = 1.0 / len(p)
-
-        cls_id = np.asarray(
-            [hash(c) & 0x7FFFFFFF for c, _, _ in self.instances], np.int64
-        )
-        clip = np.asarray([ci for _, _, ci in self.instances], np.int32)
-        los = np.stack([p.min(0) for _, p, _ in self.instances])
-        his = np.stack([p.max(0) for _, p, _ in self.instances])
-
-        # candidate pairs (j later, i earlier): same class, different clip,
-        # bboxes within tol
-        jj, ii = np.nonzero(
-            np.tril(np.ones((I, I), bool), -1)
-            & (cls_id[:, None] == cls_id[None, :])
-            & (clip[:, None] != clip[None, :])
-            & np.all(
-                np.maximum(los[:, None], los[None, :])
-                - np.minimum(his[:, None], his[None, :])
-                <= tol,
-                axis=-1,
-            )
-        )
+        pts, w, ii, jj, _ = _candidate_pairs(self.instances, subsample, tol)
         close = np.zeros((I, I), bool)
         if len(ii):
             pts_d, w_d = jnp.asarray(pts), jnp.asarray(w)
@@ -225,29 +232,7 @@ class Site:
         n_clips = len(self.clips)
         if I < 2 or n_clips < 2:
             return 0.0, 0.0
-        S = subsample
-        pts = np.zeros((I, S, 3), np.float32)
-        w = np.zeros((I, S), np.float32)
-        for k, (_, p, _) in enumerate(self.instances):
-            if len(p) > S:
-                sel = np.random.default_rng(0).choice(len(p), S, replace=False)
-                p = p[sel]
-            pts[k, : len(p)] = p
-            w[k, : len(p)] = 1.0 / len(p)
-        cls_id = np.asarray([hash(c) & 0x7FFFFFFF for c, _, _ in self.instances])
-        clip = np.asarray([ci for _, _, ci in self.instances], np.int32)
-        los = np.stack([p.min(0) for _, p, _ in self.instances])
-        his = np.stack([p.max(0) for _, p, _ in self.instances])
-        jj, ii = np.nonzero(
-            np.tril(np.ones((I, I), bool), -1)
-            & (cls_id[:, None] == cls_id[None, :])
-            & (clip[:, None] != clip[None, :])
-            & np.all(
-                np.maximum(los[:, None], los[None, :])
-                - np.minimum(his[:, None], his[None, :]) <= tol,
-                axis=-1,
-            )
-        )
+        pts, w, ii, jj, clip = _candidate_pairs(self.instances, subsample, tol)
         if len(ii) == 0:
             return 0.0, 0.0
 

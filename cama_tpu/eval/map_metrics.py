@@ -350,13 +350,10 @@ class MapEvaluator:
         ids = self.instance_loader(pipeline, camera, image_idx)
         return None if ids is None else ids > 0
 
-    def evaluate_scene(self, pipeline, source="cama", frames=None):
-        """Run the metric over all valid frames that have GT masks.
-
-        Projection runs chunk-by-chunk (pipeline.chunk frames at a time) so
-        memory stays bounded for long scenes; per-frame partials are plain
-        sums, so they reduce the same way on one chip or psum'd across a
-        frame-sharded mesh (see parallel.sharded_map_metrics)."""
+    def _iter_frame_projections(self, pipeline, source, frames):
+        """Chunked device projection shared by every scene-level metric:
+        yields (image_idx, vu [C, P, 2], keep [C, P]) for each valid frame
+        (memory bounded at pipeline.chunk frames)."""
         import jax.numpy as jnp
 
         from cama_tpu.ops.geometry import project_frames
@@ -364,8 +361,6 @@ class MapEvaluator:
         fm, A, B, fv, F = pipeline._chunked_AB(source)
         points, cls, valid = pipeline.device_points(source)
         h, w = pipeline.scene.output_size
-        partials = []
-        evaluated = []
         for s in range(0, len(fv), pipeline.chunk):
             sl = slice(s, s + pipeline.chunk)
             vu_c, keep_c = project_frames(
@@ -380,23 +375,40 @@ class MapEvaluator:
                 image_idx = int(fm.frame_indices[k])
                 if frames is not None and image_idx not in frames:
                     continue
-                masks = []
-                ok = True
-                for camera in pipeline.scene.camera_list:
-                    m = self.mask_loader(pipeline, camera, image_idx)
-                    if m is None:
-                        ok = False
-                        break
-                    masks.append(m)
-                if not ok:
-                    continue
-                gt = jnp.asarray(np.stack(masks))
-                p = frame_metrics(
-                    gt, vu_c[kk], keep_c[kk], self.max_radius, self.tolerance,
-                    self.distance,
-                )
-                partials.append({k2: np.asarray(v) for k2, v in p.items()})
-                evaluated.append(image_idx)
+                yield image_idx, vu_c[kk], keep_c[kk]
+
+    def _load_all_cameras(self, pipeline, image_idx):
+        """Instance-id images for every camera, or None if any is missing."""
+        ids = []
+        for camera in pipeline.scene.camera_list:
+            m = self.instance_loader(pipeline, camera, image_idx)
+            if m is None:
+                return None
+            ids.append(m)
+        return np.stack(ids)
+
+    def evaluate_scene(self, pipeline, source="cama", frames=None):
+        """Run the metric over all valid frames that have GT masks.
+
+        Projection runs chunk-by-chunk (pipeline.chunk frames at a time) so
+        memory stays bounded for long scenes; per-frame partials are plain
+        sums, so they reduce the same way on one chip or psum'd across a
+        frame-sharded mesh (see parallel.sharded_map_metrics)."""
+        import jax.numpy as jnp
+
+        partials = []
+        evaluated = []
+        for image_idx, vu, keep in self._iter_frame_projections(
+                pipeline, source, frames):
+            ids = self._load_all_cameras(pipeline, image_idx)
+            if ids is None:
+                continue
+            p = frame_metrics(
+                jnp.asarray(ids > 0), vu, keep, self.max_radius,
+                self.tolerance, self.distance,
+            )
+            partials.append({k2: np.asarray(v) for k2, v in p.items()})
+            evaluated.append(image_idx)
         out = reduce_metrics(partials)
         out["frames_evaluated"] = len(evaluated)
         return out
@@ -407,49 +419,22 @@ class MapEvaluator:
         instance masks: each map instance's projected points vote on a GT
         instance id; reports precision/recall/purity (see
         instance_association)."""
-        import jax.numpy as jnp
-
-        from cama_tpu.ops.geometry import project_frames
-
-        fm, A, B, fv, F = pipeline._chunked_AB(source)
-        points, cls, valid = pipeline.device_points(source)
         point_inst = pipeline.scene.flat[source].inst
-        h, w = pipeline.scene.output_size
         all_mi, all_gi = [], []
         gt_visible = set()
         evaluated = 0
-        for s in range(0, len(fv), pipeline.chunk):
-            sl = slice(s, s + pipeline.chunk)
-            vu_c, keep_c = project_frames(
-                points, valid,
-                jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                w, h, pipeline._crop_lo, pipeline._crop_hi,
+        for image_idx, vu, keep in self._iter_frame_projections(
+                pipeline, source, frames):
+            stacked = self._load_all_cameras(pipeline, image_idx)
+            if stacked is None:
+                continue
+            mi, gi = frame_instance_pairs(
+                stacked, vu, keep, point_inst, self.tolerance
             )
-            for kk in range(vu_c.shape[0]):
-                k = s + kk
-                if k >= F or not fm.frame_valid[k]:
-                    continue
-                image_idx = int(fm.frame_indices[k])
-                if frames is not None and image_idx not in frames:
-                    continue
-                ids = []
-                ok = True
-                for camera in pipeline.scene.camera_list:
-                    m = self.instance_loader(pipeline, camera, image_idx)
-                    if m is None:
-                        ok = False
-                        break
-                    ids.append(m)
-                if not ok:
-                    continue
-                stacked = np.stack(ids)
-                mi, gi = frame_instance_pairs(
-                    stacked, vu_c[kk], keep_c[kk], point_inst, self.tolerance
-                )
-                all_mi.append(mi)
-                all_gi.append(gi)
-                gt_visible.update(np.unique(stacked[stacked > 0]).tolist())
-                evaluated += 1
+            all_mi.append(mi)
+            all_gi.append(gi)
+            gt_visible.update(np.unique(stacked[stacked > 0]).tolist())
+            evaluated += 1
         if not all_mi:
             return {"instance_precision": 0.0, "instance_recall": 0.0,
                     "mean_purity": 0.0, "n_map_instances": 0,

@@ -87,11 +87,29 @@ def run_local_scenes(scene_names, process_fn, **assign_kw):
     return results, failures
 
 
+def reduce_metric_partials(local_partial, metric_keys):
+    """THE multi-controller DCN reduction: each process contributes its own
+    scene-metric partial dict; every process receives the global sums.
+    O(#metrics) floats cross DCN per scene (process_allgather; identity in a
+    single process).  Use this in real multi-host deployments;
+    cross_host_metric_sum below is the single-controller (virtual-hosts /
+    one-slice) jitted equivalent."""
+    keys = tuple(sorted(metric_keys))
+    vec = np.asarray([float(local_partial.get(k, 0.0)) for k in keys],
+                     np.float32)
+    gathered = allgather_host_results(vec)  # [n_processes, n_keys]
+    totals = gathered.sum(axis=0)
+    return {k: float(v) for k, v in zip(keys, totals)}
+
+
 def cross_host_metric_sum(mesh, metric_keys):
-    """Jitted DCN reduction: each host contributes one metric-partial dict
-    (float32 scalars shaped [1] on its 'hosts' row); the result is the psum
-    over every host, replicated everywhere.  This is the only thing that ever
-    crosses DCN in the evaluation path — O(#metrics) floats per scene."""
+    """Jitted psum of metric partials over a mesh's 'hosts' axis.
+
+    Single-controller form (one process addressing all the mesh's devices —
+    a real slice or the virtual-hosts test mesh): the caller holds every
+    host-row's partial and the program reduces them with a psum collective.
+    For true multi-process deployments use reduce_metric_partials, which
+    moves each process's locally-held partial over DCN."""
     keys = tuple(sorted(metric_keys))
 
     def step(vals):  # vals: {k: [1] local shard of a [n_hosts] array}

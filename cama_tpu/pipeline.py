@@ -284,35 +284,52 @@ class MultiScenePipeline:
         Fs = [m[4] for m in mats]
         return fms, Fs, pts, cls, valid, A, B, fv
 
-    def iter_overlay_rasters(self):
+    def iter_overlay_rasters(self, max_in_flight=3):
         """Yields (scene_idx, image_idx, cls_raster [C, H, W] uint8) across
-        every member scene, chunk-batched over scenes."""
+        every member scene, chunk-batched over scenes.
+
+        Device memory stays bounded: at most `max_in_flight` chunks'
+        [S, chunk, C, H, W] buffers are pending at once (a site of many long
+        scenes would otherwise hold every raster on device), and rasters ride
+        the link 2-bit-packed whenever every member scene's class ids fit."""
         fms, Fs, pts, cls, valid, A, B, fv = self._stacked()
         h, w = self.pipelines[0].scene.output_size
         k = max(p.overlay_mode(self.source)[1] for p in self.pipelines)
+        use_2bit = all(p._use_2bit(self.source) for p in self.pipelines)
         lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
         ptsj, clsj, validj = jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(valid)
         pending = []
+
+        def drain(entry):
+            s, rasters = entry
+            rasters = np.asarray(rasters)  # [S, chunk, C, H, W(/4)]
+            if use_2bit:
+                rasters = unpack_cls_2bit(rasters, w)
+            out = []
+            for si, (fm, F) in enumerate(zip(fms, Fs)):
+                for kk in range(rasters.shape[1]):
+                    fidx = s + kk
+                    if fidx >= F or not fm.frame_valid[fidx]:
+                        continue
+                    out.append((si, int(fm.frame_indices[fidx]), rasters[si, kk]))
+            return out
+
         for s in range(0, fv.shape[1], self.chunk):
             sl = slice(s, s + self.chunk)
             rasters = _overlay_chunk_batched(
                 ptsj, validj, clsj,
                 jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl]),
-                lo, hi, w, h, k, False,
+                lo, hi, w, h, k, use_2bit,
             )
             try:
                 rasters.copy_to_host_async()
             except Exception:
                 pass
             pending.append((s, rasters))
-        for s, rasters in pending:
-            rasters = np.asarray(rasters)  # [S, chunk, C, H, W]
-            for si, (fm, F) in enumerate(zip(fms, Fs)):
-                for kk in range(rasters.shape[1]):
-                    fidx = s + kk
-                    if fidx >= F or not fm.frame_valid[fidx]:
-                        continue
-                    yield si, int(fm.frame_indices[fidx]), rasters[si, kk]
+            if len(pending) > max_in_flight:
+                yield from drain(pending.pop(0))
+        for entry in pending:
+            yield from drain(entry)
 
 
 class ClipPipeline:

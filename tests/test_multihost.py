@@ -70,3 +70,11 @@ def test_allgather_single_process_identity():
     out = allgather_host_results(np.array([1.0, 2.0]))
     assert out.shape == (1, 2)
     np.testing.assert_array_equal(out[0], [1.0, 2.0])
+
+
+def test_reduce_metric_partials_single_process():
+    from cama_tpu.parallel.multihost import reduce_metric_partials
+
+    out = reduce_metric_partials({"sre_sum": 3.5, "n_points": 10.0}, 
+                                 ["sre_sum", "n_points", "n_hit"])
+    assert out == {"n_hit": 0.0, "n_points": 10.0, "sre_sum": 3.5}

@@ -152,7 +152,9 @@ def test_multi_scene_pipeline_matches_per_scene(tmp_path):
     msp = MultiScenePipeline(pipes, source="cama", chunk=4)
 
     got = {}
-    for si, idx, raster in msp.iter_overlay_rasters():
+    # max_in_flight=1 forces the bounded-window drain path; the fixture's
+    # <=2 class ids also engage the 2-bit packed link format
+    for si, idx, raster in msp.iter_overlay_rasters(max_in_flight=1):
         got[(si, idx)] = raster
     assert len(got) > 0
 
