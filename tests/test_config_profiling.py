@@ -82,3 +82,28 @@ def test_phase_timers():
     assert t.total["work"] >= 0.02
     assert "work" in t.report()
     assert t.as_dict()["work"]["count"] == 2
+
+
+def test_perf_gate_floor_logic(tmp_path):
+    import json
+    import subprocess
+    import sys
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    line = {"metric": "m", "value": 700.0,
+            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 12.0,
+                        "dual_video_write_fps": 4.0, "backend": "tpu"}}
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(line))
+    gate = os.path.join(repo, "tools", "perf_gate.py")
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    line["value"] = 100.0  # below the headline floor
+    p.write_text(json.dumps(line))
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "headline" in r.stdout

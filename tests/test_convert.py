@@ -118,6 +118,36 @@ def test_union_overlap_matches_coverage_mask():
         assert (_union_mask(polys, xs, ys) == _union_mask(out, xs, ys)).all(), trial
 
 
+def test_union_rotated_polygons_match_coverage_mask():
+    """Non-axis-aligned inputs (rotated rectangles + triangles) stress the
+    general intersection/classification math, checked against the coverage
+    oracle."""
+    rng = np.random.default_rng(17)
+    for trial in range(6):
+        polys = []
+        for _ in range(4):
+            cx, cy = rng.uniform(1, 5, 2)
+            wd, ht = rng.uniform(0.8, 2.5, 2)
+            ang = rng.uniform(0, np.pi)
+            c, s = np.cos(ang), np.sin(ang)
+            R = np.array([[c, -s], [s, c]])
+            rect = np.array([[-wd, -ht], [wd, -ht], [wd, ht], [-wd, ht]]) / 2
+            polys.append(((rect @ R.T) + [cx, cy], []))
+        for _ in range(2):
+            tri = rng.uniform(0, 6, (3, 2))
+            if abs(geom.signed_area(tri)) > 0.3:  # skip degenerate slivers
+                polys.append((tri, []))
+        out = geom.union_polygons(polys)
+        xs = np.linspace(-0.73, 6.81, 97)
+        ys = np.linspace(-0.69, 6.77, 93)
+        m_in = _union_mask(polys, xs, ys)
+        m_out = _union_mask(out, xs, ys)
+        # sampling grid points can straddle the snapped boundary: allow a
+        # tiny disagreement band instead of exact equality
+        diff = (m_in != m_out).mean()
+        assert diff < 2e-3, (trial, diff)
+
+
 def test_union_island_inside_hole():
     # big square with a hole, plus an island floating inside that hole
     big = (_sq(0, 0, 4, 4), [_sq(1, 1, 3, 3)[::-1]])

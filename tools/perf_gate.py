@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Perf-regression gate: run bench.py and fail if the headline or any
+detail metric regresses below its floor.
+
+Floors live in tools/perf_floors.json (per-backend: the TPU tunnel and a CPU
+CI runner have very different absolute numbers).  A metric absent from the
+floors file is informational only.
+
+    python tools/perf_gate.py              # run bench, check floors
+    python tools/perf_gate.py --from FILE  # check an existing bench JSON line
+
+Exit code 0 = all floors met; 1 = regression; 2 = bench failed to run.
+"""
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+FLOORS_PATH = os.path.join(REPO, "tools", "perf_floors.json")
+
+
+def run_bench():
+    r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                       capture_output=True, text=True)
+    if r.returncode != 0:
+        print(r.stderr[-2000:], file=sys.stderr)
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
+def flatten(bench):
+    out = {"headline": bench.get("value")}
+    out.update({k: v for k, v in bench.get("details", {}).items()
+                if isinstance(v, (int, float))})
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--from", dest="from_file", default=None,
+                   help="check a stored bench JSON line instead of running")
+    p.add_argument("--floors", default=FLOORS_PATH)
+    args = p.parse_args(argv)
+
+    if args.from_file:
+        with open(args.from_file) as f:
+            bench = json.load(f)  # one JSON doc (bench line or driver wrapper)
+        if "parsed" in bench:  # driver BENCH_r*.json wrapper
+            bench = bench["parsed"]
+    else:
+        bench = run_bench()
+    if bench is None:
+        print("perf_gate: bench did not produce a JSON line", file=sys.stderr)
+        return 2
+
+    backend = bench.get("details", {}).get("backend", "unknown")
+    floors_all = json.load(open(args.floors)) if os.path.exists(args.floors) else {}
+    floors = floors_all.get(backend, {})
+    metrics = flatten(bench)
+
+    failures = []
+    for key, floor in floors.items():
+        got = metrics.get(key)
+        if got is None:
+            failures.append(f"{key}: missing from bench output (floor {floor})")
+        elif got < floor:
+            failures.append(f"{key}: {got} < floor {floor}")
+    report = {"backend": backend, "metrics": metrics,
+              "floors": floors, "failures": failures}
+    print(json.dumps(report))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
