@@ -114,14 +114,21 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=5, help="number of frames to check")
     parser.add_argument("--reference", default="/root/reference",
                         help="reference checkout (skipped if absent)")
+    parser.add_argument("--kernel", default="compact",
+                        choices=["compact", "scatter", "pallas"],
+                        help="device raster kernel to validate")
     args = parser.parse_args(argv)
 
-    pipe = ClipPipeline(clip_path=args.clip)
+    pipe = ClipPipeline(clip_path=args.clip, raster_kernel=args.kernel)
     fm = pipe.frame_matrices(args.source)
     valid_ids = [int(i) for i, v in zip(fm.frame_indices, fm.frame_valid) if v]
     frame_ids = set(valid_ids[: args.frames])
 
-    device = {i: f for i, f in pipe.iter_frames(args.source) if i in frame_ids}
+    # a non-default kernel must actually run: 'auto' may pick the sparse
+    # host-paint path, which bypasses the raster kernel entirely
+    mode = "auto" if args.kernel == "compact" else "raster"
+    device = {i: f for i, f in pipe.iter_frames(args.source, mode=mode)
+              if i in frame_ids}
     exact = host_exact_frames(pipe, args.source, frame_ids)
 
     report = {"clip": args.clip, "source": args.source, "frames": sorted(frame_ids)}

@@ -460,3 +460,43 @@ def test_converted_clip_renders_video(converted, tmp_path):
     n = pipe.write_video("nuscenes", str(out))
     assert n > 0
     assert out.exists() and out.stat().st_size > 1000
+
+
+def test_union_collinear_partial_edge_overlap():
+    """Two rectangles sharing only PART of an edge (collinear overlap without
+    matching vertices) — the case pure edge-cancellation cannot see."""
+    a = _sq(0, 0, 4, 2)
+    b = _sq(1, 2, 3, 4)  # sits on top of a's top edge, covering its middle
+    out = geom.union_polygons([(a, []), (b, [])])
+    assert len(out) == 1
+    ext, holes = out[0]
+    assert holes == []
+    assert abs(abs(geom.signed_area(ext)) - 12.0) < 1e-6
+    xs = np.linspace(-0.51, 4.53, 101)
+    ys = np.linspace(-0.49, 4.47, 103)
+    assert (_union_mask([(a, []), (b, [])], xs, ys) == _union_mask(out, xs, ys)).all()
+
+
+def test_union_vertex_on_edge():
+    """A polygon vertex lying exactly on another polygon's edge interior."""
+    a = _sq(0, 0, 4, 4)
+    tri = np.array([[2.0, 4.0], [3.0, 6.0], [1.0, 6.0]])  # apex on a's top edge
+    out = geom.union_polygons([(a, []), (tri, [])])
+    xs = np.linspace(-0.52, 6.51, 99)
+    ys = np.linspace(-0.53, 6.54, 97)
+    m_in = _union_mask([(a, []), (tri, [])], xs, ys)
+    m_out = _union_mask(out, xs, ys)
+    assert (m_in != m_out).mean() < 2e-3
+
+
+def test_union_three_way_concurrent_intersection():
+    """Three rectangles whose boundaries pass through one common point."""
+    a = _sq(0, 0, 2, 2)
+    b = _sq(2, 2, 4, 4)
+    c = _sq(1, 1, 3, 3)  # its corner region covers the meeting point of a,b
+    out = geom.union_polygons([(a, []), (b, []), (c, [])])
+    assert len(out) == 1
+    xs = np.linspace(-0.51, 4.49, 101)
+    ys = np.linspace(-0.53, 4.52, 97)
+    m_in = _union_mask([(a, []), (b, []), (c, [])], xs, ys)
+    assert (m_in == _union_mask(out, xs, ys)).all()
