@@ -241,3 +241,20 @@ def test_refine_alignment_recovers_perturbation(site_clips):
 
     removed = site.dedupe(tol=0.5)
     assert removed > 0  # refined overlaps now dedupe like the clean site
+
+
+def test_site_member_overlays_batched_matches_per_clip(site_clips):
+    """Batched site-map reprojection into all member clips must equal each
+    member's own pipeline reprojection of the 'site' source."""
+    site = Site.from_clips(site_clips)
+    got = {}
+    for ci, idx, raster in site.member_overlay_rasters(chunk=4):
+        got[(ci, idx)] = raster
+    assert len(got) > 0
+    for ci in range(len(site.clips)):
+        pipe = site.pipeline_for_clip(ci, chunk=4)
+        singles = dict(pipe.iter_overlay_rasters("site"))
+        assert {i for c, i in got if c == ci} == set(singles)
+        for idx, r in singles.items():
+            np.testing.assert_array_equal(got[(ci, idx)], r,
+                                          err_msg=f"clip {ci} frame {idx}")
