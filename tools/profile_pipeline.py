@@ -20,7 +20,7 @@ def main(argv=None):
     parser.add_argument("--source", default="cama")
     parser.add_argument("--mode", default="auto", choices=["auto", "raster", "sparse"])
     parser.add_argument("--chunk", type=int, default=8)
-    parser.add_argument("--raster-kernel", default="compact", choices=["compact", "scatter"])
+    parser.add_argument("--raster-kernel", default="compact", choices=["compact", "scatter", "pallas"])
     parser.add_argument("--trace-dir", default=None)
     parser.add_argument("--with-images", action="store_true",
                         help="run the full composite path (requires camera JPEGs)")
