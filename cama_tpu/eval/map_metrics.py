@@ -58,7 +58,10 @@ def _nearest_dist_rows(mask):
     """[..., H, W] bool -> float32 distance along axis -2 to the nearest True
     in the same column (1e4 where the column is empty)."""
     m = jnp.moveaxis(mask, -2, 0)  # [H, ..., W]
-    init = jnp.full(m.shape[1:], _EDT_INF, jnp.float32)
+    # derive the scan carry from the mask so its varying-axis type matches
+    # under shard_map (a constant init is 'unvarying' and scan rejects the
+    # carry mismatch when the rows vary over a mesh axis)
+    init = jnp.full(m.shape[1:], _EDT_INF, jnp.float32) + 0.0 * m[0].astype(jnp.float32)
 
     def step(carry, row):
         d = jnp.where(row, 0.0, carry + 1.0)

@@ -57,7 +57,8 @@ def pad_to_multiple(arr, multiple, axis=0, fill=0):
     return np.pad(arr, widths, constant_values=fill)
 
 
-def sharded_map_metrics(mesh, width, height, max_radius, tolerance):
+def sharded_map_metrics(mesh, width, height, max_radius, tolerance,
+                        distance="chebyshev"):
     """Multi-device SRE/precision/recall partials: frames sharded over the
     'frames' axis (gt masks + frame matrices per shard), partial sums psum'd
     into replicated scene totals — the north-star "SRE/F1 as on-device
@@ -78,7 +79,8 @@ def sharded_map_metrics(mesh, width, height, max_radius, tolerance):
                 points, valid, Af[None], Bf[None], fv[None], width, height,
                 crop_lo, crop_hi,
             )
-            p = frame_metrics(gt_f, vu[0], keep[0], max_radius, tolerance)
+            p = frame_metrics(gt_f, vu[0], keep[0], max_radius, tolerance,
+                              distance)
             # masked-out frames contribute nothing
             z = fv.astype(jnp.float32)
             return {k: v * z for k, v in p.items()}

@@ -56,3 +56,43 @@ def test_sharded_metrics_match_single_device(clip):
     merged = reduce_metrics([totals])
     for key in ["SRE", "precision", "recall", "f1"]:
         np.testing.assert_allclose(merged[key], single[key], rtol=1e-6, err_msg=key)
+
+
+
+
+def test_sharded_metrics_euclidean_matches_single_device():
+    """distance='euclidean' threads through the sharded psum step (incl. the
+    scan-carry varying-axis fix in _nearest_dist_rows) and matches
+    single-device frame_metrics sums.  Small synthetic shapes: the exact EDT
+    at full video size takes minutes on the 1-core CI host."""
+    from cama_tpu.eval.map_metrics import frame_metrics
+    from cama_tpu.ops.geometry import project_frames
+
+    F, C, H, W, P = 4, 2, 16, 24, 64
+    rng = np.random.default_rng(0)
+    points = rng.uniform(-5, 5, (P, 3)).astype(np.float32)
+    valid = np.ones(P, bool)
+    gt = rng.random((F, C, H, W)) < 0.1
+    A = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    B = rng.uniform(-1, 1, (F, C, 3, 4)).astype(np.float32)
+    fv = np.ones(F, bool)
+    lo = np.zeros(3, np.float32)
+    hi = np.ones(3, np.float32) * 50
+
+    mesh = make_mesh(n_frames_axis=4, n_points_axis=1)
+    step = sharded_map_metrics(mesh, W, H, 8, 3, distance="euclidean")
+    got = step(jnp.asarray(points), jnp.asarray(valid), jnp.asarray(gt),
+               jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
+               jnp.asarray(lo), jnp.asarray(hi))
+
+    totals = {}
+    for f in range(F):
+        vu, keep = project_frames(
+            jnp.asarray(points), jnp.asarray(valid), jnp.asarray(A[f:f + 1]),
+            jnp.asarray(B[f:f + 1]), jnp.ones(1, bool), W, H,
+            jnp.asarray(lo), jnp.asarray(hi))
+        p = frame_metrics(jnp.asarray(gt[f]), vu[0], keep[0], 8, 3, "euclidean")
+        for k2, v in p.items():
+            totals[k2] = totals.get(k2, 0.0) + float(v)
+    for k2, v in totals.items():
+        np.testing.assert_allclose(float(got[k2]), v, rtol=1e-5, err_msg=k2)
