@@ -392,12 +392,14 @@ class ClipPipeline:
 
     # ---------------- device passes ----------------
 
-    def iter_overlay_rasters(self, source):
+    def iter_overlay_rasters(self, source, max_in_flight=16):
         """Yield (image_idx, cls_raster [C, H, W] uint8 on host) per valid
-        frame.  All chunks are dispatched up-front (JAX dispatch is async), so
-        device compute and device->host transfer of later chunks overlap with
-        host consumption of earlier ones — this hides the per-call latency of
-        a tunneled TPU."""
+        frame.  Chunks are dispatched ahead of consumption (JAX dispatch is
+        async), so device compute and device->host transfer of later chunks
+        overlap with host consumption of earlier ones — this hides the
+        per-call latency of a tunneled TPU.  At most `max_in_flight` chunks'
+        rasters are pending on device at once, bounding memory on long
+        scenes."""
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
         use_2bit = self._use_2bit(source)
@@ -426,10 +428,24 @@ class ClipPipeline:
                 r = _overlay_chunk(points, valid, cls, A, B, fv, lo, hi, w_, h_)
                 return pack_cls_2bit(r) if use_2bit else r
 
+        def drain(entry):
+            s, rasters = entry
+            with self.timers.phase("raster_fetch"):
+                rasters = np.asarray(rasters)
+                if use_2bit:
+                    rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
+            out = []
+            for k in range(rasters.shape[0]):
+                fidx = s + k
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                out.append((int(fm.frame_indices[fidx]), rasters[k]))
+            return out
+
         pending = []
-        with self.timers.phase("device_dispatch"):
-            for s in range(0, len(fv), self.chunk):
-                sl = slice(s, s + self.chunk)
+        for s in range(0, len(fv), self.chunk):
+            sl = slice(s, s + self.chunk)
+            with self.timers.phase("device_dispatch"):
                 rasters = kernel(
                     points, valid, cls,
                     jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
@@ -440,16 +456,10 @@ class ClipPipeline:
                 except Exception:
                     pass
                 pending.append((s, rasters))  # dispatched async; fetched below
-        for s, rasters in pending:
-            with self.timers.phase("raster_fetch"):
-                rasters = np.asarray(rasters)
-                if use_2bit:
-                    rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
-            for k in range(rasters.shape[0]):
-                fidx = s + k
-                if fidx >= F or not fm.frame_valid[fidx]:
-                    continue
-                yield int(fm.frame_indices[fidx]), rasters[k]
+            if len(pending) > max_in_flight:
+                yield from drain(pending.pop(0))
+        for entry in pending:
+            yield from drain(entry)
 
     def project_source(self, source):
         """All frames' (vu, keep) as device arrays (for metrics / export).
@@ -569,20 +579,35 @@ class ClipPipeline:
         max_cls = int(fp.cls[fp.valid].max()) if fp.valid.any() else 0
         return max_cls <= 2  # raster values cls+1 must fit in 2 bits
 
-    def iter_sparse_points(self, source, k=None):
+    def iter_sparse_points(self, source, k=None, max_in_flight=16):
         """Scatter-free device path: yields (image_idx, vals [C, k] int32,
         counts [C]) per valid frame.  A count > k signals overflow (the caller
-        must fall back to the dense raster for that frame)."""
+        must fall back to the dense raster for that frame).  At most
+        `max_in_flight` chunks stay pending on device."""
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
         if k is None:
             P = points.shape[0]
             k = min(P, max(4096, -(-(P // 3) // 1024) * 1024))
+
+        def drain(entry):
+            s, (vals, counts) = entry
+            with self.timers.phase("sparse_fetch"):
+                vals = np.asarray(vals)
+                counts = np.asarray(counts)
+            out = []
+            for kk in range(vals.shape[0]):
+                fidx = s + kk
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                out.append((int(fm.frame_indices[fidx]), vals[kk], counts[kk]))
+            return out
+
         pending = []
-        with self.timers.phase("device_dispatch"):
-            for s in range(0, len(fv), self.chunk):
-                sl = slice(s, s + self.chunk)
+        for s in range(0, len(fv), self.chunk):
+            sl = slice(s, s + self.chunk)
+            with self.timers.phase("device_dispatch"):
                 out = _project_compact_chunk(
                     points, valid, cls,
                     jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
@@ -594,15 +619,10 @@ class ClipPipeline:
                     except Exception:
                         pass
                 pending.append((s, out))
-        for s, (vals, counts) in pending:
-            with self.timers.phase("sparse_fetch"):
-                vals = np.asarray(vals)
-                counts = np.asarray(counts)
-            for kk in range(vals.shape[0]):
-                fidx = s + kk
-                if fidx >= F or not fm.frame_valid[fidx]:
-                    continue
-                yield int(fm.frame_indices[fidx]), vals[kk], counts[kk]
+            if len(pending) > max_in_flight:
+                yield from drain(pending.pop(0))
+        for entry in pending:
+            yield from drain(entry)
 
     def composite_frame_sparse(self, source, image_idx, vals, counts, pool=None,
                                base=None):
