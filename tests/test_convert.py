@@ -500,3 +500,25 @@ def test_union_three_way_concurrent_intersection():
     ys = np.linspace(-0.53, 4.52, 97)
     m_in = _union_mask([(a, []), (b, []), (c, [])], xs, ys)
     assert (m_in == _union_mask(out, xs, ys)).all()
+
+
+def test_union_fuzz_with_holes():
+    """Random rectangles-with-holes unions vs the coverage oracle."""
+    rng = np.random.default_rng(23)
+    for trial in range(5):
+        polys = []
+        for _ in range(3):
+            x0, y0 = rng.uniform(0, 3, 2)
+            wd, ht = rng.uniform(1.5, 3.0, 2)
+            ext = _sq(x0, y0, x0 + wd, y0 + ht)
+            holes = []
+            if rng.random() < 0.7:
+                hx, hy = x0 + wd * 0.3, y0 + ht * 0.3
+                holes.append(_sq(hx, hy, hx + wd * 0.35, hy + ht * 0.35)[::-1])
+            polys.append((ext, holes))
+        out = geom.union_polygons(polys)
+        xs = np.linspace(-0.52, 6.54, 95)
+        ys = np.linspace(-0.47, 6.51, 89)
+        m_in = _union_mask(polys, xs, ys)
+        m_out = _union_mask(out, xs, ys)
+        assert (m_in != m_out).mean() < 2e-3, trial

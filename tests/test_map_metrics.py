@@ -217,3 +217,23 @@ def test_scene_instance_metrics_self_consistent(clip):
     assert out["instance_precision"] == 1.0
     assert out["instance_recall"] >= 0.7  # crop-culled map twins may leave GT ids unclaimed
     assert out["mean_purity"] > 0.8  # nearest-downsampled thin masks leak some background votes
+
+
+def test_squared_edt_edge_masks():
+    from scipy.ndimage import distance_transform_edt
+
+    from cama_tpu.eval.map_metrics import squared_edt
+
+    # full-True mask: all distances zero
+    m = np.ones((12, 20), bool)
+    assert (np.asarray(squared_edt(jnp.asarray(m))) == 0).all()
+    # single pixel
+    m = np.zeros((15, 17), bool)
+    m[7, 3] = True
+    got = np.asarray(squared_edt(jnp.asarray(m)))
+    np.testing.assert_allclose(got, distance_transform_edt(~m) ** 2, atol=1e-3)
+    # single row / single column masks (degenerate scan directions)
+    m = np.zeros((9, 11), bool)
+    m[0, :] = True
+    got = np.asarray(squared_edt(jnp.asarray(m)))
+    np.testing.assert_allclose(got, distance_transform_edt(~m) ** 2, atol=1e-3)
