@@ -33,8 +33,10 @@ def voxel_downsample(points, voxel):
     """Keep one point per voxel (first in input order). Host NumPy: 64-bit
     voxel keys don't survive JAX's default 32-bit ints, and aggregation is an
     I/O-bound batch job anyway."""
-    pts = np.asarray(points, dtype=np.float32)
-    q = np.floor(pts / voxel).astype(np.int64)
+    pts = np.asarray(points)
+    # quantize in float64: UTM-scale inputs cast to f32 would alias voxels
+    # (f32 spacing ~0.5 m at 1e6 m exceeds typical voxel sizes)
+    q = np.floor(pts.astype(np.float64) / voxel).astype(np.int64)
     _, first_idx = np.unique(q, axis=0, return_index=True)
     return pts[np.sort(first_idx)]
 

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+from functools import partial
 
 import numpy as np
 
@@ -63,7 +64,10 @@ def estimate_sim3_to_world(scene, t_max_diff=0.5):
 
 
 def apply_sim3_points(points, r, t, s):
-    return (s * (np.asarray(points, dtype=np.float64) @ np.asarray(r).T) + t).astype(np.float32)
+    """float64 output: the wigo world frame is global UTM, where casting to
+    f32 quantizes coordinates by up to ~0.5 m — the same order as the dedupe
+    tolerance.  Device kernels recenter before any f32 cast."""
+    return s * (np.asarray(points, dtype=np.float64) @ np.asarray(r).T) + t
 
 
 def chamfer_distance(a, b, subsample=256):
@@ -110,22 +114,30 @@ def _candidate_pairs(instances, subsample, tol):
     padded [I, S, 3] points + [I, S] mean-weights, and select cross-clip
     same-class pairs whose bboxes come within `tol`.
 
-    Returns (pts, w, ii, jj, clip) with ii earlier / jj later instance
-    indices; ii/jj empty when nothing is in range.
+    Points are RECENTERED by the site mean before the f32 cast: world
+    coordinates are UTM-scale, where raw f32 would quantize by ~0.5 m.
+    Chamfer distances are translation-invariant, so values are unchanged.
+
+    Returns (pts, w, ii, jj, clip, center) with ii earlier / jj later
+    instance indices (empty when nothing is in range); `center` [3] f64 is
+    the subtracted offset.
     """
     I = len(instances)
     S = subsample
+    center = np.mean(
+        [np.asarray(p, np.float64).mean(0) for _, p, _ in instances], axis=0
+    )
     pts = np.zeros((I, S, 3), np.float32)
     w = np.zeros((I, S), np.float32)
     for k, (_, p, _) in enumerate(instances):
         if len(p) > S:
             p = p[np.random.default_rng(0).choice(len(p), S, replace=False)]
-        pts[k, : len(p)] = p
+        pts[k, : len(p)] = np.asarray(p, np.float64) - center
         w[k, : len(p)] = 1.0 / len(p)
     cls_id = np.asarray([hash(c) & 0x7FFFFFFF for c, _, _ in instances], np.int64)
     clip = np.asarray([ci for _, _, ci in instances], np.int32)
-    los = np.stack([p.min(0) for _, p, _ in instances])
-    his = np.stack([p.max(0) for _, p, _ in instances])
+    los = np.stack([np.asarray(p, np.float64).min(0) for _, p, _ in instances])
+    his = np.stack([np.asarray(p, np.float64).max(0) for _, p, _ in instances])
     jj, ii = np.nonzero(
         np.tril(np.ones((I, I), bool), -1)
         & (cls_id[:, None] == cls_id[None, :])
@@ -136,7 +148,7 @@ def _candidate_pairs(instances, subsample, tol):
             axis=-1,
         )
     )
-    return pts, w, ii, jj, clip
+    return pts, w, ii, jj, clip, center
 
 
 class Site:
@@ -183,7 +195,7 @@ class Site:
         I = len(self.instances)
         if I < 2:
             return 0
-        pts, w, ii, jj, _ = _candidate_pairs(self.instances, subsample, tol)
+        pts, w, ii, jj, _, _ = _candidate_pairs(self.instances, subsample, tol)
         close = np.zeros((I, I), bool)
         if len(ii):
             pts_d, w_d = jnp.asarray(pts), jnp.asarray(w)
@@ -232,16 +244,29 @@ class Site:
         n_clips = len(self.clips)
         if I < 2 or n_clips < 2:
             return 0.0, 0.0
-        pts, w, ii, jj, clip = _candidate_pairs(self.instances, subsample, tol)
+        pts, w, ii, jj, clip, world_center = _candidate_pairs(self.instances, subsample, tol)
         if len(ii) == 0:
             return 0.0, 0.0
 
+        # pad pairs to a block multiple: the differentiable chamfer runs as a
+        # lax.map over PAIR_BLOCK-sized blocks, bounding device memory at the
+        # same ~33 MB per block the dedupe uses (an unchunked [B, S, S] with
+        # thousands of pairs would OOM under value_and_grad)
+        n_pairs = len(ii)
+        pad = (-n_pairs) % PAIR_BLOCK
+        ii_p = np.pad(ii, (0, pad))
+        jj_p = np.pad(jj, (0, pad))
+        pair_mask = np.pad(np.ones(n_pairs, np.float32), (0, pad))
+
         pts_d = jnp.asarray(pts)
         w_d = jnp.asarray(w)
-        ii_d = jnp.asarray(ii.astype(np.int32))
-        jj_d = jnp.asarray(jj.astype(np.int32))
+        ii_d = jnp.asarray(ii_p.astype(np.int32)).reshape(-1, PAIR_BLOCK)
+        jj_d = jnp.asarray(jj_p.astype(np.int32)).reshape(-1, PAIR_BLOCK)
+        mask_d = jnp.asarray(pair_mask).reshape(-1, PAIR_BLOCK)
         clip_d = jnp.asarray(clip)
         center = jnp.asarray(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0))
+        # the MXU defaults to bfloat16 passes; sub-meter residuals need f32
+        _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
         def rotvec_to_matrix(v):
             # unnormalized Rodrigues: smooth at v=0 (norm(0) has a NaN grad)
@@ -249,7 +274,7 @@ class Site:
             theta2 = jnp.sum(v * v) + 1e-16
             theta = jnp.sqrt(theta2)
             return (jnp.eye(3) + (jnp.sin(theta) / theta) * K
-                    + ((1 - jnp.cos(theta)) / theta2) * (K @ K))
+                    + ((1 - jnp.cos(theta)) / theta2) * _mm(K, K))
 
         def apply_delta(params, p, ci):
             """delta Sim(3) of clip ci applied about the site centroid (so
@@ -258,20 +283,25 @@ class Site:
             t = params["t"][ci]
             s = jnp.exp(params["log_s"][ci])
             R = rotvec_to_matrix(rv)
-            return s * ((p - center) @ R.T) + center + t
+            return s * _mm(p - center, R.T) + center + t
 
         def pair_chamfer(params):
-            a = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[ii_d], clip_d[ii_d])
-            b = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[jj_d], clip_d[jj_d])
-            wa, wb = w_d[ii_d], w_d[jj_d]
-            d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
-            big = 1e30
-            d_ab = jnp.sqrt(jnp.min(jnp.where(wb[:, None, :] > 0, d2, big), axis=2)
-                            + 1e-12)
-            d_ba = jnp.sqrt(jnp.min(jnp.where(wa[:, :, None] > 0, d2, big), axis=1)
-                            + 1e-12)
-            per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
-            return per_pair.mean()
+            def block(args):
+                bi, bj, bm = args
+                a = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[bi], clip_d[bi])
+                b = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[bj], clip_d[bj])
+                wa, wb = w_d[bi], w_d[bj]
+                d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+                big = 1e30
+                d_ab = jnp.sqrt(
+                    jnp.min(jnp.where(wb[:, None, :] > 0, d2, big), axis=2) + 1e-12)
+                d_ba = jnp.sqrt(
+                    jnp.min(jnp.where(wa[:, :, None] > 0, d2, big), axis=1) + 1e-12)
+                per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
+                return jnp.sum(per_pair * bm)
+
+            sums = jax.lax.map(block, (ii_d, jj_d, mask_d))
+            return sums.sum() / n_pairs
 
         params = {
             "rot": jnp.zeros((n_clips, 3)),
@@ -295,18 +325,21 @@ class Site:
             updates, state = opt.update(g, state)
             return optax.apply_updates(params, updates), state, loss
 
-        before = float(pair_chamfer(params))
+        pair_chamfer_j = jax.jit(pair_chamfer)
+        before = float(pair_chamfer_j(params))
         for _ in range(iters):
             params, state, loss = step(params, state)
-        after = float(pair_chamfer(params))
+        after = float(pair_chamfer_j(params))
         if after >= before:  # refinement must never make the site worse
             return before, before
 
-        # fold the deltas into stored Sim(3)s and world-frame instance points
+        # fold the deltas into stored Sim(3)s and world-frame instance
+        # points; the optimization ran in recentered coordinates, so the
+        # world-frame pivot is world_center + the local centroid
         rot = np.asarray(params["rot"])
         tns = np.asarray(params["t"])
         lgs = np.asarray(params["log_s"])
-        cen = np.asarray(center, np.float64)
+        cen = np.asarray(world_center, np.float64) + np.asarray(center, np.float64)
         deltas = []
         for c in range(n_clips):
             Rd = np.asarray(rotvec_to_matrix(jnp.asarray(rot[c])), np.float64)
@@ -320,22 +353,35 @@ class Site:
             t_new = sd * (Rd @ (np.asarray(t0, np.float64) - cen)) + cen + td
             self.clips[c] = (path, scene, (r_new, t_new, s_new))
         self.instances = [
-            (cn, (deltas[ci][2] * ((np.asarray(p, np.float64) - cen)
-                                   @ deltas[ci][0].T) + cen
-                  + deltas[ci][1]).astype(np.float32), ci)
+            (cn, deltas[ci][2] * ((np.asarray(p, np.float64) - cen)
+                                  @ deltas[ci][0].T) + cen + deltas[ci][1], ci)
             for cn, p, ci in self.instances
         ]
         return before, after
 
     # ---------------- outputs ----------------
 
-    def flat_points(self, class_names=None, pad_multiple=1024):
+    def flat_points(self, class_names=None, pad_multiple=1024, recenter=True):
         """Merged map as FlatPoints (device-ready, same layout the per-clip
-        pipeline consumes)."""
-        return lift.flatten_instances(
-            [(c, p) for c, p, _ in self.instances],
+        pipeline consumes).
+
+        recenter=True subtracts the site centroid before the f32 device
+        layout (UTM-scale world coordinates would quantize by ~0.5 m in f32)
+        and returns (flat, center); pass recenter=False for raw world
+        coordinates when the consumer handles precision itself."""
+        pts = [(c, np.asarray(p, np.float64)) for c, p, _ in self.instances]
+        if not recenter:
+            return lift.flatten_instances(
+                [(c, p.astype(np.float32)) for c, p in pts],
+                class_names=class_names, pad_multiple=pad_multiple,
+            )
+        center = (np.mean([p.mean(0) for _, p in pts], axis=0)
+                  if pts else np.zeros(3))
+        flat = lift.flatten_instances(
+            [(c, (p - center).astype(np.float32)) for c, p in pts],
             class_names=class_names, pad_multiple=pad_multiple,
         )
+        return flat, center
 
     def save_labels_json(self, path):
         """Site map as a reference-schema label JSON (world-frame meters,

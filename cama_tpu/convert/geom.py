@@ -2,9 +2,9 @@
 
 The reference leans on shapely (dataset/nuscenes2clip.py:10-11) for patch
 clipping, polygon union, and ring extraction.  shapely is an optional
-dependency here: when importable, `shapely_backend()` delegates union /
-linemerge to it (reference-parity path); the default pure-NumPy backend
-provides:
+dependency here: when importable, `union_polygons` delegates to shapely
+automatically (reference-parity path) and `shapely_backend()` additionally
+exposes a shapely linemerge; the default pure-NumPy backend provides:
 
   * polyline clip to an axis-aligned box (exact, splits at exits)
   * polygon clip via Sutherland-Hodgman (exact for the convex box window)
@@ -114,7 +114,14 @@ def clip_polyline_to_box(pts, minx, miny, maxx, maxy):
 
 
 def clip_polygon_to_box(ring, minx, miny, maxx, maxy):
-    """Sutherland-Hodgman polygon ∩ box -> single ring [K, 2] or None."""
+    """Sutherland-Hodgman polygon ∩ box -> single ring [K, 2] or None.
+
+    Exact for intersections that are a single connected region (always true
+    for convex inputs).  A concave polygon whose box intersection is
+    DISCONNECTED comes back as one self-touching ring whose pieces are joined
+    by doubled zero-width bridge edges along the box boundary; the NumPy
+    union_polygons cancels those bridges (both sides equally covered), and
+    the shapely delegation repairs them via buffer(0)."""
     poly = [np.asarray(p, dtype=np.float64) for p in np.asarray(ring, dtype=np.float64)]
 
     def clip_edge(poly, axis, value, keep_less):
@@ -333,7 +340,7 @@ def union_polygons(polygons, snap=1e-6, eps=5e-5):
     # nest: island exteriors sit inside another polygon's hole)
     out = [(ext, []) for ext in exteriors]
     for h in holes:
-        probe = h[0]
+        probe = _interior_probe(h)
         containing = [
             (abs(signed_area(ext)), slot)
             for slot, (ext, _) in enumerate(out)
@@ -342,6 +349,28 @@ def union_polygons(polygons, snap=1e-6, eps=5e-5):
         if containing:
             out[min(containing)[1]][1].append(h)
     return out
+
+
+def _interior_probe(ring, eps=1e-5):
+    """A point strictly inside the ring polygon — edge midpoints nudged along
+    both normals, falling back to the first vertex.  A bare ring vertex can
+    sit exactly ON a containing exterior at a pinch vertex, making the
+    even-odd test knife-edged."""
+    ring = np.asarray(ring, dtype=np.float64)
+    n = len(ring)
+    for i in range(min(n, 8)):
+        a, b = ring[i], ring[(i + 1) % n]
+        mid = 0.5 * (a + b)
+        d = b - a
+        L = np.hypot(d[0], d[1])
+        if L < 1e-12:
+            continue
+        nrm = np.array([-d[1], d[0]]) / L
+        for sgn in (1.0, -1.0):
+            p = mid + sgn * eps * nrm
+            if _point_in_ring(p, ring):
+                return p
+    return ring[0]
 
 
 def union_tiling_polygons(polygons):
@@ -365,7 +394,16 @@ def shapely_backend():
     from shapely.ops import linemerge as shp_linemerge, unary_union
 
     def _union(polygons):
-        shp = [Polygon(ext, holes) for ext, holes in polygons]
+        # buffer(0) repairs self-touching rings (e.g. the bridged output of
+        # clip_polygon_to_box on disconnected concave intersections), which
+        # unary_union would otherwise reject with a TopologyException
+        shp = []
+        for ext, holes in polygons:
+            p = Polygon(ext, holes)
+            if not p.is_valid:
+                p = p.buffer(0)
+            if not p.is_empty:
+                shp.append(p)
         u = unary_union(shp)
         geoms = list(u.geoms) if isinstance(u, MultiPolygon) else [u]
         out = []

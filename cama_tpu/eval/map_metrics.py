@@ -118,11 +118,7 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"
     if distance == "euclidean":
         return _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance)
     C, H, W = gt_mask.shape
-    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
-    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
-
-    def gather(mask_c, vi_c, ui_c):
-        return mask_c[vi_c, ui_c]
+    vi, ui = _clip_pixels(vu, H, W)
 
     # SRE: accumulate not-covered indicators over dilation rounds; run enough
     # rounds to serve BOTH the (capped) distance sum and the tolerance
@@ -131,7 +127,7 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"
     covered_tol = None
     m = gt_mask
     for d in range(max(max_radius, tolerance + 1)):
-        at_pts = jax.vmap(gather)(m, vi, ui)  # [C, P]
+        at_pts = _gather_at(m, vi, ui)  # [C, P]
         if d < max_radius:
             dist = dist + (~at_pts).astype(jnp.float32)
         if d == tolerance:
@@ -144,13 +140,7 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"
     n_hit = jnp.sum(covered_tol.astype(jnp.float32) * kf)
 
     # recall: dilate the projected point raster by `tolerance`, intersect gt
-    def point_raster(vi_c, ui_c, keep_c):
-        buf = jnp.zeros((H * W + 1,), bool)
-        idx = jnp.where(keep_c, vi_c * W + ui_c, H * W)
-        buf = buf.at[idx].set(True, mode="drop")
-        return buf[:-1].reshape(H, W)
-
-    pr = jax.vmap(point_raster)(vi, ui, keep)
+    pr = _point_raster(vi, ui, keep, H, W)
     for _ in range(tolerance):
         pr = dilate3x3(pr)
     gt_total = jnp.sum(gt_mask)
@@ -164,33 +154,43 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"
     }
 
 
+def _clip_pixels(vu, H, W):
+    """[..., P, 2] float (v, u) -> integer pixel indices clipped into image."""
+    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
+    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
+    return vi, ui
+
+
+def _gather_at(img, vi, ui):
+    """Per-camera gather: img [C, H, W] at (vi, ui) [C, P] -> [C, P]."""
+    return jax.vmap(lambda m, v, u: m[v, u])(img, vi, ui)
+
+
+def _point_raster(vi, ui, keep, H, W):
+    """Scatter kept points into a [C, H, W] bool raster (drop-index trick)."""
+
+    def one(vi_c, ui_c, keep_c):
+        buf = jnp.zeros((H * W + 1,), bool)
+        idx = jnp.where(keep_c, vi_c * W + ui_c, H * W)
+        buf = buf.at[idx].set(True, mode="drop")
+        return buf[:-1].reshape(H, W)
+
+    return jax.vmap(one)(vi, ui, keep)
+
+
 def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
     """Euclidean variant of frame_metrics: point->mask distances sampled from
     the gt EDT; recall from the EDT of the projected-point raster."""
     C, H, W = gt_mask.shape
-    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
-    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
-
-    D_gt = squared_edt(gt_mask)  # [C, H, W]
-
-    def gather(d_c, vi_c, ui_c):
-        return d_c[vi_c, ui_c]
-
-    d2_pts = jax.vmap(gather)(D_gt, vi, ui)  # [C, P]
+    vi, ui = _clip_pixels(vu, H, W)
+    d2_pts = _gather_at(squared_edt(gt_mask), vi, ui)  # [C, P]
     dist = jnp.minimum(jnp.sqrt(d2_pts), float(max_radius))
     kf = keep.astype(jnp.float32)
     sre_sum = jnp.sum(dist * kf)
     n_points = jnp.sum(kf)
     n_hit = jnp.sum((d2_pts <= float(tolerance) ** 2) * kf)
 
-    def point_raster(vi_c, ui_c, keep_c):
-        buf = jnp.zeros((H * W + 1,), bool)
-        idx = jnp.where(keep_c, vi_c * W + ui_c, H * W)
-        buf = buf.at[idx].set(True, mode="drop")
-        return buf[:-1].reshape(H, W)
-
-    pr = jax.vmap(point_raster)(vi, ui, keep)
-    D_pts = squared_edt(pr)
+    D_pts = squared_edt(_point_raster(vi, ui, keep, H, W))
     gt_total = jnp.sum(gt_mask)
     gt_covered = jnp.sum(gt_mask & (D_pts <= float(tolerance) ** 2))
     return {
@@ -208,20 +208,24 @@ def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
 
 
 def dilate_ids(ids, rounds):
-    """Max-dilate an instance-id image (0 = background) so points within
-    `rounds` px of an instance gather its id.  Where two instances are within
-    2*rounds px of each other the larger id wins in the overlap — an
-    approximation acceptable for association voting."""
+    """Max-dilate an instance-id image (0 = background) with the SAME
+    8-neighborhood dilate3x3 uses, so instance voting and the binary
+    precision/recall metrics share one tolerance geometry (Chebyshev disc).
+    Where two instances are within 2*rounds px of each other the larger id
+    wins in the overlap — an approximation acceptable for association
+    voting."""
     out = jnp.asarray(ids)
     for _ in range(rounds):
         n = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(1, 1), (1, 1)])
-        out = jnp.maximum(
-            out,
-            jnp.maximum(
-                jnp.maximum(n[..., :-2, 1:-1], n[..., 2:, 1:-1]),
-                jnp.maximum(n[..., 1:-1, :-2], n[..., 1:-1, 2:]),
-            ),
-        )
+        m = out
+        for dy in (0, 1, 2):
+            for dx in (0, 1, 2):
+                if dy == 1 and dx == 1:
+                    continue
+                m = jnp.maximum(
+                    m, n[..., dy:dy + out.shape[-2], dx:dx + out.shape[-1]]
+                )
+        out = m
     return out
 
 
@@ -235,14 +239,9 @@ def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance):
     background even after `tolerance` rounds of id dilation).
     """
     C, H, W = gt_ids.shape
-    vi = jnp.clip(vu[..., 0].astype(jnp.int32), 0, H - 1)
-    ui = jnp.clip(vu[..., 1].astype(jnp.int32), 0, W - 1)
+    vi, ui = _clip_pixels(vu, H, W)
     gt_d = dilate_ids(jnp.asarray(gt_ids).astype(jnp.int32), tolerance)
-
-    def gather(g_c, vi_c, ui_c):
-        return g_c[vi_c, ui_c]
-
-    g_at = np.asarray(jax.vmap(gather)(gt_d, vi, ui))  # [C, P]
+    g_at = np.asarray(_gather_at(gt_d, vi, ui))  # [C, P]
     keep_np = np.asarray(keep)
     mi = np.broadcast_to(np.asarray(point_inst)[None, :], keep_np.shape)[keep_np]
     return mi.astype(np.int64), g_at[keep_np].astype(np.int64)

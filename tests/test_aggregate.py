@@ -106,7 +106,7 @@ def test_site_merge_and_dedupe(site_clips, tmp_path):
     assert n_a == 8
     assert n_b == 0
 
-    fp = site.flat_points()
+    fp, _ = site.flat_points()
     assert fp.num_valid > 0
     out = site.save_labels_json(str(tmp_path / "site.json"))
     import json
@@ -258,3 +258,36 @@ def test_site_member_overlays_batched_matches_per_clip(site_clips):
         for idx, r in singles.items():
             np.testing.assert_array_equal(got[(ci, idx)], r,
                                           err_msg=f"clip {ci} frame {idx}")
+
+
+def test_dedupe_survives_utm_scale_coordinates():
+    """Real wigo frames are global UTM (~1e6 m): f32 storage would quantize
+    points by ~0.5 m — the dedupe tolerance itself. The f64 store + recenter-
+    before-device-cast path must keep sub-tolerance geometry intact."""
+    rng = np.random.default_rng(3)
+    offset = np.array([3.6e5, 4.69e6, 12.0])  # Boston-ish UTM easting/northing
+    site = Site(name="utm")
+    t = np.linspace(0, 1, 120)
+    base = np.stack([t * 30, np.sin(t * 5) * 2, 0 * t], 1)
+    # clip 0: original; clip 1: same elements shifted 5 cm (true duplicates)
+    # plus one genuinely distinct element 1.2 m away (must be kept)
+    site.instances = [
+        ("lane_marking", (base + offset), 0),
+        ("lane_marking", (base + offset + [0.05, 0.0, 0.0]), 1),
+        ("lane_marking", (base + offset + [0.0, 1.2, 0.0]), 1),
+    ]
+    removed = site.dedupe(tol=0.5)
+    assert removed == 1  # the 5 cm twin dropped, the 1.2 m element kept
+    kept_offsets = sorted(
+        float(np.linalg.norm((p - offset - base)[0])) for _, p, _ in site.instances
+    )
+    assert kept_offsets[0] < 1e-9 and abs(kept_offsets[1] - 1.2) < 1e-6
+
+
+def test_voxel_downsample_utm_scale():
+    from cama_tpu.aggregate import voxel_downsample
+
+    offset = np.array([3.6e5, 4.69e6, 12.0])
+    pts = offset + np.array([[0.0, 0, 0], [0.05, 0, 0], [0.31, 0, 0]])
+    out = voxel_downsample(pts, 0.2)
+    assert len(out) == 2  # first two share a voxel; third is its own
