@@ -106,7 +106,7 @@ def sharded_map_metrics(mesh, width, height, max_radius, tolerance,
     )
 
 
-def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048):
+def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
     """Build the jitted multi-device step:
         (points, valid, cls, A, B, frame_valid, crop_lo, crop_hi)
           -> (cls_rasters [F, C, H, W] uint8 sharded over frames,
@@ -114,24 +114,59 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048):
 
     F must divide by mesh.shape['frames']; P by mesh.shape['points'].
 
-    kernel: 'fast' (scatter-max + dilation, sort-free) or 'compact' (the
+    kernel: 'fast' (scatter-max + dilation, sort-free), 'compact' (the
     measured-fastest single-chip path: per-shard dedup+sort-compact to `k`
-    entries, K-entry scatter).  Cross-shard paint order stays globally
-    correct in both: 'fast' offsets priorities by the shard's first point
-    index; 'compact' offsets by shard_index * k (shards are contiguous point
-    slices, so any inter-shard order consistent with the slice order is the
-    sequential order).  A shard-boundary duplicate pixel that single-device
-    dedup would drop paints identically under pmax — the successor's higher
-    priority wins the same pixel — so class rasters are bit-identical to the
-    single-device compact path (tests/test_parallel.py).
+    entries, K-entry scatter), or 'two_stage' (crop-first compaction to `k1`
+    survivors per shard before the six per-camera compactions — the
+    long-range-scene kernel).  Cross-shard paint order stays globally
+    correct in all three: 'fast' offsets priorities by the shard's first
+    point index; 'compact'/'two_stage' offset by shard_index * k (shards are
+    contiguous point slices and both compactions are stable, so any
+    inter-shard order consistent with the slice order is the sequential
+    order).  A shard-boundary duplicate pixel that single-device dedup would
+    drop paints identically under pmax — the successor's higher priority
+    wins the same pixel — so class rasters are bit-identical to the
+    single-device paths (tests/test_parallel.py).
     """
+    if kernel == "two_stage" and k1 is None:
+        raise ValueError("two_stage needs k1 (per-shard crop-survivor budget)")
 
     def step(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi):
         # local shards: points [P/p, 3]; A [F/f, 4, 4]; B [F/f, C, 3, 4]
         shard_offset = jax.lax.axis_index("points") * points.shape[0]
+        P_local = points.shape[0]
 
         def per_frame(args):
             Af, Bf, fv = args
+            if kernel == "two_stage":
+                # stage 1: camera-independent crop compaction on the local
+                # point shard (stable -> paint order preserved)
+                p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], -1)
+                xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4,
+                                    precision=jax.lax.Precision.HIGHEST)
+                sel = (jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), -1)
+                       & valid & fv)
+                order = jnp.arange(P_local, dtype=jnp.int32)
+                skey = jax.lax.sort(jnp.where(sel, order, P_local + order))[:k1]
+                sel_valid = skey < P_local
+                idx = jnp.where(sel_valid, skey, 0)
+                pts_sel, cls_sel = points[idx], cls[idx]
+                p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], -1)
+                xyw = jnp.einsum("cij,pj->cpi", Bf, p4s,
+                                 precision=jax.lax.Precision.HIGHEST)
+                z = xyw[..., 2]
+                safe_z = jnp.where(z > 0, z, 1.0)
+                u = xyw[..., 0] / safe_z
+                v = xyw[..., 1] / safe_z
+                keep = ((z > 0) & (u >= 0) & (u < width) & (v >= 0)
+                        & (v < height) & sel_valid[None, :])
+                vu_sel = jnp.stack([v, u], axis=-1)
+                vals, _ = compact_points(vu_sel, keep, cls_sel, width, height, k)
+                packed = rasterize_from_compact(
+                    vals, width, height,
+                    prio_offset=jax.lax.axis_index("points") * k,
+                )
+                return jax.lax.pmax(packed, axis_name="points")
             vu, keep = project_frames(
                 points, valid, Af[None], Bf[None], fv[None], width, height,
                 crop_lo, crop_hi,

@@ -119,3 +119,28 @@ def test_sharded_end_to_end_video_frames(tmp_path):
         np.testing.assert_array_equal(got, expected[idx], err_msg=f"frame {idx}")
         n_checked += 1
     assert n_checked > 0
+
+
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sharded_two_stage_kernel_matches_single_device(clip, shape):
+    """Sharded crop-first two-stage kernel == single-device two-stage rasters
+    (per-shard stage-1 budgets generous enough not to overflow)."""
+    from cama_tpu.pipeline import _overlay_chunk_two_stage
+
+    mesh = make_mesh(n_frames_axis=shape[0], n_points_axis=shape[1])
+    scene, fm, args = _prep(clip, mesh)
+    pts, valid, cls, A, B, fv = args
+    h, w = scene.output_size
+    lo, hi = crop_bounds()
+    P = pts.shape[0]
+    k1_local = P // shape[1]  # full shard: cannot overflow
+    k = 4096
+    step = sharded_overlay_step(mesh, w, h, kernel="two_stage", k=k, k1=k1_local)
+    rasters, _ = step(*[jnp.asarray(a) for a in args], jnp.asarray(lo), jnp.asarray(hi))
+
+    single = np.asarray(_overlay_chunk_two_stage(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(cls),
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
+        jnp.asarray(lo), jnp.asarray(hi), w, h, P, k, False,
+    ))
+    np.testing.assert_array_equal(np.asarray(rasters), single)
