@@ -19,7 +19,11 @@ sys.path.insert(0, REPO)
 
 FIXTURE_ROOT = os.environ.get("CAMA_BENCH_DIR", "/tmp/cama_bench")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
-N_FRAMES = int(os.environ.get("CAMA_BENCH_FRAMES", "40"))
+# 65 raw frames -> 64 processable (the reference loop starts at index 1),
+# exactly one bench_chunk: the headline then counts REAL frames per second
+# with zero padded slots (a padded slot does identical compute, but counting
+# it would conflate slots with frames)
+N_FRAMES = int(os.environ.get("CAMA_BENCH_FRAMES", "65"))
 REFERENCE_ROOT = "/root/reference"
 REF_FRAME_BUDGET = int(os.environ.get("CAMA_BENCH_REF_FRAMES", "6"))
 
@@ -88,7 +92,7 @@ def bench_ours(clip):
     import jax
     import jax.numpy as jnp
 
-    from cama_tpu.pipeline import ClipPipeline, _overlay_chunk
+    from cama_tpu.pipeline import ClipPipeline
 
     pipe = ClipPipeline(clip_path=clip, chunk=8)
 
@@ -109,15 +113,11 @@ def bench_ours(clip):
 
     @jax.jit
     def chunk_checksum(A, B, fv):
-        if k_compact is not None:
-            from cama_tpu.pipeline import _overlay_chunk_compact
+        from cama_tpu.pipeline import _overlay_chunk_compact
 
-            r = _overlay_chunk_compact(points, valid, cls, A, B, fv,
-                                       pipe._crop_lo, pipe._crop_hi, w, h,
-                                       k_compact, False)
-        else:
-            r = _overlay_chunk(points, valid, cls, A, B, fv,
-                               pipe._crop_lo, pipe._crop_hi, w, h)
+        r = _overlay_chunk_compact(points, valid, cls, A, B, fv,
+                                   pipe._crop_lo, pipe._crop_hi, w, h,
+                                   k_compact, False)
         return r.astype(jnp.int32).sum()
 
     chunks = [

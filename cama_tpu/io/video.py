@@ -89,7 +89,9 @@ class VideoSink:
         # copies and costs ~100 ms for a mosaic frame on the bench host)
         img = np.ascontiguousarray(image_bgr, dtype=np.uint8)
         if self._proc is not None:
-            self._proc.stdin.write(img.tobytes())
+            # ndarray exposes the buffer protocol: zero-copy write (tobytes
+            # would materialize another ~9 MB copy per mosaic frame)
+            self._proc.stdin.write(img)
         elif self._writer is not None:
             self._writer.write(img)
         else:

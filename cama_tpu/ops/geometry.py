@@ -145,6 +145,41 @@ def project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, cro
     return vu, keep
 
 
+def crop_compact_project(points, valid, cls, Af, Bf, fv, width, height,
+                         crop_lo, crop_hi, k1):
+    """Two-stage stage 1+2 for ONE frame: camera-independent crop compaction
+    to `k1` survivors (stable -> paint order preserved), then per-camera
+    projection of only the survivors.  Shared by the single-device
+    _overlay_chunk_two_stage and the sharded two_stage kernel so the
+    precision-sensitive math exists once.
+
+    Returns (vu_sel [C, k1, 2], keep [C, k1], cls_sel [k1]).
+    """
+    P = points.shape[0]
+    p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
+    xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4, precision=_P)
+    sel = jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), axis=-1) & valid & fv
+    order = jnp.arange(P, dtype=jnp.int32)
+    skey = jax.lax.sort(jnp.where(sel, order, P + order))[:k1]
+    sel_valid = skey < P
+    idx = jnp.where(sel_valid, skey, 0)
+    pts_sel = points[idx]
+    cls_sel = cls[idx]
+
+    p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], axis=-1)
+    xyw = jnp.einsum("cij,pj->cpi", Bf, p4s, precision=_P)
+    z = xyw[..., 2]
+    mask_z = z > 0
+    safe_z = jnp.where(mask_z, z, 1.0)
+    u = xyw[..., 0] / safe_z
+    v = xyw[..., 1] / safe_z
+    keep = (
+        mask_z & (u >= 0) & (u < width) & (v >= 0) & (v < height)
+        & sel_valid[None, :]
+    )
+    return jnp.stack([v, u], axis=-1), keep, cls_sel
+
+
 # ---------------------------------------------------------------------------
 # Host-exact golden path: replicates the reference's per-frame NumPy chain
 # (mixed f32/f64 promotion included) for pixel-exactness verification.

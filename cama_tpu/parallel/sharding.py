@@ -27,8 +27,9 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
-from cama_tpu.ops.geometry import project_frames
+from cama_tpu.ops.geometry import crop_compact_project, project_frames
 from cama_tpu.ops.raster import (
+    MAX_CLS,
     compact_points,
     packed_to_cls,
     rasterize_from_compact,
@@ -134,33 +135,17 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
     def step(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi):
         # local shards: points [P/p, 3]; A [F/f, 4, 4]; B [F/f, C, 3, 4]
         shard_offset = jax.lax.axis_index("points") * points.shape[0]
-        P_local = points.shape[0]
 
         def per_frame(args):
             Af, Bf, fv = args
             if kernel == "two_stage":
-                # stage 1: camera-independent crop compaction on the local
-                # point shard (stable -> paint order preserved)
-                p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], -1)
-                xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4,
-                                    precision=jax.lax.Precision.HIGHEST)
-                sel = (jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), -1)
-                       & valid & fv)
-                order = jnp.arange(P_local, dtype=jnp.int32)
-                skey = jax.lax.sort(jnp.where(sel, order, P_local + order))[:k1]
-                sel_valid = skey < P_local
-                idx = jnp.where(sel_valid, skey, 0)
-                pts_sel, cls_sel = points[idx], cls[idx]
-                p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], -1)
-                xyw = jnp.einsum("cij,pj->cpi", Bf, p4s,
-                                 precision=jax.lax.Precision.HIGHEST)
-                z = xyw[..., 2]
-                safe_z = jnp.where(z > 0, z, 1.0)
-                u = xyw[..., 0] / safe_z
-                v = xyw[..., 1] / safe_z
-                keep = ((z > 0) & (u >= 0) & (u < width) & (v >= 0)
-                        & (v < height) & sel_valid[None, :])
-                vu_sel = jnp.stack([v, u], axis=-1)
+                # stage 1+2 on the local point shard (shared helper keeps the
+                # precision-sensitive math identical to the single-device
+                # kernel); stable compactions preserve paint order
+                vu_sel, keep, cls_sel = crop_compact_project(
+                    points, valid, cls, Af, Bf, fv, width, height,
+                    crop_lo, crop_hi, k1,
+                )
                 vals, _ = compact_points(vu_sel, keep, cls_sel, width, height, k)
                 packed = rasterize_from_compact(
                     vals, width, height,
@@ -188,9 +173,9 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
 
         packed = jax.lax.map(per_frame, (A, B, frame_valid))  # [F/f, C, H, W]
         rasters = packed_to_cls(packed)
-        counts = jnp.zeros((8,), jnp.int32)
+        counts = jnp.zeros((MAX_CLS,), jnp.int32)
         painted = packed >= 0
-        counts = counts.at[jnp.where(painted, packed % 8, 8)].add(1, mode="drop")
+        counts = counts.at[jnp.where(painted, packed % MAX_CLS, MAX_CLS)].add(1, mode="drop")
         counts = jax.lax.psum(counts, axis_name="frames")
         # already identical across 'points' members after pmax; psum would
         # multiply-count, so divide is avoided by only reducing over 'frames'

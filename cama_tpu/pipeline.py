@@ -38,12 +38,12 @@ def enable_compile_cache(path="/tmp/jax_compile_cache"):
 
     if os.environ.get("CAMA_TPU_NO_COMPILE_CACHE"):
         return
-    if not jax.config.jax_compilation_cache_dir:
-        try:
+    try:
+        if not getattr(jax.config, "jax_compilation_cache_dir", None):
             jax.config.update("jax_compilation_cache_dir", path)
             jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        except Exception:  # older jax or read-only fs: non-fatal
-            pass
+    except Exception:  # older jax or read-only fs: non-fatal
+        pass
 
 
 from cama_tpu.io.video import VideoSink, concat_camera_grid
@@ -143,35 +143,13 @@ def _overlay_chunk_two_stage(points, valid, cls, A, B, frame_valid, crop_lo, cro
     bit-identical to the single-stage path.  k1/k2 come from the counting
     pass (k2 counted on the full sequence is an upper bound for the
     subsequence dedup)."""
-    P = points.shape[0]
+    from cama_tpu.ops.geometry import crop_compact_project
 
     def per_frame(args):
         Af, Bf, fv = args
-        p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
-        xyz_ch = jnp.einsum("ij,pj->pi", Af[:3, :], p4, precision=_P)
-        in_crop = jnp.all((xyz_ch >= crop_lo) & (xyz_ch <= crop_hi), axis=-1)
-        sel = in_crop & valid & fv
-        order = jnp.arange(P, dtype=jnp.int32)
-        key = jnp.where(sel, order, P + order)
-        skey = jax.lax.sort(key)[:k1]
-        sel_valid = skey < P
-        idx = jnp.where(sel_valid, skey, 0)
-        pts_sel = points[idx]
-        cls_sel = cls[idx]
-
-        # per-camera projection on the k1 survivors (crop already satisfied)
-        p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], axis=-1)
-        xyw = jnp.einsum("cij,pj->cpi", Bf, p4s, precision=_P)
-        z = xyw[..., 2]
-        mask_z = z > 0
-        safe_z = jnp.where(mask_z, z, 1.0)
-        u = xyw[..., 0] / safe_z
-        v = xyw[..., 1] / safe_z
-        keep = (
-            mask_z & (u >= 0) & (u < width) & (v >= 0) & (v < height)
-            & sel_valid[None, :]
+        vu, keep, cls_sel = crop_compact_project(
+            points, valid, cls, Af, Bf, fv, width, height, crop_lo, crop_hi, k1
         )
-        vu = jnp.stack([v, u], axis=-1)  # [C, k1, 2]
         vals, _ = compact_points(vu, keep, cls_sel, width, height, k2)
         packed = rasterize_from_compact(vals, width, height)
         return packed_to_cls(packed)
@@ -257,8 +235,6 @@ class MultiScenePipeline:
             raise ValueError(f"scenes disagree on output size: {sizes}")
 
     def _stacked(self):
-        from cama_tpu.parallel.sharding import pad_to_multiple
-
         mats = [p._chunked_AB(self.source) for p in self.pipelines]
         devs = [p.device_points(self.source) for p in self.pipelines]
         P = max(d[0].shape[0] for d in devs)
@@ -326,7 +302,7 @@ class MultiScenePipeline:
             except Exception:
                 pass
             pending.append((s, rasters))
-            if len(pending) > max_in_flight:
+            if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
             yield from drain(entry)
@@ -342,6 +318,10 @@ class ClipPipeline:
         kernel + the compact rasterizer; keep masks identical to 'compact',
         pixel coords within ~1e-4 px)."""
         enable_compile_cache()
+        if raster_kernel not in ("compact", "scatter", "pallas"):
+            raise ValueError(
+                f"unknown raster_kernel {raster_kernel!r}; "
+                "expected 'compact', 'scatter', or 'pallas'")
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.chunk = int(chunk)
         self.raster_kernel = raster_kernel
@@ -456,7 +436,7 @@ class ClipPipeline:
                 except Exception:
                     pass
                 pending.append((s, rasters))  # dispatched async; fetched below
-            if len(pending) > max_in_flight:
+            if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
             yield from drain(entry)
@@ -619,7 +599,7 @@ class ClipPipeline:
                     except Exception:
                         pass
                 pending.append((s, out))
-            if len(pending) > max_in_flight:
+            if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
             yield from drain(entry)
