@@ -396,8 +396,17 @@ def main(argv=None):
 
         clip_path = "." if os.path.exists("attribute.json") else "../"
         reader = ClipReader(clip_path)
-        from_sensor, to_sensor = args.extrinsic.split("2")[0], args.extrinsic.split("2")[1]
+        # split on the FIRST '2' only: sensor names can contain digits
+        # (e.g. camera_front2UB482 -> camera_front, UB482; the reference's
+        # full split would truncate the target to 'UB48')
+        from_sensor, _, to_sensor = args.extrinsic.partition("2")
+        if not to_sensor:
+            raise SystemExit(f"--extrinsic must look like from2to, got {args.extrinsic!r}")
         pred2gt = reader.extrinsic(from_sensor, to_sensor)
+        if pred2gt is None:
+            raise SystemExit(
+                f"no extrinsic path from {from_sensor!r} to {to_sensor!r} in "
+                f"{clip_path}/attribute.json")
         tr = Trajectory()
         tr.loadarray(pred_array)
         tr.transform(pred2gt)

@@ -107,10 +107,11 @@ def build_chassis_trajectory(reader, source, configs=None):
     return tr
 
 
-def save_scene_cache(scene, path):
+def save_scene_cache(scene, path, cache_key=""):
     """Persist the compiled device-layout tensors (the checkpoint artifact of
     the TPU build, SURVEY.md §5: conversion + lifting never re-run)."""
     payload = {
+        "cache_key": np.asarray(cache_key),
         "camera_list": np.asarray(scene.camera_list, dtype=object),
         "camera_main": scene.camera_main,
         "output_size": np.asarray(scene.output_size),
@@ -166,11 +167,26 @@ def load_scene_cache(path, clip_path):
     )
 
 
+def _scene_cache_key(configs, sources, output_size, pad_multiple):
+    """Compilation parameters that change the cached tensors — a cache built
+    with different sources / map size / output size must not be served."""
+    return repr((tuple(sorted(sources)), tuple(output_size), int(pad_multiple),
+                 float(configs.get("map_size_m", 600.0)),
+                 tuple(configs.get("camera_list", ())),
+                 configs.get("pose_prefix"), configs.get("cama_map_file"),
+                 configs.get("nuscenes_map_file")))
+
+
 def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
                   output_size=OUTPUT_SIZE, pad_multiple=1024, cache=None):
-    if cache and os.path.exists(cache):
-        return load_scene_cache(cache, clip_path)
     configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
+    key = _scene_cache_key(configs, sources, output_size, pad_multiple)
+    if cache and os.path.exists(cache):
+        stored = np.load(cache, allow_pickle=True)
+        if str(stored.get("cache_key", "")) == key:
+            return load_scene_cache(cache, clip_path)
+        # parameters changed since the cache was written: recompile below
+        # (and overwrite) instead of silently serving mismatched tensors
     reader = ClipReader(clip_path)
     camera_list = configs["camera_list"]
     camera_main = configs["camera_main"]
@@ -232,5 +248,5 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
         reader=reader,
     )
     if cache:
-        save_scene_cache(scene, cache)
+        save_scene_cache(scene, cache, cache_key=key)
     return scene

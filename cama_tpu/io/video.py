@@ -88,6 +88,12 @@ class VideoSink:
         # no-copy when already uint8 C-contiguous (astype unconditionally
         # copies and costs ~100 ms for a mosaic frame on the bench host)
         img = np.ascontiguousarray(image_bgr, dtype=np.uint8)
+        w, h = self.output_shape
+        if img.shape != (h, w, 3):
+            # a mismatched frame would silently desynchronize the raw-BGR
+            # pipe (ffmpeg reads fixed-size frames) — fail loudly instead
+            raise ValueError(
+                f"frame shape {img.shape} != sink shape {(h, w, 3)}")
         if self._proc is not None:
             # ndarray exposes the buffer protocol: zero-copy write (tobytes
             # would materialize another ~9 MB copy per mosaic frame)
@@ -99,7 +105,11 @@ class VideoSink:
         self._count += 1
 
     def add_frame_from_dict(self, image_dict):
-        self.add_frame(concat_camera_grid(image_dict))
+        # reuse one mosaic buffer across frames (the pipe write is
+        # synchronous, so the buffer is free again by the next call)
+        self._mosaic = concat_camera_grid(image_dict,
+                                          out=getattr(self, "_mosaic", None))
+        self.add_frame(self._mosaic)
 
     def close(self):
         if self._proc is not None:

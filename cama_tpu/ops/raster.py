@@ -115,7 +115,12 @@ def rasterize_packed_fast(vu, keep, cls, width, height, prio_offset=0):
     ui = vu[..., 1].astype(jnp.int32)
     prio = (prio_offset + jnp.arange(P, dtype=jnp.int32)) * MAX_CLS + cls
     prio = jnp.broadcast_to(prio, vu.shape[:-1])
-    flat_idx = jnp.where(keep, vi * width + ui, height * width)
+    # in-image guard: a kept point with an out-of-image center would alias
+    # vi*width+ui onto a wrong in-image pixel (the 13-sample path clips each
+    # offset individually, so this keeps the "same output" contract even for
+    # callers whose keep mask lacks the in-bounds test)
+    inside = (vi >= 0) & (vi < height) & (ui >= 0) & (ui < width)
+    flat_idx = jnp.where(keep & inside, vi * width + ui, height * width)
 
     def one_image(idx1d, pr1d):
         buf = jnp.full((height * width + 1,), -1, dtype=jnp.int32)

@@ -275,7 +275,10 @@ def as_euler(m, seq, degrees=False):
         safe = xp.abs(xp.abs(sy) - 1.0) > 1e-7
         alpha = xp.arctan2(-eps * m[..., j, k], m[..., k, k])
         gamma = xp.arctan2(-eps * m[..., i, j], m[..., i, i])
-        lock_alpha = xp.arctan2(eps * m[..., j, i], m[..., j, j])
+        # Tait-Bryan lock: the alpha/gamma coupling flips sign with the pole
+        # (sin(beta) = +-1) — verified against scipy at both poles for all
+        # six sequences (tests/test_se3_core.py)
+        lock_alpha = xp.arctan2(xp.sign(sy) * m[..., j, i], m[..., j, j])
         alpha = xp.where(safe, alpha, lock_alpha)
         gamma = xp.where(safe, gamma, xp.zeros_like(gamma))
 

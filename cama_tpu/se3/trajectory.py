@@ -244,6 +244,8 @@ class Trajectory:
     def _ensure_abs(self):
         if self._abs is None or (hasattr(self._abs, "__len__") and len(self._abs) == 0):
             if self._rel is None:
+                if self._rel_rot is None or self._rel_trans is None:
+                    raise RuntimeError("please load data first!")
                 self._compose_rel_parts()
             if self._rel is None or len(self._rel) == 0:
                 raise RuntimeError("please load data first!")
@@ -330,21 +332,28 @@ class Trajectory:
              "Please consider using transform()")
         self.right_rotate(extrinsic)
 
+    def _set_abs(self, T):
+        """Install new absolute poses and invalidate the relative cache —
+        in-place pose ops would otherwise serve stale pre-transform relative
+        frames from _rel."""
+        self._abs = T
+        self._rel = None
+
     def normalize2origin(self):
         T = self._ensure_abs()
-        self._abs = inv_se3(T[0]) @ T
+        self._set_abs(inv_se3(T[0]) @ T)
 
     def normalize2center(self):
         T = self._ensure_abs()
-        self._abs = inv_se3(T[len(T) // 2]) @ T
+        self._set_abs(inv_se3(T[len(T) // 2]) @ T)
 
     def left_rotate(self, extrinsic):
         assert extrinsic.shape == (4, 4)
-        self._abs = np.asarray(extrinsic) @ self._ensure_abs()
+        self._set_abs(np.asarray(extrinsic) @ self._ensure_abs())
 
     def right_rotate(self, extrinsic):
         assert extrinsic.shape == (4, 4)
-        self._abs = self._ensure_abs() @ np.asarray(extrinsic)
+        self._set_abs(self._ensure_abs() @ np.asarray(extrinsic))
 
     def transform(self, extrinsic):
         """Conjugate the whole sequence: E @ T_i @ E^-1 — re-expresses a
@@ -352,7 +361,7 @@ class Trajectory:
         (cama/pose_transformer.py:539-561)."""
         assert extrinsic.shape == (4, 4)
         E = np.asarray(extrinsic, dtype=np.float64)
-        self._abs = E @ self._ensure_abs() @ inv_se3(E)
+        self._set_abs(E @ self._ensure_abs() @ inv_se3(E))
 
     def sort_by_timestamps(self):
         if self.timestamps.shape[0] < 2:

@@ -136,3 +136,22 @@ def test_jax_paths_match_numpy():
     np.testing.assert_allclose(
         np.asarray(core.rel_to_abs(jnp.asarray(rel))), core.rel_to_abs(rel), atol=1e-4
     )
+
+
+def test_as_euler_gimbal_lock_both_poles():
+    """Tait-Bryan lock at sin(beta) = -1 used the +1 pole's alpha formula in
+    round 1, returning angles that did not reproduce the input rotation."""
+    from scipy.spatial.transform import Rotation as R
+
+    from cama_tpu.se3.core import as_euler
+
+    rng = np.random.default_rng(0)
+    for seq in ["XYZ", "XZY", "YXZ", "YZX", "ZXY", "ZYX", "xyz", "zyx"]:
+        for pole in (np.pi / 2, -np.pi / 2):
+            for _ in range(5):
+                a, g = rng.uniform(-np.pi, np.pi, 2)
+                m = R.from_euler(seq, [a, pole, g]).as_matrix()
+                got = np.asarray(as_euler(m, seq))
+                back = R.from_euler(seq, got).as_matrix()
+                np.testing.assert_allclose(back, m, atol=1e-6,
+                                           err_msg=f"{seq} pole {pole}")

@@ -204,3 +204,41 @@ def test_codec_tum_roundtrip():
     T2, ts2 = tum_to_transforms(back)
     np.testing.assert_allclose(T, T2, atol=1e-12)
     np.testing.assert_allclose(ts, ts2, atol=0)
+
+
+def test_inplace_ops_invalidate_relative_cache():
+    """right_rotate/transform mutate the absolute poses; relative-frame
+    accessors must reflect the NEW trajectory, not a stale cache."""
+    from cama_tpu.se3.core import abs_to_rel
+
+    rng = np.random.default_rng(1)
+    tum = np.zeros((6, 8))
+    tum[:, 0] = np.arange(6)
+    tum[:, 1:4] = rng.uniform(-5, 5, (6, 3))
+    quat = rng.normal(size=(6, 4))
+    tum[:, 4:] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+    E = np.eye(4)
+    E[:3, 3] = [1.0, -2.0, 0.5]
+
+    tr = Trajectory()
+    tr.loadarray(tum)
+    _ = tr.as_transform(False)  # populate the relative cache
+    tr.right_rotate(E)
+    got_rel = tr.as_transform(False)
+    want_rel = abs_to_rel(tr.as_transform(True))
+    np.testing.assert_allclose(got_rel, want_rel, atol=1e-12)
+
+    tr2 = Trajectory()
+    tr2.loadarray(tum)
+    _ = tr2.as_transform(False)
+    tr2.transform(E)
+    np.testing.assert_allclose(tr2.as_transform(False),
+                               abs_to_rel(tr2.as_transform(True)), atol=1e-12)
+
+
+def test_ensure_abs_informative_error():
+    import pytest
+
+    tr = Trajectory()
+    with pytest.raises(RuntimeError, match="load data first"):
+        tr.as_transform(True)
