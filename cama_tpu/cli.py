@@ -91,7 +91,10 @@ def main(argv=None):
         help="Path to the configuration file.",
     )
     args = parser.parse_args(argv)
-    run(load_config(args.config))
+    failures = run(load_config(args.config))
+    # per-scene isolation keeps the batch going, but the exit code must
+    # still tell automation that something failed
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":

@@ -4,4 +4,4 @@
 from cama_tpu.cli import main
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

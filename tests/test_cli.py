@@ -84,3 +84,21 @@ def test_scene_cache_roundtrip(workspace, tmp_path):
         )
     np.testing.assert_allclose(s2.K_scaled, s1.K_scaled)
     np.testing.assert_array_equal(s2.frame_times, s1.frame_times)
+
+
+def test_cli_exit_code_on_scene_failure(tmp_path):
+    import yaml
+
+    from cama_tpu.cli import main as cli_main
+
+    cfg = {
+        "converted_dataroot": str(tmp_path / "conv"),
+        "scene_names": ["scene-that-does-not-exist"],
+        "output_video_dir": str(tmp_path / "vids"),
+        "dataroot": "/nonexistent", "version": "x",
+        "cama_label_file": "/nonexistent.zip",
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    rc = cli_main(["-c", str(p)])
+    assert rc == 1  # conversion impossible (no devkit/data) -> failure signaled
