@@ -258,13 +258,20 @@ class Site:
         jj_p = np.pad(jj, (0, pad))
         pair_mask = np.pad(np.ones(n_pairs, np.float32), (0, pad))
 
-        pts_d = jnp.asarray(pts)
-        w_d = jnp.asarray(w)
-        ii_d = jnp.asarray(ii_p.astype(np.int32)).reshape(-1, PAIR_BLOCK)
-        jj_d = jnp.asarray(jj_p.astype(np.int32)).reshape(-1, PAIR_BLOCK)
-        mask_d = jnp.asarray(pair_mask).reshape(-1, PAIR_BLOCK)
-        clip_d = jnp.asarray(clip)
-        center = jnp.asarray(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0))
+        # all tensors travel as ARGUMENTS to the jitted functions: a closure
+        # capture would embed them as program constants, which forces a
+        # device->host fetch at trace time (the tunneled TPU backend rejects
+        # that path) and bloats the compiled program
+        data = {
+            "pts": jnp.asarray(pts),
+            "w": jnp.asarray(w),
+            "ii": jnp.asarray(ii_p.astype(np.int32)).reshape(-1, PAIR_BLOCK),
+            "jj": jnp.asarray(jj_p.astype(np.int32)).reshape(-1, PAIR_BLOCK),
+            "mask": jnp.asarray(pair_mask).reshape(-1, PAIR_BLOCK),
+            "clip": jnp.asarray(clip),
+            "center": jnp.asarray(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0)),
+        }
+        center_np = np.asarray(data["center"], np.float64)
         # the MXU defaults to bfloat16 passes; sub-meter residuals need f32
         _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
 
@@ -276,7 +283,7 @@ class Site:
             return (jnp.eye(3) + (jnp.sin(theta) / theta) * K
                     + ((1 - jnp.cos(theta)) / theta2) * _mm(K, K))
 
-        def apply_delta(params, p, ci):
+        def apply_delta(params, center, p, ci):
             """delta Sim(3) of clip ci applied about the site centroid (so
             rotation/scale gradients do not fight translation)."""
             rv = params["rot"][ci]
@@ -285,12 +292,14 @@ class Site:
             R = rotvec_to_matrix(rv)
             return s * _mm(p - center, R.T) + center + t
 
-        def pair_chamfer(params):
+        def pair_chamfer(params, d):
             def block(args):
                 bi, bj, bm = args
-                a = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[bi], clip_d[bi])
-                b = jax.vmap(apply_delta, (None, 0, 0))(params, pts_d[bj], clip_d[bj])
-                wa, wb = w_d[bi], w_d[bj]
+                a = jax.vmap(apply_delta, (None, None, 0, 0))(
+                    params, d["center"], d["pts"][bi], d["clip"][bi])
+                b = jax.vmap(apply_delta, (None, None, 0, 0))(
+                    params, d["center"], d["pts"][bj], d["clip"][bj])
+                wa, wb = d["w"][bi], d["w"][bj]
                 d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
                 big = 1e30
                 d_ab = jnp.sqrt(
@@ -300,7 +309,7 @@ class Site:
                 per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
                 return jnp.sum(per_pair * bm)
 
-            sums = jax.lax.map(block, (ii_d, jj_d, mask_d))
+            sums = jax.lax.map(block, (d["ii"], d["jj"], d["mask"]))
             return sums.sum() / n_pairs
 
         params = {
@@ -315,8 +324,8 @@ class Site:
         state = opt.init(params)
 
         @jax.jit
-        def step(params, state):
-            loss, g = jax.value_and_grad(pair_chamfer)(params)
+        def step(params, state, d, anchor):
+            loss, g = jax.value_and_grad(pair_chamfer)(params, d)
             g = {
                 "rot": g["rot"] * anchor[:, None],
                 "t": g["t"] * anchor[:, None],
@@ -326,10 +335,10 @@ class Site:
             return optax.apply_updates(params, updates), state, loss
 
         pair_chamfer_j = jax.jit(pair_chamfer)
-        before = float(pair_chamfer_j(params))
+        before = float(pair_chamfer_j(params, data))
         for _ in range(iters):
-            params, state, loss = step(params, state)
-        after = float(pair_chamfer_j(params))
+            params, state, loss = step(params, state, data, anchor)
+        after = float(pair_chamfer_j(params, data))
         if after >= before:  # refinement must never make the site worse
             return before, before
 
@@ -339,7 +348,7 @@ class Site:
         rot = np.asarray(params["rot"])
         tns = np.asarray(params["t"])
         lgs = np.asarray(params["log_s"])
-        cen = np.asarray(world_center, np.float64) + np.asarray(center, np.float64)
+        cen = np.asarray(world_center, np.float64) + center_np
         deltas = []
         for c in range(n_clips):
             Rd = np.asarray(rotvec_to_matrix(jnp.asarray(rot[c])), np.float64)
