@@ -1,0 +1,141 @@
+"""Pre-undistorted frame cache: decode + remap each (frame, camera) JPEG
+ONCE per clip, then serve raw uint8 pixels from an mmap-able store.
+
+The reference re-decodes and re-undistorts every JPEG for every label source
+and every run (/root/reference/main.py:55-70, cama/reproject.py:228-244); on
+a 1-core host that is ~57 ms/frame of pure host work — the floor under the
+end-to-end video fps no matter how fast the device path is.  This cache is
+the checkpoint-artifact answer (SURVEY.md §5): pixels written here are the
+byte-exact output of cv2.imread + cv2.remap with the production remap grids,
+so serving them preserves pixel parity with the reference path exactly.
+
+Layout (under ``{clip}/.cama_tpu/``):
+  * ``frames_{h}x{w}.npy``       — np.lib.format memmap [N, C, H, W, 3] uint8
+  * ``frames_{h}x{w}.valid.npy`` — memmap [N, C] uint8 (1 = slot populated)
+  * ``frames_{h}x{w}.key.json``  — cache key; mismatch invalidates the store
+
+Writes go to disjoint slots, so the pipeline's per-camera thread pool can
+populate the cache concurrently.  ``get`` returns a read-only view of the
+memmap (zero-copy); callers that paint on the image must copy first (the
+pipeline's composite paths already do).
+"""
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import numpy as np
+
+
+def frame_cache_key(camera_list, output_size, K_orig, d, K_scaled, sync_ms):
+    """Everything that changes the cached pixels: camera set, output size,
+    the remap-defining calibration, and the frame timestamp tables (a
+    re-converted clip with different frames must not be served stale)."""
+    h = hashlib.sha256()
+    h.update(repr(list(camera_list)).encode())
+    h.update(repr(tuple(output_size)).encode())
+    for arr in (K_orig, d, K_scaled):
+        h.update(np.ascontiguousarray(np.asarray(arr, np.float64)).tobytes())
+    for cam in camera_list:
+        h.update(np.asarray(sync_ms[cam], np.int64).tobytes())
+    return h.hexdigest()
+
+
+class FrameCache:
+    """mmap-backed (frame, camera) -> undistorted uint8 image store."""
+
+    def __init__(self, cache_dir, n_frames, n_cameras, output_size, key):
+        self.dir = str(cache_dir)
+        self.key = str(key)
+        h, w = output_size
+        self.shape = (int(n_frames), int(n_cameras), int(h), int(w), 3)
+        base = os.path.join(self.dir, f"frames_{h}x{w}")
+        self._data_path = base + ".npy"
+        self._valid_path = base + ".valid.npy"
+        self._key_path = base + ".key.json"
+        self._data = None
+        self._valid = None
+        self.writable = True
+        self._open()
+
+    # ---------------- store lifecycle ----------------
+
+    def _open(self):
+        os.makedirs(self.dir, exist_ok=True)
+        fresh = True
+        if os.path.exists(self._key_path):
+            try:
+                with open(self._key_path) as f:
+                    meta = json.load(f)
+                fresh = not (
+                    meta.get("key") == self.key
+                    and tuple(meta.get("shape", ())) == self.shape
+                    and os.path.exists(self._data_path)
+                    and os.path.exists(self._valid_path)
+                )
+            except (OSError, ValueError):
+                fresh = True
+        if fresh:
+            # create under temp names, then os.replace: a concurrent process
+            # holding the old store keeps a valid (unlinked-inode) mapping —
+            # never a truncation SIGBUS — and the key file lands last, so
+            # readers only see complete stores.  The zero-filled data file is
+            # sparse (open_memmap seeks, it does not write).
+            pid = os.getpid()
+            tmp_data, tmp_valid = f"{self._data_path}.{pid}", f"{self._valid_path}.{pid}"
+            data = np.lib.format.open_memmap(
+                tmp_data, mode="w+", dtype=np.uint8, shape=self.shape
+            )
+            valid = np.lib.format.open_memmap(
+                tmp_valid, mode="w+", dtype=np.uint8, shape=self.shape[:2]
+            )
+            os.replace(tmp_data, self._data_path)
+            os.replace(tmp_valid, self._valid_path)
+            tmp_key = f"{self._key_path}.{pid}"
+            with open(tmp_key, "w") as f:
+                json.dump({"key": self.key, "shape": list(self.shape)}, f)
+            os.replace(tmp_key, self._key_path)
+            self._data, self._valid = data, valid
+        else:
+            self._data = np.lib.format.open_memmap(self._data_path, mode="r+")
+            self._valid = np.lib.format.open_memmap(self._valid_path, mode="r+")
+
+    @classmethod
+    def open(cls, cache_dir, n_frames, n_cameras, output_size, key):
+        """Build a cache, or return None when the directory is not writable
+        (read-only clip mounts degrade to the uncached path, never fail)."""
+        try:
+            return cls(cache_dir, n_frames, n_cameras, output_size, key)
+        except OSError:
+            return None
+
+    # ---------------- access ----------------
+
+    def get(self, frame_idx, cam_idx):
+        """Zero-copy read-only view of a cached image, or None on miss."""
+        if not self._valid[frame_idx, cam_idx]:
+            return None
+        img = self._data[frame_idx, cam_idx]
+        img = img.view()
+        img.flags.writeable = False
+        return img
+
+    def put(self, frame_idx, cam_idx, image):
+        if not self.writable:
+            return
+        try:
+            self._data[frame_idx, cam_idx] = image
+            self._valid[frame_idx, cam_idx] = 1
+        except (OSError, ValueError):  # e.g. disk full mid-write
+            self.writable = False
+
+    def hit_rate(self):
+        return float(np.asarray(self._valid).mean())
+
+    def flush(self):
+        try:
+            self._data.flush()
+            self._valid.flush()
+        except (OSError, AttributeError):
+            pass

@@ -34,6 +34,13 @@ DEFAULT_CAMA_CONFIGS = {
     # extension: BEV map extent in meters (600 for v2 labels, 300 for v1 —
     # the reference requires editing reproject.py:26 by hand, README.md:29)
     "map_size_m": 600.0,
+    # extensions: pre-undistorted frame store (io.frame_cache) — decode+remap
+    # each JPEG once per clip; frame_cache_dir relocates it off the clip dir;
+    # fast_decode opts into half-resolution JPEG decode for cache builds
+    # (NOT byte-identical to the reference)
+    "frame_cache": True,
+    "frame_cache_dir": None,
+    "fast_decode": False,
 }
 
 OUTPUT_SIZE = (540, 960)  # (h, w), reference CameraManager default

@@ -65,6 +65,21 @@ class RemapCache:
             self._host[key] = compute_remap(K_orig, d, K_new, out_size)
         return self._host[key]
 
+    def get_scaled(self, key, K_orig, d, K_new, out_size, scale):
+        """Remap grids rescaled into a `scale`-reduced source image (for
+        cv2.IMREAD_REDUCED_COLOR_{scale} decodes).  Reduced pixel j covers
+        source pixels [scale*j, scale*j+scale), center at scale*j +
+        (scale-1)/2 — so source coordinate x lands at (x - (scale-1)/2)/scale
+        in the reduced image."""
+        if key not in self._host:
+            mapx, mapy = compute_remap(K_orig, d, K_new, out_size)
+            off = (scale - 1) / 2.0
+            self._host[key] = (
+                ((mapx - off) / scale).astype(np.float32),
+                ((mapy - off) / scale).astype(np.float32),
+            )
+        return self._host[key]
+
     def get_device(self, key, K_orig, d, K_new, out_size):
         if key not in self._dev:
             mapx, mapy = self.get(key, K_orig, d, K_new, out_size)

@@ -18,6 +18,7 @@ is replaced by a once-per-camera RemapCache.
 """
 from __future__ import annotations
 
+import os
 from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 
@@ -46,6 +47,7 @@ def enable_compile_cache(path="/tmp/jax_compile_cache"):
         pass
 
 
+from cama_tpu.io.frame_cache import FrameCache, frame_cache_key
 from cama_tpu.io.video import VideoSink, concat_camera_grid
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
 from cama_tpu.ops.raster import (
@@ -330,6 +332,10 @@ class ClipPipeline:
         )
         self.remaps = RemapCache()
         self.timers = PhaseTimers()
+        import threading
+
+        self._fcache = False  # False = not yet resolved (None = disabled)
+        self._fcache_lock = threading.Lock()
         self._fm = {}
         self._dev = {}
         self._mode = {}
@@ -455,16 +461,76 @@ class ClipPipeline:
 
     # ---------------- host compositing ----------------
 
-    def undistorted_image(self, camera, image_idx):
+    def frame_cache(self):
+        """The per-clip pre-undistorted frame store (io.frame_cache), resolved
+        lazily: first use pays decode+remap and populates it; every later
+        read — second label source, later runs, metric passes — is a zero-copy
+        mmap read.  Disabled with configs['frame_cache']=False or when the
+        clip dir is unwritable (configs['frame_cache_dir'] relocates it)."""
+        if self._fcache is False:
+            with self._fcache_lock:
+                if self._fcache is False:
+                    self._fcache = self._build_frame_cache()
+        return self._fcache
+
+    def _build_frame_cache(self):
+        scene = self.scene
+        if not self.configs.get("frame_cache", True):
+            return None
+        cache_dir = self.configs.get("frame_cache_dir") or os.path.join(
+            scene.clip_path, ".cama_tpu")
+        key = frame_cache_key(
+            scene.camera_list, scene.output_size, scene.K_orig,
+            scene.d, scene.K_scaled, scene.sync_ms,
+        )
+        if self.configs.get("fast_decode"):
+            key = "fast2:" + key  # reduced-decode pixels differ
+        return FrameCache.open(
+            cache_dir, len(scene.frame_times), len(scene.camera_list),
+            scene.output_size, key,
+        )
+
+    def _decode_remap(self, camera, c, image_idx):
+        """cv2 decode + cached-grid remap for one (camera, frame) — byte-exact
+        to the reference's read_resized_image_by_index output by default
+        (cama/reproject.py:228-244, maps computed once, not per frame).
+
+        configs['fast_decode'] opts into IMREAD_REDUCED_COLOR_2: the JPEG is
+        decoded at half resolution (DCT-domain, ~4x cheaper) and the remap
+        grid is rescaled into reduced coordinates.  NOT byte-identical to the
+        reference — a cache-build accelerator for QA runs, off by default."""
         import cv2
 
-        c = self.scene.camera_list.index(camera)
         h, w = self.scene.output_size
-        mapx, mapy = self.remaps.get(
-            camera, self.scene.K_orig[c], self.scene.d[c], self.scene.K_scaled[c], (h, w)
-        )
-        img = cv2.imread(self.scene.image_path(camera, image_idx))
+        path = self.scene.image_path(camera, image_idx)
+        if self.configs.get("fast_decode"):
+            img = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2)
+            mapx, mapy = self.remaps.get_scaled(
+                (camera, 2), self.scene.K_orig[c], self.scene.d[c],
+                self.scene.K_scaled[c], (h, w), 2,
+            )
+        else:
+            img = cv2.imread(path)
+            mapx, mapy = self.remaps.get(
+                camera, self.scene.K_orig[c], self.scene.d[c],
+                self.scene.K_scaled[c], (h, w),
+            )
         return remap_host(img, mapx, mapy)
+
+    def undistorted_image(self, camera, image_idx, copy=True):
+        """Undistorted base image. Cache hits return mmap-backed pixels:
+        a mutable copy by default; pass copy=False when the caller promises
+        not to paint on the array (composite paths copy before painting)."""
+        c = self.scene.camera_list.index(camera)
+        fc = self.frame_cache()
+        if fc is not None:
+            cached = fc.get(image_idx, c)
+            if cached is not None:
+                return np.array(cached, copy=True) if copy else cached
+        img = self._decode_remap(camera, c, image_idx)
+        if fc is not None:
+            fc.put(image_idx, c, img)
+        return img
 
     def base_images(self, image_idx, pool=None):
         """Undistorted base images for one frame: {camera: [H, W, 3] uint8}.
@@ -473,7 +539,8 @@ class ClipPipeline:
         /root/reference/main.py:55-70)."""
 
         def one(camera):
-            return camera, self.undistorted_image(camera, image_idx)
+            # composite paths copy before painting, so cache views are safe
+            return camera, self.undistorted_image(camera, image_idx, copy=False)
 
         cams = self.scene.camera_list
         results = pool.map(one, cams) if pool is not None else map(one, cams)

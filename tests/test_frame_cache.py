@@ -1,0 +1,80 @@
+"""Pre-undistorted frame cache (io.frame_cache): byte-exactness of served
+pixels, persistence across pipelines, key invalidation, and the disable
+knob.  The cache removes the dominant host cost of the user-facing video
+loop (JPEG decode + remap, /root/reference/cama/reproject.py:228-244)."""
+import os
+
+import numpy as np
+import pytest
+
+from cama_tpu.io.fixture import make_fixture_clip
+from cama_tpu.io.frame_cache import FrameCache
+from cama_tpu.pipeline import ClipPipeline
+
+
+@pytest.fixture(scope="module")
+def clip(tmp_path_factory):
+    root = tmp_path_factory.mktemp("fc_fixture")
+    return make_fixture_clip(root, n_frames=5, with_images=True, with_lidar=False)
+
+
+def test_cache_serves_byte_identical_pixels(clip):
+    cold = ClipPipeline(clip_path=clip, configs={"frame_cache": False})
+    warmer = ClipPipeline(clip_path=clip)
+    cam = "camera_front"
+    ref = cold.undistorted_image(cam, 1)
+    first = warmer.undistorted_image(cam, 1)   # miss: decodes + populates
+    assert np.array_equal(first, ref)
+    fc = warmer.frame_cache()
+    assert fc is not None
+    c = warmer.scene.camera_list.index(cam)
+    assert fc.get(1, c) is not None, "slot should be populated after a miss"
+    second = warmer.undistorted_image(cam, 1)  # hit: mmap read
+    assert np.array_equal(second, ref)
+    # hits return a mutable copy by default; views only on request
+    second[0, 0] = 255
+    assert np.array_equal(warmer.undistorted_image(cam, 1), ref)
+    view = warmer.undistorted_image(cam, 1, copy=False)
+    assert not view.flags.writeable
+
+
+def test_cache_persists_across_pipelines(clip):
+    p1 = ClipPipeline(clip_path=clip)
+    base = p1.base_images(2)
+    p2 = ClipPipeline(clip_path=clip)
+    fc2 = p2.frame_cache()
+    for c, cam in enumerate(p2.scene.camera_list):
+        hit = fc2.get(2, c)
+        assert hit is not None, f"{cam} slot not persisted"
+        assert np.array_equal(hit, base[cam])
+
+
+def test_key_mismatch_invalidates(tmp_path):
+    cache_dir = str(tmp_path)
+    fc = FrameCache(cache_dir, 3, 2, (8, 10), key="k1")
+    img = np.arange(8 * 10 * 3, dtype=np.uint8).reshape(8, 10, 3)
+    fc.put(0, 0, img)
+    fc.flush()
+    same = FrameCache(cache_dir, 3, 2, (8, 10), key="k1")
+    assert np.array_equal(same.get(0, 0), img)
+    other = FrameCache(cache_dir, 3, 2, (8, 10), key="k2")
+    assert other.get(0, 0) is None, "different key must not serve stale pixels"
+
+
+def test_frame_cache_disabled_and_relocated(clip, tmp_path):
+    off = ClipPipeline(clip_path=clip, configs={"frame_cache": False})
+    assert off.frame_cache() is None
+    moved = ClipPipeline(
+        clip_path=clip, configs={"frame_cache_dir": str(tmp_path / "fc")})
+    moved.undistorted_image("camera_front", 1)
+    assert os.path.isdir(str(tmp_path / "fc"))
+
+
+def test_write_videos_uses_cache(clip, tmp_path):
+    pipe = ClipPipeline(clip_path=clip)
+    out = {s: str(tmp_path / f"{s}.mp4") for s in pipe.scene.sources}
+    counts = pipe.write_videos(out)
+    assert all(v > 0 for v in counts.values())
+    fc = pipe.frame_cache()
+    # every frame write_videos touched is now resident
+    assert fc is not None and fc.hit_rate() > 0
