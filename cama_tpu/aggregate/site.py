@@ -134,7 +134,8 @@ def _candidate_pairs(instances, subsample, tol):
             p = p[np.random.default_rng(0).choice(len(p), S, replace=False)]
         pts[k, : len(p)] = np.asarray(p, np.float64) - center
         w[k, : len(p)] = 1.0 / len(p)
-    cls_id = np.asarray([hash(c) & 0x7FFFFFFF for c, _, _ in instances], np.int64)
+    # dense class ids via np.unique (a hash could collide between two names)
+    _, cls_id = np.unique([c for c, _, _ in instances], return_inverse=True)
     clip = np.asarray([ci for _, _, ci in instances], np.int32)
     los = np.stack([np.asarray(p, np.float64).min(0) for _, p, _ in instances])
     his = np.stack([np.asarray(p, np.float64).max(0) for _, p, _ in instances])
@@ -165,7 +166,14 @@ class Site:
         site = cls(name=name)
         configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         for path in clip_paths:
-            scene = compile_scene(path, configs, sources=("cama",))
+            cache = None
+            if configs.get("scene_cache", True):
+                # distinct filename from the pipeline's (cama, nuscenes)
+                # cache: the key embeds the source tuple, and alternating
+                # keys on one file would recompile every time
+                cache = os.path.join(str(path), ".cama_tpu",
+                                     "scene_cache_cama.npz")
+            scene = compile_scene(path, configs, sources=("cama",), cache=cache)
             site.add_clip(path, scene)
         if refine:
             site.refine_alignment()
@@ -370,20 +378,22 @@ class Site:
 
     # ---------------- outputs ----------------
 
-    def flat_points(self, class_names=None, pad_multiple=1024, recenter=True):
+    def flat_points(self, class_names=None, pad_multiple=1024):
         """Merged map as FlatPoints (device-ready, same layout the per-clip
-        pipeline consumes).
+        pipeline consumes) in RAW world coordinates — the round-1 contract.
 
-        recenter=True subtracts the site centroid before the f32 device
-        layout (UTM-scale world coordinates would quantize by ~0.5 m in f32)
-        and returns (flat, center); pass recenter=False for raw world
-        coordinates when the consumer handles precision itself."""
+        World coordinates are UTM-scale, where f32 quantizes by ~0.5 m;
+        prefer flat_points_recentered for anything feeding device kernels."""
+        return lift.flatten_instances(
+            [(c, np.asarray(p, np.float64).astype(np.float32))
+             for c, p, _ in self.instances],
+            class_names=class_names, pad_multiple=pad_multiple,
+        )
+
+    def flat_points_recentered(self, class_names=None, pad_multiple=1024):
+        """(FlatPoints, center [3] f64): site centroid subtracted before the
+        f32 device layout, so UTM-scale coordinates keep sub-mm resolution."""
         pts = [(c, np.asarray(p, np.float64)) for c, p, _ in self.instances]
-        if not recenter:
-            return lift.flatten_instances(
-                [(c, p.astype(np.float32)) for c, p in pts],
-                class_names=class_names, pad_multiple=pad_multiple,
-            )
         center = (np.mean([p.mean(0) for _, p in pts], axis=0)
                   if pts else np.zeros(3))
         flat = lift.flatten_instances(
@@ -451,6 +461,33 @@ class Site:
                  for i in range(len(self.clips))]
         msp = MultiScenePipeline(pipes, source="site", chunk=chunk)
         yield from msp.iter_overlay_rasters(max_in_flight=max_in_flight)
+
+    def member_overlay_videos(self, out_dir, prefix=None, chunk=8, fps=10,
+                              preset=None):
+        """Write a site-merged overlay video for EVERY member clip — the
+        user-facing CAMAv2 site product (release notes,
+        /root/reference/README.md:22-24): each member sees the whole site's
+        map through its own cameras, so frames its own clip's map misses are
+        covered by neighbors.  Device work is scene-batched
+        (MultiScenePipeline).  Yields (video_path, frames_written)."""
+        from cama_tpu.pipeline import MultiScenePipeline
+
+        prefix = prefix or self.name
+        pipes = [self.pipeline_for_clip(i, chunk=chunk)
+                 for i in range(len(self.clips))]
+        paths = [
+            {"site": os.path.join(
+                out_dir,
+                f"{prefix}_{os.path.basename(p.scene.clip_path)}_site.mp4")}
+            for p in pipes
+        ]
+        if len(pipes) > 1:
+            msp = MultiScenePipeline(pipes, source="site", chunk=chunk)
+            counts = msp.write_videos(paths, fps=fps, preset=preset)
+        else:
+            counts = [pipes[0].write_videos(paths[0], fps=fps, preset=preset)]
+        for pth, cnt in zip(paths, counts):
+            yield pth["site"], cnt["site"]
 
     def aggregate_lidar(self, voxel=0.2, every=2, **kw):
         """Cross-clip LiDAR aggregation: each clip's sweeps through its own

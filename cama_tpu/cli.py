@@ -2,6 +2,18 @@
 (/root/reference/main.py:20-70): per scene — convert nuScenes -> clip, extract
 CAMA labels from the release zip, and write cama + nuScenes overlay videos.
 
+Beyond the reference surface, the driver is cache- and batch-aware:
+
+  * scene compilation (lift + densify + pose chains) is served from the
+    per-clip scene cache on re-runs (io.scene, the SURVEY §5 checkpoint
+    artifact), and base images from the pre-undistorted frame cache;
+  * when several scenes share an output size, their device work runs through
+    MultiScenePipeline — scenes become a batch axis in ONE device program per
+    chunk instead of the reference's strictly sequential outer loop
+    (/root/reference/main.py:32);
+  * an optional `sites:` config block aggregates scene groups into CAMAv2
+    sites (aggregate.site) and writes merged-map member overlay videos.
+
 Conversion is feature-gated: the nuScenes devkit is optional (SURVEY.md §7
 step 6 keeps conversion host-side), so already-converted clip dirs work
 without it.
@@ -14,7 +26,7 @@ import time
 import zipfile
 
 from cama_tpu.config import load_config
-from cama_tpu.pipeline import ClipPipeline
+from cama_tpu.pipeline import ClipPipeline, MultiScenePipeline
 
 
 def extract_dir_from_zip(zip_filepath, dir_in_zip, dest_dir):
@@ -34,20 +46,42 @@ def run(configs):
 
     state = {"converter": None}
     failures = []
+    prepared = []  # (scene_name, pipeline, {source: video_path})
     for scene_name in configs["scene_names"]:
         try:
-            _run_scene(configs, scene_name, output_dir, output_video_dir, state)
+            prepared.append(
+                _prepare_scene(configs, scene_name, output_dir,
+                               output_video_dir, state))
         except Exception as e:  # keep going: one bad scene must not kill the batch
             import traceback
 
             traceback.print_exc()
             failures.append((scene_name, repr(e)))
+
+    to_write = [item for item in prepared if item[2]]
+    if configs.get("batch_scenes", True) and len(to_write) > 1:
+        failures += _write_batched(configs, to_write)
+    else:
+        for scene_name, pipe, paths in to_write:
+            try:
+                _write_scene_videos(configs, scene_name, pipe, paths)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                failures.append((scene_name, repr(e)))
+
+    if configs.get("sites"):
+        failures += _run_sites(configs, prepared, output_dir, output_video_dir)
+
     if failures:
         print(f"{len(failures)} scene(s) failed: {failures}")
     return failures
 
 
-def _run_scene(configs, scene_name, output_dir, output_video_dir, state):
+def _prepare_scene(configs, scene_name, output_dir, output_video_dir, state):
+    """Convert + extract labels + compile the scene pipeline for one scene.
+    Returns (scene_name, pipeline, {source: video_path})."""
     clip_path = os.path.join(output_dir, scene_name)
 
     # Step 1: convert nuScenes scene -> clip (optional dependency)
@@ -63,25 +97,124 @@ def _run_scene(configs, scene_name, output_dir, output_video_dir, state):
     if zip_file and os.path.exists(zip_file):
         extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
 
-    # Step 3: reprojection videos — one pass over the clip writes every
-    # source's video (base images decoded once; the reference loops the whole
-    # pipeline per source, /root/reference/main.py:55-70)
+    # Step 3: compile the scene (served from the scene cache on re-runs)
     pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
+    if pipe.scene.from_cache:
+        print(f"[{scene_name}] scene cache hit — lifting skipped")
     paths = {}
     for source, suffix in (("cama", "cama"), ("nuscenes", "nuScenes")):
         if source not in pipe.scene.flat:
             print(f"[{scene_name}] no {source} labels; skipping video")
             continue
         paths[source] = os.path.join(output_video_dir, f"{scene_name}_{suffix}.mp4")
-    if paths:
-        print(f"Generating reprojection videos ({', '.join(paths)} labels)...")
-        t0 = time.perf_counter()
-        counts = pipe.write_videos(paths, preset=configs.get("video_preset"))
-        dt = time.perf_counter() - t0
-        for source, out in paths.items():
-            print(f"  {counts[source]} frames -> {out}")
-        total = sum(counts.values())
-        print(f"  {total} video-frames in {dt:.1f}s ({total / max(dt, 1e-9):.1f} fps)")
+    return scene_name, pipe, paths
+
+
+def _write_scene_videos(configs, scene_name, pipe, paths):
+    """One pass over the clip writes every source's video (base images
+    decoded once; the reference loops the whole pipeline per source,
+    /root/reference/main.py:55-70)."""
+    print(f"[{scene_name}] generating reprojection videos "
+          f"({', '.join(paths)} labels)...")
+    t0 = time.perf_counter()
+    counts = pipe.write_videos(paths, preset=configs.get("video_preset"))
+    dt = time.perf_counter() - t0
+    for source, out in paths.items():
+        print(f"  {counts[source]} frames -> {out}")
+    total = sum(counts.values())
+    print(f"  {total} video-frames in {dt:.1f}s ({total / max(dt, 1e-9):.1f} fps)")
+
+
+def _write_batched(configs, items):
+    """Scene-batched video writing: groups scenes by output size and drives
+    each group's device work through MultiScenePipeline (one batched program
+    per chunk for all the group's scenes).  Falls back to per-scene writing
+    for singleton groups.  Returns failures."""
+    failures = []
+    groups = {}
+    for item in items:
+        groups.setdefault(item[1].scene.output_size, []).append(item)
+    for size, group in groups.items():
+        if len(group) == 1:
+            scene_name, pipe, paths = group[0]
+            try:
+                _write_scene_videos(configs, scene_name, pipe, paths)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                failures.append((scene_name, repr(e)))
+            continue
+        names = [g[0] for g in group]
+        print(f"Batching {len(group)} scenes at {size[1]}x{size[0]} through "
+              f"one device program per chunk: {', '.join(names)}")
+        try:
+            msp = MultiScenePipeline([g[1] for g in group],
+                                     chunk=group[0][1].chunk)
+            t0 = time.perf_counter()
+            counts = msp.write_videos([g[2] for g in group],
+                                      preset=configs.get("video_preset"))
+            dt = time.perf_counter() - t0
+            total = 0
+            for (scene_name, _, paths), cnt in zip(group, counts):
+                for source, out in paths.items():
+                    print(f"  [{scene_name}] {cnt[source]} frames -> {out}")
+                total += sum(cnt.values())
+            print(f"  {total} video-frames in {dt:.1f}s "
+                  f"({total / max(dt, 1e-9):.1f} fps, scene-batched)")
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            failures.extend((name, repr(e)) for name in names)
+    return failures
+
+
+def _run_sites(configs, prepared, output_dir, output_video_dir):
+    """`sites:` config block — CAMAv2 site aggregation from the reference-
+    shaped CLI (release notes, /root/reference/README.md:22-24): each entry
+    merges member scenes' maps into one site (optionally bundle-refined) and
+    writes a site-merged overlay video per member clip."""
+    failures = []
+    by_name = {name: pipe for name, pipe, _ in prepared}
+    for site_cfg in configs["sites"]:
+        if isinstance(site_cfg, dict):
+            name = site_cfg.get("name", "site")
+            members = site_cfg.get("scenes", [])
+            refine = bool(site_cfg.get("refine", False))
+        else:  # plain list of scene names
+            members, name, refine = list(site_cfg), "site", False
+        try:
+            from cama_tpu.aggregate.site import Site
+
+            missing = [m for m in members if m not in by_name]
+            if missing:
+                raise ValueError(f"site {name!r}: scenes not prepared: {missing}")
+            clips = [os.path.join(output_dir, m) for m in members]
+            print(f"[{name}] aggregating {len(members)} scenes"
+                  + (" (+refine)" if refine else ""))
+            site = Site.from_clips(clips, configs=configs.get("cama_configs"))
+            site.dedupe()
+            if refine:
+                site.refine_alignment()
+            out_json = os.path.join(output_video_dir, f"{name}_labels.json")
+            site.save_labels_json(out_json)
+            print(f"  merged map -> {out_json}")
+            t0 = time.perf_counter()
+            n = 0
+            for member, frames in site.member_overlay_videos(
+                    output_video_dir, prefix=name,
+                    preset=configs.get("video_preset")):
+                print(f"  [{name}] {frames} frames -> {member}")
+                n += frames
+            dt = time.perf_counter() - t0
+            print(f"  {n} site video-frames in {dt:.1f}s")
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            failures.append((f"site:{name}", repr(e)))
+    return failures
 
 
 def main(argv=None):

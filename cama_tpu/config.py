@@ -23,6 +23,12 @@ TOP_LEVEL_KEYS = {
     # extension beyond the reference surface: optional libx264 preset
     # ('ultrafast'..'veryslow'); unset keeps reference-parity encoding
     "video_preset": str,
+    # extension: batch scenes sharing an output size into one device program
+    # per chunk (MultiScenePipeline); true by default
+    "batch_scenes": bool,
+    # extension: CAMAv2 site aggregation — list of scene-name lists, or of
+    # {name, scenes, refine} mappings; merged maps + member overlay videos
+    "sites": list,
 }
 REQUIRED = ["converted_dataroot", "scene_names", "output_video_dir"]
 
@@ -54,6 +60,17 @@ def validate_config(configs):
             f"unknown cama_configs keys: {sorted(unknown)} "
             f"(accepted: {sorted(DEFAULT_CAMA_CONFIGS)})"
         )
+    for i, site in enumerate(configs.get("sites") or []):
+        members = site.get("scenes") if isinstance(site, dict) else site
+        if not isinstance(members, list) or not members:
+            raise ConfigError(
+                f"sites[{i}] must be a non-empty scene-name list or a mapping "
+                "with a 'scenes' list")
+        unknown_scenes = set(members) - set(configs["scene_names"])
+        if unknown_scenes:
+            raise ConfigError(
+                f"sites[{i}] references scenes not in scene_names: "
+                f"{sorted(unknown_scenes)}")
     merged = dict(configs)
     merged["cama_configs"] = {**DEFAULT_CAMA_CONFIGS, **cama}
     merged.setdefault("map_classes", ["lane_marking", "Road_teeth", "Crosswalk_Line"])

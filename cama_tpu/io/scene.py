@@ -41,6 +41,11 @@ DEFAULT_CAMA_CONFIGS = {
     "frame_cache": True,
     "frame_cache_dir": None,
     "fast_decode": False,
+    # extension: persist the compiled scene tensors (lift + densify + pose
+    # chains) under {clip}/.cama_tpu — the SURVEY §5 checkpoint artifact —
+    # so re-runs skip lifting entirely; scene_cache_dir relocates the file
+    "scene_cache": True,
+    "scene_cache_dir": None,
 }
 
 OUTPUT_SIZE = (540, 960)  # (h, w), reference CameraManager default
@@ -66,6 +71,7 @@ class Scene:
     flat: dict = field(default_factory=dict)  # source -> lift.FlatPoints
     traj: dict = field(default_factory=dict)  # source -> se3.Trajectory
     reader: ClipReader = field(repr=False, default=None)
+    from_cache: bool = False  # True when served by load_scene_cache
 
     @property
     def sources(self):
@@ -127,6 +133,7 @@ def save_scene_cache(scene, path, cache_key=""):
         "cam2chassis": scene.cam2chassis, "chassis2cam": scene.chassis2cam,
         "frame_times": scene.frame_times,
     }
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     for src, fp in scene.flat.items():
         payload[f"flat_{src}_points"] = fp.points
         payload[f"flat_{src}_cls"] = fp.cls
@@ -170,7 +177,7 @@ def load_scene_cache(path, clip_path):
         cam2chassis=z["cam2chassis"], chassis2cam=z["chassis2cam"],
         frame_times=z["frame_times"],
         sync_ms={s: list(v) for s, v in reader.attribute["sync"].items()},
-        flat=flat, traj=traj, reader=reader,
+        flat=flat, traj=traj, reader=reader, from_cache=True,
     )
 
 
@@ -255,5 +262,8 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
         reader=reader,
     )
     if cache:
-        save_scene_cache(scene, cache, cache_key=key)
+        try:
+            save_scene_cache(scene, cache, cache_key=key)
+        except OSError:
+            pass  # read-only clip mount: run uncached rather than fail
     return scene

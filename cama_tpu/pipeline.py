@@ -230,15 +230,27 @@ class MultiScenePipeline:
         self.pipelines = list(pipelines)
         self.source = source
         self.chunk = int(chunk)
+        self._stacked_cache = {}
         if not self.pipelines:
             raise ValueError("need at least one pipeline")
         sizes = {p.scene.output_size for p in self.pipelines}
         if len(sizes) != 1:
             raise ValueError(f"scenes disagree on output size: {sizes}")
 
-    def _stacked(self):
-        mats = [p._chunked_AB(self.source) for p in self.pipelines]
-        devs = [p.device_points(self.source) for p in self.pipelines]
+    def members(self, source):
+        """Indices of member pipelines that carry this label source."""
+        return [i for i, p in enumerate(self.pipelines)
+                if source in p.scene.flat]
+
+    def _stacked(self, source=None):
+        source = self.source if source is None else source
+        if source in self._stacked_cache:
+            return self._stacked_cache[source]
+        pipelines = [self.pipelines[i] for i in self.members(source)]
+        if not pipelines:
+            raise ValueError(f"no member scene carries source {source!r}")
+        mats = [p._chunked_AB(source) for p in pipelines]
+        devs = [p.device_points(source) for p in pipelines]
         P = max(d[0].shape[0] for d in devs)
         Fp = max(len(m[2]) for m in mats)  # padded frame counts
         Fp = -(-Fp // self.chunk) * self.chunk
@@ -260,9 +272,56 @@ class MultiScenePipeline:
         fv = np.stack([padF(m[3], Fp, fill=False) for m in mats])
         fms = [m[0] for m in mats]
         Fs = [m[4] for m in mats]
-        return fms, Fs, pts, cls, valid, A, B, fv
+        out = (fms, Fs, pts, cls, valid, A, B, fv)
+        self._stacked_cache[source] = out
+        return out
 
-    def iter_overlay_rasters(self, max_in_flight=3):
+    def _source_state(self, source):
+        """(stacked tensors on device, k, use_2bit, member indices)."""
+        members = self.members(source)
+        fms, Fs, pts, cls, valid, A, B, fv = self._stacked(source)
+        k = max(self.pipelines[i].overlay_mode(source)[1] for i in members)
+        use_2bit = all(self.pipelines[i]._use_2bit(source) for i in members)
+        dev = (jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(valid))
+        return members, fms, Fs, dev, (A, B, fv), k, use_2bit
+
+    def _dispatch_chunk(self, state, s):
+        """Dispatch one scene-batched chunk for a source; None past its end."""
+        members, fms, Fs, (ptsj, clsj, validj), (A, B, fv), k, use_2bit = state
+        if s >= fv.shape[1]:
+            return None
+        h, w = self.pipelines[0].scene.output_size
+        lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
+        sl = slice(s, s + self.chunk)
+        rasters = _overlay_chunk_batched(
+            ptsj, validj, clsj,
+            jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl]),
+            lo, hi, w, h, k, use_2bit,
+        )
+        try:
+            rasters.copy_to_host_async()
+        except Exception:
+            pass
+        return rasters
+
+    def _drain_chunk(self, state, s, rasters):
+        """[(global scene_idx, image_idx, cls_raster [C, H, W] uint8), ...]."""
+        members, fms, Fs, _, _, _, use_2bit = state
+        w = self.pipelines[0].scene.output_size[1]
+        rasters = np.asarray(rasters)  # [S, chunk, C, H, W(/4)]
+        if use_2bit:
+            rasters = unpack_cls_2bit(rasters, w)
+        out = []
+        for mi, (fm, F) in enumerate(zip(fms, Fs)):
+            for kk in range(rasters.shape[1]):
+                fidx = s + kk
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                out.append((members[mi], int(fm.frame_indices[fidx]),
+                            rasters[mi, kk]))
+        return out
+
+    def iter_overlay_rasters(self, max_in_flight=3, source=None):
         """Yields (scene_idx, image_idx, cls_raster [C, H, W] uint8) across
         every member scene, chunk-batched over scenes.
 
@@ -270,44 +329,84 @@ class MultiScenePipeline:
         [S, chunk, C, H, W] buffers are pending at once (a site of many long
         scenes would otherwise hold every raster on device), and rasters ride
         the link 2-bit-packed whenever every member scene's class ids fit."""
-        fms, Fs, pts, cls, valid, A, B, fv = self._stacked()
-        h, w = self.pipelines[0].scene.output_size
-        k = max(p.overlay_mode(self.source)[1] for p in self.pipelines)
-        use_2bit = all(p._use_2bit(self.source) for p in self.pipelines)
-        lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
-        ptsj, clsj, validj = jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(valid)
+        state = self._source_state(self.source if source is None else source)
+        pending = []
+        for s in range(0, state[4][2].shape[1], self.chunk):
+            pending.append((s, self._dispatch_chunk(state, s)))
+            if len(pending) >= max_in_flight:
+                s0, r0 = pending.pop(0)
+                yield from self._drain_chunk(state, s0, r0)
+        for s0, r0 in pending:
+            yield from self._drain_chunk(state, s0, r0)
+
+    def iter_frame_groups(self, sources, max_in_flight=3):
+        """Multi-source batched serving: yields, in chunk order,
+        (scene_idx, image_idx, {source: cls_raster}) with every source's
+        device work dispatched back-to-back per chunk — ONE dispatch wave per
+        (chunk, source) for ALL scenes, amortizing tunnel latency across the
+        whole batch (the reference reruns its entire loop per scene AND per
+        source, /root/reference/main.py:32,55-70)."""
+        states = {src: self._source_state(src) for src in sources}
+        n_chunks = max(
+            -(-st[4][2].shape[1] // self.chunk) for st in states.values())
         pending = []
 
         def drain(entry):
-            s, rasters = entry
-            rasters = np.asarray(rasters)  # [S, chunk, C, H, W(/4)]
-            if use_2bit:
-                rasters = unpack_cls_2bit(rasters, w)
-            out = []
-            for si, (fm, F) in enumerate(zip(fms, Fs)):
-                for kk in range(rasters.shape[1]):
-                    fidx = s + kk
-                    if fidx >= F or not fm.frame_valid[fidx]:
-                        continue
-                    out.append((si, int(fm.frame_indices[fidx]), rasters[si, kk]))
-            return out
+            s, per_src = entry
+            grouped = {}
+            for src, rasters in per_src.items():
+                if rasters is None:
+                    continue
+                for si, idx, raster in self._drain_chunk(states[src], s, rasters):
+                    grouped.setdefault((si, idx), {})[src] = raster
+            for (si, idx), by_src in sorted(grouped.items()):
+                yield si, idx, by_src
 
-        for s in range(0, fv.shape[1], self.chunk):
-            sl = slice(s, s + self.chunk)
-            rasters = _overlay_chunk_batched(
-                ptsj, validj, clsj,
-                jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl]),
-                lo, hi, w, h, k, use_2bit,
-            )
-            try:
-                rasters.copy_to_host_async()
-            except Exception:
-                pass
-            pending.append((s, rasters))
+        for ci in range(n_chunks):
+            s = ci * self.chunk
+            per_src = {src: self._dispatch_chunk(states[src], s)
+                       for src in sources}
+            pending.append((s, per_src))
             if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
             yield from drain(entry)
+
+    def write_videos(self, per_scene_paths, fps=10, n_threads=6, preset=None):
+        """Scene-batched counterpart of ClipPipeline.write_videos: writes
+        every scene's every source's overlay video in one pass, with all
+        scenes' device work batched per chunk and each frame's base images
+        decoded (or frame-cache-served) once and shared across sources.
+
+        Args:
+            per_scene_paths: list (parallel to self.pipelines) of
+                {source: output_video_path}
+        Returns list of {source: frames_written} per scene.
+        """
+        sources = sorted({s for paths in per_scene_paths for s in paths})
+        h, w = self.pipelines[0].scene.output_size
+        counts = [{src: 0 for src in paths} for paths in per_scene_paths]
+        sinks = {}
+        try:
+            for si, paths in enumerate(per_scene_paths):
+                for src, path in paths.items():
+                    sinks[(si, src)] = VideoSink(
+                        path, output_shape=(w * 3, h * 2), fps=fps, preset=preset)
+            with ThreadPoolExecutor(max_workers=n_threads) as pool:
+                for si, idx, by_src in self.iter_frame_groups(sources):
+                    pipe = self.pipelines[si]
+                    base = pipe.base_images(idx, pool=pool)
+                    for src, raster in by_src.items():
+                        if (si, src) not in sinks:
+                            continue
+                        frame = pipe.composite_frame(
+                            src, idx, raster, pool=pool, base=base)
+                        sinks[(si, src)].add_frame(concat_camera_grid(frame))
+                        counts[si][src] += 1
+        finally:
+            for s in sinks.values():
+                s.close()
+        return counts
 
 
 class ClipPipeline:
@@ -327,9 +426,21 @@ class ClipPipeline:
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.chunk = int(chunk)
         self.raster_kernel = raster_kernel
-        self.scene = scene if scene is not None else compile_scene(
-            clip_path, self.configs, sources=sources
-        )
+        if scene is not None:
+            self.scene = scene
+        else:
+            cache = None
+            if self.configs.get("scene_cache", True) and clip_path is not None:
+                cache_dir = self.configs.get("scene_cache_dir")
+                if cache_dir:  # shared dir: keep per-clip files distinct
+                    clip_slug = os.path.basename(os.path.normpath(str(clip_path)))
+                    cache = os.path.join(cache_dir, f"{clip_slug}_scene_cache.npz")
+                else:
+                    cache = os.path.join(str(clip_path), ".cama_tpu",
+                                         "scene_cache.npz")
+            self.scene = compile_scene(
+                clip_path, self.configs, sources=sources, cache=cache
+            )
         self.remaps = RemapCache()
         self.timers = PhaseTimers()
         import threading
@@ -477,8 +588,12 @@ class ClipPipeline:
         scene = self.scene
         if not self.configs.get("frame_cache", True):
             return None
-        cache_dir = self.configs.get("frame_cache_dir") or os.path.join(
-            scene.clip_path, ".cama_tpu")
+        cache_dir = self.configs.get("frame_cache_dir")
+        if cache_dir:  # shared dir: keep per-clip stores distinct
+            cache_dir = os.path.join(
+                cache_dir, os.path.basename(os.path.normpath(scene.clip_path)))
+        else:
+            cache_dir = os.path.join(scene.clip_path, ".cama_tpu")
         key = frame_cache_key(
             scene.camera_list, scene.output_size, scene.K_orig,
             scene.d, scene.K_scaled, scene.sync_ms,

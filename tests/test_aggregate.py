@@ -106,7 +106,7 @@ def test_site_merge_and_dedupe(site_clips, tmp_path):
     assert n_a == 8
     assert n_b == 0
 
-    fp, _ = site.flat_points()
+    fp, _ = site.flat_points_recentered()
     assert fp.num_valid > 0
     out = site.save_labels_json(str(tmp_path / "site.json"))
     import json

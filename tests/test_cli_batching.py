@@ -1,0 +1,104 @@
+"""Round-3 CLI integration: scene-cache serving on re-runs, multi-scene
+batched video writing (MultiScenePipeline as the driver's device path), and
+the `sites:` config block."""
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from cama_tpu.io.fixture import make_fixture_clip
+
+
+@pytest.fixture(scope="module")
+def two_scene_ws(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cliws2")
+    for name, seed in (("scene-a", 0), ("scene-b", 1)):
+        make_fixture_clip(root / "converted", scene_name=name, n_frames=5,
+                          with_images=True, with_lidar=False, seed=seed)
+    cfg = {
+        "version": "v1.0-test",
+        "dataroot": str(root / "raw"),
+        "converted_dataroot": str(root / "converted"),
+        "scene_names": ["scene-a", "scene-b"],
+        "cama_label_file": str(root / "missing.zip"),
+        "output_video_dir": str(root / "videos"),
+    }
+    cfg_path = root / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    return {"root": root, "config": str(cfg_path), "cfg": cfg}
+
+
+def test_cli_batches_scenes_and_hits_scene_cache(two_scene_ws, capsys):
+    from cama_tpu.cli import main
+
+    assert main(["--config", two_scene_ws["config"]]) == 0
+    out1 = capsys.readouterr().out
+    assert "Batching 2 scenes" in out1
+    videos = os.listdir(two_scene_ws["root"] / "videos")
+    for name in ("scene-a", "scene-b"):
+        assert f"{name}_cama.mp4" in videos
+        assert f"{name}_nuScenes.mp4" in videos
+    # the compiled-scene checkpoint landed in each clip dir
+    for name in ("scene-a", "scene-b"):
+        assert os.path.exists(
+            two_scene_ws["root"] / "converted" / name / ".cama_tpu" /
+            "scene_cache.npz")
+
+    # second run: lifting skipped, served from the scene cache
+    assert main(["--config", two_scene_ws["config"]]) == 0
+    out2 = capsys.readouterr().out
+    assert out2.count("scene cache hit") == 2
+
+
+def test_batched_videos_match_sequential(two_scene_ws, tmp_path):
+    """The scene-batched writer must produce the same frames (byte-identical
+    encoder input) as per-scene write_videos; compare the raster+composite
+    stream instead of encoder output."""
+    from cama_tpu.pipeline import ClipPipeline, MultiScenePipeline
+
+    conv = two_scene_ws["root"] / "converted"
+    pipes = [ClipPipeline(clip_path=str(conv / n), chunk=4)
+             for n in ("scene-a", "scene-b")]
+    sources = sorted({s for p in pipes for s in p.scene.sources})
+    msp = MultiScenePipeline(pipes, chunk=4)
+    grouped = {}  # (si, idx) -> {src: raster}
+    for si, idx, by_src in msp.iter_frame_groups(sources):
+        grouped.setdefault((si, idx), {}).update(by_src)
+
+    for si, pipe in enumerate(pipes):
+        for src in pipe.scene.sources:
+            got = {idx: g[src] for (s_i, idx), g in grouped.items()
+                   if s_i == si and src in g}
+            want = dict(pipe.iter_overlay_rasters(src))
+            assert set(got) == set(want), (si, src)
+            for idx in want:
+                np.testing.assert_array_equal(got[idx], want[idx])
+
+
+def test_sites_config_block(two_scene_ws, capsys):
+    from cama_tpu.cli import main
+
+    cfg = dict(two_scene_ws["cfg"])
+    cfg["sites"] = [{"name": "downtown", "scenes": ["scene-a", "scene-b"]}]
+    p = two_scene_ws["root"] / "site_config.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    assert main(["--config", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert "aggregating 2 scenes" in out
+    videos = os.listdir(two_scene_ws["root"] / "videos")
+    assert "downtown_labels.json" in videos
+    site_vids = [v for v in videos if v.startswith("downtown_") and v.endswith("_site.mp4")]
+    assert len(site_vids) == 2
+
+
+def test_sites_config_validation(two_scene_ws):
+    from cama_tpu.config import ConfigError, validate_config
+
+    cfg = dict(two_scene_ws["cfg"])
+    cfg["sites"] = [["scene-a", "scene-zzz"]]
+    with pytest.raises(ConfigError, match="scene-zzz"):
+        validate_config(cfg)
+    cfg["sites"] = [[]]
+    with pytest.raises(ConfigError, match="non-empty"):
+        validate_config(cfg)
