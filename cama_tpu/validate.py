@@ -107,6 +107,34 @@ def agreement(a, b):
     return float(same.mean())
 
 
+# every device path the pipeline can serve overlays through; 'sparse' is the
+# scatter-free host-paint stream, the rest are raster kernels
+DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "sparse")
+
+
+def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
+    """Overlay frames with the named device path FORCED to execute — never
+    routed around by the sparse/dense auto mode or the two-stage heuristic
+    (the round-2 hole: '--kernel compact' could validate the sparse host
+    paint instead of _overlay_chunk_compact)."""
+    kernel = {"sparse": "compact", "two_stage": "compact"}.get(path_name, path_name)
+    pipe = ClipPipeline(scene=scene, raster_kernel=kernel, chunk=chunk)
+    if path_name == "sparse":
+        mode = "sparse"
+    else:
+        mode = "raster"
+        pipe.overlay_mode(source)  # sizes the compact scatter (k)
+        if path_name == "two_stage":
+            # force the crop-first kernel even when the heuristic says the
+            # crop would not cull enough; P itself is always a safe budget
+            if pipe._two_stage.get(source) is None:
+                pipe._two_stage[source] = int(pipe.device_points(source)[0].shape[0])
+        elif kernel == "compact":
+            pipe._two_stage[source] = None  # single-stage compact, provably
+    return {i: f for i, f in pipe.iter_frames(source, mode=mode)
+            if i in frame_ids}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Overlay pixel-exactness validation")
     parser.add_argument("--clip", required=True)
@@ -114,37 +142,47 @@ def main(argv=None):
     parser.add_argument("--frames", type=int, default=5, help="number of frames to check")
     parser.add_argument("--reference", default="/root/reference",
                         help="reference checkout (skipped if absent)")
-    parser.add_argument("--kernel", default="compact",
-                        choices=["compact", "scatter", "pallas"],
-                        help="device raster kernel to validate")
+    parser.add_argument("--kernel", default="all",
+                        choices=("all",) + DEVICE_PATHS,
+                        help="device path to validate (default: every path)")
     args = parser.parse_args(argv)
 
-    pipe = ClipPipeline(clip_path=args.clip, raster_kernel=args.kernel)
+    paths = DEVICE_PATHS if args.kernel == "all" else (args.kernel,)
+    pipe = ClipPipeline(clip_path=args.clip)
     fm = pipe.frame_matrices(args.source)
     valid_ids = [int(i) for i, v in zip(fm.frame_indices, fm.frame_valid) if v]
     frame_ids = set(valid_ids[: args.frames])
-
-    # a non-default kernel must actually run: 'auto' may pick the sparse
-    # host-paint path, which bypasses the raster kernel entirely
-    mode = "auto" if args.kernel == "compact" else "raster"
-    device = {i: f for i, f in pipe.iter_frames(args.source, mode=mode)
-              if i in frame_ids}
-    exact = host_exact_frames(pipe, args.source, frame_ids)
 
     report = {"clip": args.clip, "source": args.source, "frames": sorted(frame_ids)}
     if not frame_ids:
         report["error"] = "no valid frames in clip"
         print(json.dumps(report))
         return 1
-    dev_vs_exact = [agreement(device[i][c], exact[i][c]) for i in frame_ids for c in device[i]]
-    report["device_vs_host_exact_min_agreement"] = min(dev_vs_exact)
+    exact = host_exact_frames(pipe, args.source, frame_ids)
 
+    ref = None
     if os.path.isdir(os.path.join(args.reference, "cama")):
         ref = reference_frames(args.clip, args.source, frame_ids, args.reference)
         ex = [int(np.array_equal(exact[i][c], ref[i][c])) for i in ref for c in ref[i]]
-        dv = [agreement(device[i][c], ref[i][c]) for i in ref for c in ref[i]]
         report["host_exact_byte_identical_to_reference"] = bool(all(ex))
-        report["device_vs_reference_min_agreement"] = min(dv)
+
+    report["paths"] = {}
+    for path_name in paths:
+        device = device_frames_for_path(pipe.scene, path_name, args.source,
+                                        frame_ids)
+        entry = {"vs_host_exact_min_agreement": min(
+            agreement(device[i][c], exact[i][c])
+            for i in frame_ids for c in device[i])}
+        if ref is not None:
+            entry["vs_reference_min_agreement"] = min(
+                agreement(device[i][c], ref[i][c]) for i in ref for c in ref[i])
+        report["paths"][path_name] = entry
+
+    report["device_vs_host_exact_min_agreement"] = min(
+        e["vs_host_exact_min_agreement"] for e in report["paths"].values())
+    if ref is not None:
+        report["device_vs_reference_min_agreement"] = min(
+            e["vs_reference_min_agreement"] for e in report["paths"].values())
     print(json.dumps(report))
     ok = report["device_vs_host_exact_min_agreement"] > 0.999 and report.get(
         "host_exact_byte_identical_to_reference", True
