@@ -25,7 +25,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 # it would conflate slots with frames)
 N_FRAMES = int(os.environ.get("CAMA_BENCH_FRAMES", "65"))
 REFERENCE_ROOT = "/root/reference"
-REF_FRAME_BUDGET = int(os.environ.get("CAMA_BENCH_REF_FRAMES", "6"))
+# >= 20 frames x 3 repeats: a 6-frame single shot swung the measured
+# reference fps by +-20% round-to-round, moving the headline ratio with the
+# denominator instead of the numerator
+REF_FRAME_BUDGET = int(os.environ.get("CAMA_BENCH_REF_FRAMES", "20"))
+REF_REPEATS = int(os.environ.get("CAMA_BENCH_REF_REPEATS", "3"))
 
 
 def get_fixture():
@@ -66,26 +70,30 @@ def bench_reference(clip, max_frames):
     cm_list = [CameraManager(clip, cam) for cam in cams]
     times = dr.get_sensor_timestamp("camera_front", sync=True)
 
-    n = 0
-    t0 = time.perf_counter()
-    for image_idx in range(1, len(times)):
-        if n >= max_frames:
-            break
-        try:
-            c2w = pt.seek_by_timestamp(times[image_idx], t_max_diff=0.5,
-                                       interpolate=True).astype(np.float32)
-        except RuntimeError:
-            continue
-        imap = mm.transform_3d_instance_maps(imap0, np.linalg.inv(c2w))
-        imap = mm.crop_3d_instance_maps(imap)
-        for cm in cm_list:
-            cam_map = mm.transform_3d_instance_maps(imap, cm.get_chassis2camera())
-            maps_2d = cm.project_to_image(cam_map)
-            image = cm.read_resized_image_by_index(image_idx)
-            cm.render_maps(image, maps_2d)
-        n += 1
-    dt = time.perf_counter() - t0
-    return n / dt if n else None
+    fps = []
+    for _ in range(REF_REPEATS):
+        n = 0
+        t0 = time.perf_counter()
+        for image_idx in range(1, len(times)):
+            if n >= max_frames:
+                break
+            try:
+                c2w = pt.seek_by_timestamp(times[image_idx], t_max_diff=0.5,
+                                           interpolate=True).astype(np.float32)
+            except RuntimeError:
+                continue
+            imap = mm.transform_3d_instance_maps(imap0, np.linalg.inv(c2w))
+            imap = mm.crop_3d_instance_maps(imap)
+            for cm in cm_list:
+                cam_map = mm.transform_3d_instance_maps(imap, cm.get_chassis2camera())
+                maps_2d = cm.project_to_image(cam_map)
+                image = cm.read_resized_image_by_index(image_idx)
+                cm.render_maps(image, maps_2d)
+            n += 1
+        dt = time.perf_counter() - t0
+        if n:
+            fps.append(n / dt)
+    return fps or None
 
 
 def bench_ours(clip):
@@ -139,17 +147,39 @@ def bench_ours(clip):
     m = sum(1 for _ in pipe.iter_overlay_rasters("cama"))
     stream_fps = m / (time.perf_counter() - t0)
 
-    # ---- end-to-end: + host jpeg decode, cached remap, composite ----
-    for _ in pipe.iter_frames("cama"):
-        break
+    # ---- the user-facing operation: BOTH overlay videos (cama + nuscenes)
+    # in one pass, x264 encode included (reference does two full passes,
+    # main.py:55-70).  COLD = frame cache empty (first visit to a clip: pays
+    # jpeg decode + remap, builds the cache); WARM = steady state (cache
+    # mmap reads — every later run, metric pass, or extra label source). ----
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        cold_pipe = ClipPipeline(
+            clip_path=clip, chunk=8,
+            configs={"frame_cache_dir": os.path.join(td, "fc")})
+        t0 = time.perf_counter()
+        counts = cold_pipe.write_videos({
+            "cama": os.path.join(td, "c.mp4"),
+            "nuscenes": os.path.join(td, "n.mp4"),
+        })
+        dual_cold_fps = sum(counts.values()) / (time.perf_counter() - t0)
+
+    # ---- end-to-end frames (no encode): warm the frame cache fully, then
+    # measure the steady-state iter_frames stream ----
+    fc = pipe.frame_cache()
+    for _ in range(10):  # cache writes are drop-on-full: loop until resident
+        rate0 = fc.hit_rate() if fc else 1.0
+        n = sum(1 for _ in pipe.iter_frames("cama"))
+        if fc is None:
+            break
+        fc.flush()
+        rate = fc.hit_rate()
+        if rate >= 1.0 - 1.0 / max(n, 1) or rate <= rate0:  # full / converged
+            break
     t0 = time.perf_counter()
     n = sum(1 for _ in pipe.iter_frames("cama"))
     e2e_fps = n / (time.perf_counter() - t0)
-
-    # ---- the user-facing operation: BOTH overlay videos (cama + nuscenes)
-    # in one pass, x264 encode included (reference does two full passes,
-    # main.py:55-70) ----
-    import tempfile
 
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()
@@ -158,13 +188,14 @@ def bench_ours(clip):
             "nuscenes": os.path.join(td, "n.mp4"),
         })
         dual_fps = sum(counts.values()) / (time.perf_counter() - t0)
-    return e2e_fps, stream_fps, dev_fps, dual_fps, n
+    return e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n
 
 
 def main():
     clip = get_fixture()
-    e2e_fps, stream_fps, dev_fps, dual_fps, n = bench_ours(clip)
-    ref_fps = bench_reference(clip, REF_FRAME_BUDGET)
+    e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n = bench_ours(clip)
+    ref_runs = bench_reference(clip, REF_FRAME_BUDGET)
+    ref_fps = float(np.mean(ref_runs)) if ref_runs else None
     vs = (dev_fps / ref_fps) if ref_fps else None
     import jax
 
@@ -177,7 +208,11 @@ def main():
             "overlay_stream_fps": round(stream_fps, 2),
             "end_to_end_video_fps": round(e2e_fps, 2),
             "dual_video_write_fps": round(dual_fps, 2),
+            "dual_video_write_cold_fps": round(dual_cold_fps, 2),
             "reference_cpu_fps": round(ref_fps, 3) if ref_fps else None,
+            "reference_cpu_fps_min": round(min(ref_runs), 3) if ref_runs else None,
+            "reference_cpu_fps_max": round(max(ref_runs), 3) if ref_runs else None,
+            "reference_repeats": len(ref_runs) if ref_runs else 0,
             "frames": n,
             "backend": jax.default_backend(),
         },

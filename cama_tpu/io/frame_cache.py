@@ -18,12 +18,22 @@ Writes go to disjoint slots, so the pipeline's per-camera thread pool can
 populate the cache concurrently.  ``get`` returns a read-only view of the
 memmap (zero-copy); callers that paint on the image must copy first (the
 pipeline's composite paths already do).
+
+Population is OPPORTUNISTIC by default: puts enqueue to a bounded writer
+thread and are DROPPED when the disk cannot keep up (measured on the bench
+host: the store writes at ~43 MB/s while a cold video pass produces
+~110 MB/s of pixels — synchronous writes would more than double the cold
+run).  A slot whose write was dropped simply misses next time and re-enqueues,
+so the cache converges to full over runs without ever slowing one down.  The
+valid flag lands after the pixel write, so readers never see torn slots.
 """
 from __future__ import annotations
 
 import hashlib
 import json
 import os
+import queue
+import threading
 
 import numpy as np
 
@@ -45,7 +55,11 @@ def frame_cache_key(camera_list, output_size, K_orig, d, K_scaled, sync_ms):
 class FrameCache:
     """mmap-backed (frame, camera) -> undistorted uint8 image store."""
 
-    def __init__(self, cache_dir, n_frames, n_cameras, output_size, key):
+    # writer backlog bound, in images (~1.5 MB each at 960x540)
+    QUEUE_SLOTS = 48
+
+    def __init__(self, cache_dir, n_frames, n_cameras, output_size, key,
+                 async_writes=True):
         self.dir = str(cache_dir)
         self.key = str(key)
         h, w = output_size
@@ -57,6 +71,10 @@ class FrameCache:
         self._data = None
         self._valid = None
         self.writable = True
+        self.dropped_writes = 0
+        self._async = bool(async_writes)
+        self._q = None
+        self._writer = None
         self._open()
 
     # ---------------- store lifecycle ----------------
@@ -122,18 +140,52 @@ class FrameCache:
         return img
 
     def put(self, frame_idx, cam_idx, image):
+        """Record a decoded image.  Async mode never blocks: if the writer
+        backlog is full (disk slower than the producer) the put is dropped —
+        the slot just stays a miss until a later run lands it."""
         if not self.writable:
             return
+        if not self._async:
+            self._write(frame_idx, cam_idx, image)
+            return
+        if self._writer is None:
+            self._q = queue.Queue(maxsize=self.QUEUE_SLOTS)
+            self._writer = threading.Thread(
+                target=self._writer_loop, name="frame-cache-writer", daemon=True)
+            self._writer.start()
+        try:
+            # defensive copy: the producer may paint on its array before the
+            # writer lands it (composite overlays would get baked into the
+            # cache); the backlog bound keeps the copies to ~70 MB
+            self._q.put_nowait((frame_idx, cam_idx, np.array(image, copy=True)))
+        except queue.Full:
+            self.dropped_writes += 1
+
+    def _write(self, frame_idx, cam_idx, image):
         try:
             self._data[frame_idx, cam_idx] = image
             self._valid[frame_idx, cam_idx] = 1
         except (OSError, ValueError):  # e.g. disk full mid-write
             self.writable = False
 
+    def _writer_loop(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is not None:
+                    self._write(*item)
+            finally:
+                self._q.task_done()
+            if item is None:
+                return
+
     def hit_rate(self):
         return float(np.asarray(self._valid).mean())
 
     def flush(self):
+        """Drain pending writes and sync the memmaps (blocks on the disk)."""
+        if self._q is not None:
+            self._q.join()
         try:
             self._data.flush()
             self._valid.flush()

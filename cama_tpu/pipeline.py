@@ -392,6 +392,7 @@ class MultiScenePipeline:
                 for src, path in paths.items():
                     sinks[(si, src)] = VideoSink(
                         path, output_shape=(w * 3, h * 2), fps=fps, preset=preset)
+            bufs = {}  # (si, src) -> persistent composite buffers
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 for si, idx, by_src in self.iter_frame_groups(sources):
                     pipe = self.pipelines[si]
@@ -399,9 +400,11 @@ class MultiScenePipeline:
                     for src, raster in by_src.items():
                         if (si, src) not in sinks:
                             continue
+                        out = bufs.setdefault(
+                            (si, src), pipe.composite_out_buffers())
                         frame = pipe.composite_frame(
-                            src, idx, raster, pool=pool, base=base)
-                        sinks[(si, src)].add_frame(concat_camera_grid(frame))
+                            src, idx, raster, pool=pool, base=base, out=out)
+                        sinks[(si, src)].add_frame_from_dict(frame)
                         counts[si][src] += 1
         finally:
             for s in sinks.values():
@@ -661,25 +664,46 @@ class ClipPipeline:
         results = pool.map(one, cams) if pool is not None else map(one, cams)
         return dict(results)
 
-    def composite_frame(self, source, image_idx, cls_raster, pool=None, base=None):
+    def _composite_base(self, camera, image_idx, base, out):
+        """Base pixels for painting: into the persistent `out` buffer when
+        given (np.copyto into a warm buffer — fresh 1.5 MB allocations cost
+        ~10x the memcpy on the throttled bench host), else a private copy."""
+        src = base[camera] if base is not None else self.undistorted_image(
+            camera, image_idx, copy=False)
+        if out is not None:
+            buf = out[camera]
+            np.copyto(buf, src)
+            return buf
+        return np.array(src, copy=True) if base is not None or not src.flags.writeable else src
+
+    def composite_out_buffers(self):
+        """{camera: [H, W, 3] uint8} persistent composite buffers — pass as
+        `out` to the composite methods when the result is consumed before the
+        next frame (the video writers do)."""
+        h, w = self.scene.output_size
+        return {c: np.empty((h, w, 3), np.uint8) for c in self.scene.camera_list}
+
+    def composite_frame(self, source, image_idx, cls_raster, pool=None,
+                        base=None, out=None):
         """cls_raster [C, H, W] uint8 -> {camera: overlay image} (host).
 
         Per-camera decode+remap+composite fans out over a thread pool when
         given (cv2 releases the GIL); the reference does the six cameras
         serially (cama/dataset.py:110-116).  Pass `base` (from base_images)
         to reuse already-decoded undistorted frames; they are copied before
-        painting."""
+        painting.  Pass `out` (composite_out_buffers) to reuse output
+        buffers across frames."""
         table = self._color_tables[source]
 
         def one(c_camera):
             c, camera = c_camera
-            if base is not None:
-                img = np.array(base[camera], copy=True)
-            else:
-                img = self.undistorted_image(camera, image_idx)
+            img = self._composite_base(camera, image_idx, base, out)
             r = cls_raster[c]
-            painted = r > 0
-            img[painted] = table[(r[painted] - 1) % MAX_CLS]
+            # index-based paint: flatnonzero over the sparse raster beats a
+            # [H, W] boolean-mask scatter ~4x on this host
+            nz = np.flatnonzero(r)
+            if len(nz):
+                img.reshape(-1, 3)[nz] = table[(r.reshape(-1)[nz] - 1) % MAX_CLS]
             return camera, img
 
         items = list(enumerate(self.scene.camera_list))
@@ -787,16 +811,13 @@ class ClipPipeline:
             yield from drain(entry)
 
     def composite_frame_sparse(self, source, image_idx, vals, counts, pool=None,
-                               base=None):
+                               base=None, out=None):
         table = self._color_tables[source]
         h, w = self.scene.output_size
 
         def one(c_camera):
             c, camera = c_camera
-            if base is not None:
-                img = np.array(base[camera], copy=True)
-            else:
-                img = self.undistorted_image(camera, image_idx)
+            img = self._composite_base(camera, image_idx, base, out)
             paint_sparse_host(img, vals[c], counts[c], table, w)
             return camera, img
 
@@ -892,6 +913,7 @@ class ClipPipeline:
                     streams[src] = ("raster", self.iter_overlay_rasters(src))
                 else:
                     streams[src] = ("sparse", self.iter_sparse_points(src, k=k))
+            bufs = {src: self.composite_out_buffers() for src in source_paths}
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 for src, (_, it) in streams.items():
                     heads[src] = next(it, None)
@@ -906,17 +928,22 @@ class ClipPipeline:
                         with self.timers.phase("host_composite"):
                             if kind == "raster":
                                 frame = self.composite_frame(
-                                    src, idx, head[1], pool=pool, base=base)
+                                    src, idx, head[1], pool=pool, base=base,
+                                    out=bufs[src])
                             else:
                                 _, vals, cnts = head
                                 if cnts.max() > vals.shape[-1]:
                                     raster = self._overlay_single(src, idx)
                                     frame = self.composite_frame(
-                                        src, idx, raster, pool=pool, base=base)
+                                        src, idx, raster, pool=pool, base=base,
+                                        out=bufs[src])
                                 else:
                                     frame = self.composite_frame_sparse(
-                                        src, idx, vals, cnts, pool=pool, base=base)
-                        sinks[src].add_frame(concat_camera_grid(frame))
+                                        src, idx, vals, cnts, pool=pool,
+                                        base=base, out=bufs[src])
+                        # add_frame_from_dict reuses the sink's mosaic buffer
+                        # (a fresh 9.3 MB mosaic per frame costs ~10x the fill)
+                        sinks[src].add_frame_from_dict(frame)
                         counts[src] += 1
                         heads[src] = next(it, None)
         finally:

@@ -27,6 +27,7 @@ def test_cache_serves_byte_identical_pixels(clip):
     assert np.array_equal(first, ref)
     fc = warmer.frame_cache()
     assert fc is not None
+    fc.flush()  # writes are async (drop-on-full); drain before asserting
     c = warmer.scene.camera_list.index(cam)
     assert fc.get(1, c) is not None, "slot should be populated after a miss"
     second = warmer.undistorted_image(cam, 1)  # hit: mmap read
@@ -41,6 +42,7 @@ def test_cache_serves_byte_identical_pixels(clip):
 def test_cache_persists_across_pipelines(clip):
     p1 = ClipPipeline(clip_path=clip)
     base = p1.base_images(2)
+    p1.frame_cache().flush()
     p2 = ClipPipeline(clip_path=clip)
     fc2 = p2.frame_cache()
     for c, cam in enumerate(p2.scene.camera_list):
@@ -76,5 +78,7 @@ def test_write_videos_uses_cache(clip, tmp_path):
     counts = pipe.write_videos(out)
     assert all(v > 0 for v in counts.values())
     fc = pipe.frame_cache()
-    # every frame write_videos touched is now resident
-    assert fc is not None and fc.hit_rate() > 0
+    assert fc is not None
+    fc.flush()
+    # frames write_videos touched are now resident (modulo dropped writes)
+    assert fc.hit_rate() > 0 or fc.dropped_writes > 0

@@ -122,6 +122,9 @@ def test_write_videos_one_pass_matches_two_pass(clip, pipe, monkeypatch):
         def add_frame(self, img):
             captured[self.path].append(np.array(img, copy=True))
 
+        def add_frame_from_dict(self, image_dict):
+            self.add_frame(concat_camera_grid(image_dict))
+
         def close(self):
             pass
 
