@@ -207,13 +207,78 @@ def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
 # ---------------------------------------------------------------------------
 
 
+def _nearest_rows_id(ids):
+    """[..., H, W] int instance image -> (dist, id) of the nearest nonzero
+    pixel along axis -2 in the same column (dist 1e4 / id 0 where the column
+    is empty).  Ties between the upper and lower neighbor go to the upper
+    (forward-scan) one."""
+    m = jnp.moveaxis(ids, -2, 0)  # [H, ..., W]
+    fg0 = m[0] > 0
+    # derive the scan carry from the data (shard_map varying-axis typing —
+    # see _nearest_dist_rows)
+    init_d = jnp.full(m.shape[1:], _EDT_INF, jnp.float32) + 0.0 * fg0.astype(jnp.float32)
+    init_i = jnp.zeros(m.shape[1:], m.dtype) + 0 * m[0]
+
+    def step(carry, row):
+        d, i = carry
+        fg = row > 0
+        nd = jnp.where(fg, 0.0, d + 1.0)
+        ni = jnp.where(fg, row, i)
+        return (nd, ni), (nd, ni)
+
+    _, (fd, fi) = jax.lax.scan(step, (init_d, init_i), m)
+    _, (bd, bi) = jax.lax.scan(step, (init_d, init_i), m, reverse=True)
+    take_f = fd <= bd
+    d = jnp.where(take_f, fd, bd)
+    i = jnp.where(take_f, fi, bi)
+    return jnp.moveaxis(d, 0, -2), jnp.moveaxis(i, 0, -2)
+
+
+@partial(jax.jit, static_argnames=("block",))
+def nearest_id_edt(ids, block=8):
+    """Exact Euclidean feature transform of an instance-id image:
+    ([..., H, W] int, 0 = background) -> (d2 [..., H, W] f32 squared distance
+    to the nearest labeled pixel, id [..., H, W] of that pixel).
+
+    Same separable construction as squared_edt, but the row-blocked min-plus
+    reduction takes an argmin and gathers the column pass's ids through it —
+    so every pixel knows WHICH instance is nearest, not just how far.  Ties
+    resolve deterministically (smaller source column; upper row within a
+    column)."""
+    W = ids.shape[-1]
+    D0, I0 = _nearest_rows_id(ids)
+    D0 = D0 ** 2
+    x = jnp.arange(W, dtype=jnp.float32)
+    d2 = (x[:, None] - x[None, :]) ** 2  # [W(out), W(src)]
+    flat_d = D0.reshape((-1, W))
+    flat_i = I0.reshape((-1, W))
+    pad = (-flat_d.shape[0]) % block
+    flat_d = jnp.pad(flat_d, ((0, pad), (0, 0)))
+    flat_i = jnp.pad(flat_i, ((0, pad), (0, 0)))
+
+    def one_block(args):  # ([block, W] dists, [block, W] ids)
+        rows_d, rows_i = args
+        tot = rows_d[:, None, :] + d2[None]  # [block, W(out), W(src)]
+        src = jnp.argmin(tot, axis=-1)  # first minimum -> smallest column
+        best = jnp.take_along_axis(tot, src[..., None], axis=-1)[..., 0]
+        bid = jnp.take_along_axis(rows_i, src, axis=-1)
+        return best, bid
+
+    out_d, out_i = jax.lax.map(
+        one_block, (flat_d.reshape((-1, block, W)), flat_i.reshape((-1, block, W))))
+    n = D0.reshape((-1, W)).shape[0]
+    out_d = out_d.reshape((-1, W))[:n].reshape(ids.shape).astype(jnp.float32)
+    out_i = out_i.reshape((-1, W))[:n].reshape(ids.shape)
+    return out_d, out_i
+
+
 def dilate_ids(ids, rounds):
     """Max-dilate an instance-id image (0 = background) with the SAME
     8-neighborhood dilate3x3 uses, so instance voting and the binary
     precision/recall metrics share one tolerance geometry (Chebyshev disc).
     Where two instances are within 2*rounds px of each other the larger id
-    wins in the overlap — an approximation acceptable for association
-    voting."""
+    wins in the overlap — kept for the 'chebyshev' association mode;
+    nearest_id_edt is the exact assignment frame_instance_pairs now uses."""
     out = jnp.asarray(ids)
     for _ in range(rounds):
         n = jnp.pad(out, [(0, 0)] * (out.ndim - 2) + [(1, 1), (1, 1)])
@@ -229,18 +294,28 @@ def dilate_ids(ids, rounds):
     return out
 
 
-def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance):
+def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance,
+                         assignment="nearest"):
     """Per-frame (map_instance_id, gt_instance_id) pairs for every kept
     projected point: the raw material for association voting.
 
     gt_ids: [C, H, W] integer GT instance image (0 = background)
     vu/keep: [C, P, 2] / [C, P] projections;  point_inst: [P] map instance ids
-    Returns (mi [N], gi [N]) numpy arrays (gi = 0 where the point hit
-    background even after `tolerance` rounds of id dilation).
+    assignment: 'nearest' (exact — each point votes for the Euclidean-nearest
+        GT instance within `tolerance` px, via nearest_id_edt) or 'chebyshev'
+        (id max-dilation; larger id wins where instances overlap — the
+        round-2 approximation, kept for comparison).
+    Returns (mi [N], gi [N]) numpy arrays (gi = 0 where no GT instance is
+    within tolerance).
     """
     C, H, W = gt_ids.shape
     vi, ui = _clip_pixels(vu, H, W)
-    gt_d = dilate_ids(jnp.asarray(gt_ids).astype(jnp.int32), tolerance)
+    ids = jnp.asarray(gt_ids).astype(jnp.int32)
+    if assignment == "nearest":
+        d2, nid = nearest_id_edt(ids)
+        gt_d = jnp.where(d2 <= float(tolerance) ** 2, nid, 0)
+    else:
+        gt_d = dilate_ids(ids, tolerance)
     g_at = np.asarray(_gather_at(gt_d, vi, ui))  # [C, P]
     keep_np = np.asarray(keep)
     mi = np.broadcast_to(np.asarray(point_inst)[None, :], keep_np.shape)[keep_np]
@@ -416,11 +491,13 @@ class MapEvaluator:
         return out
 
 
-    def evaluate_scene_instances(self, pipeline, source="cama", frames=None):
+    def evaluate_scene_instances(self, pipeline, source="cama", frames=None,
+                                 assignment="nearest"):
         """Instance-level association quality over all valid frames with GT
         instance masks: each map instance's projected points vote on a GT
-        instance id; reports precision/recall/purity (see
-        instance_association)."""
+        instance id (for the Euclidean-nearest instance within tolerance by
+        default — see frame_instance_pairs); reports precision/recall/purity
+        (see instance_association)."""
         point_inst = pipeline.scene.flat[source].inst
         all_mi, all_gi = [], []
         gt_visible = set()
@@ -431,7 +508,8 @@ class MapEvaluator:
             if stacked is None:
                 continue
             mi, gi = frame_instance_pairs(
-                stacked, vu, keep, point_inst, self.tolerance
+                stacked, vu, keep, point_inst, self.tolerance,
+                assignment=assignment,
             )
             all_mi.append(mi)
             all_gi.append(gi)

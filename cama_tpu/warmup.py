@@ -1,0 +1,90 @@
+"""Cold-start warmup: pre-compile the production kernel set for a config.
+
+The overlay kernels embed static (chunk, k, width, height) arguments and the
+point-tensor padding in their compiled programs; on a remote-compile TPU
+runtime the sort-bearing compact kernel costs 1-4 MINUTES to compile and the
+persistent JAX cache cannot capture it (the compile happens server-side).
+`warmup_pipeline` pays that cost up front — one counting pass plus one chunk
+of the selected kernel per label source — so the first user-visible frame on
+a warmed process arrives in well under 10 s instead of minutes.
+
+    cama-tpu-warmup --config config.yaml [--scene NAME]
+
+prints one JSON line with per-source warm timings and the measured
+first-frame latency after warming.  Serving code can call warmup_pipeline()
+directly on any ClipPipeline before its first frame is needed.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+
+def warmup_pipeline(pipe, sources=None):
+    """Compile + execute one chunk of every device program the pipeline's
+    production path will use (counting pass, overlay kernel or sparse
+    compactor per source).  Returns {source: {mode, k, seconds}}."""
+    out = {}
+    for source in (sources or pipe.scene.sources):
+        t0 = time.perf_counter()
+        mode, k = pipe.overlay_mode(source)  # compiles the counting kernel
+        if mode == "raster":
+            it = pipe.iter_overlay_rasters(source, max_in_flight=1)
+        else:
+            it = pipe.iter_sparse_points(source, k=k, max_in_flight=1)
+        next(it, None)  # compiles + runs the first chunk
+        it.close()
+        out[source] = {"mode": mode, "k": k,
+                       "seconds": round(time.perf_counter() - t0, 2)}
+    return out
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Pre-compile the kernel set for a config's scenes")
+    parser.add_argument("-c", "--config", default="config.yaml")
+    parser.add_argument("--scene", default=None,
+                        help="scene to warm (default: every configured scene "
+                             "with a converted clip)")
+    parser.add_argument("--source", default=None, choices=["cama", "nuscenes"])
+    args = parser.parse_args(argv)
+
+    from cama_tpu.config import load_config
+    from cama_tpu.pipeline import ClipPipeline
+
+    configs = load_config(args.config)
+    names = [args.scene] if args.scene else configs["scene_names"]
+    report = {"scenes": {}}
+    first_pipe = None
+    for name in names:
+        clip = os.path.join(configs["converted_dataroot"], name)
+        if not os.path.exists(os.path.join(clip, "attribute.json")):
+            report["scenes"][name] = {"skipped": "clip not converted"}
+            continue
+        t0 = time.perf_counter()
+        pipe = ClipPipeline(configs.get("cama_configs"), clip)
+        compile_s = time.perf_counter() - t0
+        sources = [args.source] if args.source else None
+        entry = {"scene_compile_seconds": round(compile_s, 2),
+                 "scene_cache_hit": pipe.scene.from_cache,
+                 "kernels": warmup_pipeline(pipe, sources)}
+        report["scenes"][name] = entry
+        if first_pipe is None:
+            first_pipe = (pipe, (sources or pipe.scene.sources)[0])
+
+    if first_pipe is not None:
+        pipe, source = first_pipe
+        t0 = time.perf_counter()
+        it = pipe.iter_frames(source)
+        next(it, None)
+        it.close()
+        report["first_frame_latency_seconds"] = round(
+            time.perf_counter() - t0, 2)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

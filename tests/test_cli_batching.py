@@ -102,3 +102,17 @@ def test_sites_config_validation(two_scene_ws):
     cfg["sites"] = [[]]
     with pytest.raises(ConfigError, match="non-empty"):
         validate_config(cfg)
+
+
+def test_warmup_cli(two_scene_ws, capsys):
+    import json
+
+    from cama_tpu.warmup import main
+
+    assert main(["--config", two_scene_ws["config"], "--scene", "scene-a"]) == 0
+    report = json.loads(capsys.readouterr().out)
+    entry = report["scenes"]["scene-a"]
+    assert set(entry["kernels"]) == {"cama", "nuscenes"}
+    for k in entry["kernels"].values():
+        assert k["seconds"] >= 0 and k["mode"] in ("raster", "sparse")
+    assert report["first_frame_latency_seconds"] < 10

@@ -237,3 +237,65 @@ def test_squared_edt_edge_masks():
     m[0, :] = True
     got = np.asarray(squared_edt(jnp.asarray(m)))
     np.testing.assert_allclose(got, distance_transform_edt(~m) ** 2, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# exact nearest-instance feature transform (round-3: replaces the
+# larger-id-wins dilation approximation in association voting)
+# ---------------------------------------------------------------------------
+
+
+def test_nearest_id_edt_matches_brute_force():
+    from cama_tpu.eval.map_metrics import nearest_id_edt
+
+    rng = np.random.default_rng(3)
+    ids = np.zeros((2, 17, 23), np.int32)
+    for c in range(2):
+        for inst in (1, 2, 3):
+            yy, xx = rng.integers(0, 17, 4), rng.integers(0, 23, 4)
+            ids[c, yy, xx] = inst
+    d2, nid = (np.asarray(a) for a in nearest_id_edt(jnp.asarray(ids)))
+    ys, xs = np.mgrid[0:17, 0:23]
+    for c in range(2):
+        fy, fx = np.nonzero(ids[c])
+        dd = (ys[..., None] - fy) ** 2 + (xs[..., None] - fx) ** 2  # [H, W, F]
+        best = dd.min(-1)
+        np.testing.assert_array_equal(d2[c], best)
+        # the returned id must be A nearest instance (ties are impl-defined)
+        at_best = ids[c, fy, fx][None, None, :] * (dd == best[..., None])
+        assert ((at_best == nid[c][..., None]).any(-1)).all()
+
+
+def test_nearest_assignment_wins_in_overlap_zone():
+    """Two instances within 2*tolerance: the nearest one must receive the
+    vote (the dilation rule hands the overlap to the larger id)."""
+    from cama_tpu.eval.map_metrics import frame_instance_pairs
+
+    tol = 3
+    gt = np.zeros((1, 9, 32), np.int32)
+    gt[0, :, 10] = 1   # instance 1 at column 10
+    gt[0, :, 14] = 2   # instance 2 (larger id) at column 14: gap 4 < 2*tol
+    # one projected point at column 11 -> Euclidean-nearest is instance 1
+    vu = np.array([[[4.0, 11.0]]], np.float32)
+    keep = np.ones((1, 1), bool)
+    point_inst = np.array([7])
+
+    mi, gi = frame_instance_pairs(gt, jnp.asarray(vu), jnp.asarray(keep),
+                                  point_inst, tol)
+    assert list(mi) == [7] and list(gi) == [1], "nearest instance must win"
+    mi, gi = frame_instance_pairs(gt, jnp.asarray(vu), jnp.asarray(keep),
+                                  point_inst, tol, assignment="chebyshev")
+    assert list(gi) == [2], "dilation mode keeps the larger-id-wins rule"
+
+
+def test_nearest_assignment_respects_tolerance():
+    from cama_tpu.eval.map_metrics import frame_instance_pairs
+
+    gt = np.zeros((1, 9, 32), np.int32)
+    gt[0, 4, 10] = 5
+    vu = np.array([[[4.0, 14.0], [4.0, 12.0]]], np.float32)  # d=4 and d=2
+    keep = np.ones((1, 2), bool)
+    point_inst = np.array([1, 2])
+    mi, gi = frame_instance_pairs(gt, jnp.asarray(vu), jnp.asarray(keep),
+                                  point_inst, 3)
+    assert list(gi) == [0, 5], "beyond-tolerance points vote background"
