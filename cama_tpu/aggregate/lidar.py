@@ -111,12 +111,19 @@ def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
 
 def save_pcd(path, points, colors=None):
     """Write an ASCII PCD v0.7 (open3d-free replacement for the reference's
-    save_pcd, cama/reproject.py:133-151)."""
-    points = np.asarray(points, dtype=np.float32)
+    save_pcd, cama/reproject.py:133-151).
+
+    float64 inputs are written as SIZE 8 doubles: site/LiDAR points are
+    UTM-scale world coordinates, where a float32 cast quantizes by ~0.5 m —
+    the very precision the pipeline's f64 recentering protects."""
+    points = np.asarray(points)
+    f64 = points.dtype == np.float64
+    points = points.astype(np.float64 if f64 else np.float32)
+    fsz = "8" if f64 else "4"
     n = len(points)
     with open(path, "w") as f:
         fields = "x y z" + (" rgb" if colors is not None else "")
-        sizes = "4 4 4" + (" 4" if colors is not None else "")
+        sizes = f"{fsz} {fsz} {fsz}" + (" 4" if colors is not None else "")
         types = "F F F" + (" U" if colors is not None else "")
         counts = "1 1 1" + (" 1" if colors is not None else "")
         f.write(

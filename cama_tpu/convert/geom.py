@@ -232,6 +232,15 @@ def union_polygons(polygons, snap=1e-6, eps=5e-5):
     p0, p1 = segs[:, 0], segs[:, 1]
     d = p1 - p0
     n_seg = len(segs)
+    if n_seg > 4000:
+        import warnings
+
+        # the face-tracing stage is a per-sub-edge Python loop (~O(E^2)-ish):
+        # make a minutes-long shapely-free union diagnosable, not mysterious
+        warnings.warn(
+            f"union_polygons fallback on {n_seg} edges without shapely — "
+            "this pure-NumPy planar arrangement may take minutes; install "
+            "shapely for the fast path", RuntimeWarning, stacklevel=2)
 
     # vertex pool: ring vertices + pairwise proper intersections (chunked to
     # bound the [E, E] broadcast memory)
