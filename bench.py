@@ -191,9 +191,78 @@ def bench_ours(clip):
     return e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n
 
 
+def bench_multi_scene(n_scenes=4, n_frames=17):
+    """Scene-batched vs sequential overlay streaming (the CLI's batch_scenes
+    path, pipeline.MultiScenePipeline): one dispatch wave per chunk for ALL
+    scenes vs per-scene chunk dispatches — the driver-level redesign of the
+    reference's strictly sequential outer scene loop (main.py:32)."""
+    from cama_tpu.io.fixture import make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline, MultiScenePipeline
+
+    clips = []
+    for i in range(n_scenes):
+        name = f"scene-ms-{i}"
+        clip = os.path.join(FIXTURE_ROOT, name)
+        if not os.path.exists(os.path.join(clip, "attribute.json")):
+            make_fixture_clip(FIXTURE_ROOT, scene_name=name, n_frames=n_frames,
+                              with_images=False, with_lidar=False, seed=i)
+        clips.append(clip)
+    import jax
+    import jax.numpy as jnp
+
+    from cama_tpu.pipeline import _overlay_chunk_batched, _overlay_chunk_compact
+
+    chunk = 8
+    pipes = [ClipPipeline(clip_path=c, chunk=chunk) for c in clips]
+    msp = MultiScenePipeline(pipes, chunk=chunk)
+    st = msp._source_state("cama")
+    _, fms, _, (ptsj, clsj, validj), (A, B, fv), k, _ = st
+    lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
+    h, w = pipes[0].scene.output_size
+    n_real = sum(int(fm.frame_valid.sum()) for fm in fms)
+
+    # device-resident (checksum fetch only): dispatch amortization is the
+    # point — streaming the same rasters is link-bound and noise-dominated
+    @jax.jit
+    def bsum(A_, B_, fv_):
+        r = _overlay_chunk_batched(ptsj, validj, clsj, A_, B_, fv_,
+                                   lo, hi, w, h, k, False)
+        return r.astype(jnp.int32).sum()
+
+    b_chunks = [(jnp.asarray(A[:, s:s + chunk]), jnp.asarray(B[:, s:s + chunk]),
+                 jnp.asarray(fv[:, s:s + chunk]))
+                for s in range(0, fv.shape[1], chunk)]
+    np.asarray(bsum(*b_chunks[0]))  # compile
+    t0 = time.perf_counter()
+    _ = [np.asarray(s) for s in [bsum(*c) for c in b_chunks]]
+    batched_fps = n_real / (time.perf_counter() - t0)
+
+    @jax.jit
+    def ssum(pts_, valid_, cls_, A_, B_, fv_):
+        r = _overlay_chunk_compact(pts_, valid_, cls_, A_, B_, fv_,
+                                   lo, hi, w, h, k, False)
+        return r.astype(jnp.int32).sum()
+
+    s_work = []
+    for si in range(len(pipes)):
+        dev = (ptsj[si], validj[si], clsj[si])
+        for s in range(0, fv.shape[1], chunk):
+            s_work.append(dev + (jnp.asarray(A[si, s:s + chunk]),
+                                 jnp.asarray(B[si, s:s + chunk]),
+                                 jnp.asarray(fv[si, s:s + chunk])))
+    np.asarray(ssum(*s_work[0]))  # compile
+    t0 = time.perf_counter()
+    _ = [np.asarray(s) for s in [ssum(*wk) for wk in s_work]]
+    seq_fps = n_real / (time.perf_counter() - t0)
+    return batched_fps, seq_fps
+
+
 def main():
     clip = get_fixture()
     e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n = bench_ours(clip)
+    ms_batched = ms_seq = None
+    if os.environ.get("CAMA_BENCH_MULTI", "1") != "0":
+        ms_batched, ms_seq = bench_multi_scene()
     ref_runs = bench_reference(clip, REF_FRAME_BUDGET)
     ref_fps = float(np.mean(ref_runs)) if ref_runs else None
     vs = (dev_fps / ref_fps) if ref_fps else None
@@ -213,6 +282,8 @@ def main():
             "reference_cpu_fps_min": round(min(ref_runs), 3) if ref_runs else None,
             "reference_cpu_fps_max": round(max(ref_runs), 3) if ref_runs else None,
             "reference_repeats": len(ref_runs) if ref_runs else 0,
+            "multi_scene_stream_fps_batched": round(ms_batched, 2) if ms_batched else None,
+            "multi_scene_stream_fps_sequential": round(ms_seq, 2) if ms_seq else None,
             "frames": n,
             "backend": jax.default_backend(),
         },
