@@ -82,3 +82,23 @@ def test_write_videos_uses_cache(clip, tmp_path):
     fc.flush()
     # frames write_videos touched are now resident (modulo dropped writes)
     assert fc.hit_rate() > 0 or fc.dropped_writes > 0
+
+
+def test_fast_decode_approximates_full_decode(clip, tmp_path):
+    """fast_decode (half-res JPEG decode + rescaled remap grids) must land
+    close to the full-decode undistorted image — it is a documented
+    non-byte-parity QA knob, so bound the error instead of requiring
+    equality."""
+    full = ClipPipeline(clip_path=clip, configs={"frame_cache": False})
+    fast = ClipPipeline(clip_path=clip, configs={
+        "frame_cache_dir": str(tmp_path / "fc"), "fast_decode": True})
+    a = full.undistorted_image("camera_front", 1).astype(np.float32)
+    b = fast.undistorted_image("camera_front", 1).astype(np.float32)
+    assert a.shape == b.shape
+    # same content at reduced detail: small mean error, high agreement
+    assert np.abs(a - b).mean() < 8.0
+    # and the fast store must never be served under the byte-exact key
+    fast.frame_cache().flush()
+    assert fast.frame_cache().key.startswith("fast2:")
+    assert ClipPipeline(clip_path=clip, configs={
+        "frame_cache_dir": str(tmp_path / "fc")}).frame_cache().get(1, 1) is None
