@@ -155,25 +155,35 @@ def _candidate_pairs(instances, subsample, tol):
 class Site:
     """A merged multi-clip site map in the shared wigo-world frame."""
 
-    def __init__(self, name="site"):
+    def __init__(self, name="site", configs=None):
         self.name = name
+        self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.clips = []  # (clip_path, scene, (r, t, s))
         self.instances = []  # (class_name, points [P, 3] world, clip_index)
 
     @classmethod
     def from_clips(cls, clip_paths, configs=None, dedupe_tol=0.5, name="site",
-                   refine=False):
-        site = cls(name=name)
-        configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
-        for path in clip_paths:
-            cache = None
-            if configs.get("scene_cache", True):
-                # distinct filename from the pipeline's (cama, nuscenes)
-                # cache: the key embeds the source tuple, and alternating
-                # keys on one file would recompile every time
-                cache = os.path.join(str(path), ".cama_tpu",
-                                     "scene_cache_cama.npz")
-            scene = compile_scene(path, configs, sources=("cama",), cache=cache)
+                   refine=False, scenes=None):
+        """Build a site from member clips.  Pass `scenes` (parallel to
+        clip_paths) to reuse already-compiled Scenes — the CLI hands over the
+        pipelines it just built instead of re-lifting every member."""
+        site = cls(name=name, configs=configs)
+        configs = site.configs
+        for i, path in enumerate(clip_paths):
+            scene = scenes[i] if scenes is not None else None
+            if scene is not None and "cama" not in scene.flat:
+                raise ValueError(
+                    f"prebuilt scene for {path} lacks the 'cama' source")
+            if scene is None:
+                cache = None
+                if configs.get("scene_cache", True):
+                    # distinct filename from the pipeline's (cama, nuscenes)
+                    # cache: the key embeds the source tuple, and alternating
+                    # keys on one file would recompile every time
+                    cache = os.path.join(str(path), ".cama_tpu",
+                                         "scene_cache_cama.npz")
+                scene = compile_scene(path, configs, sources=("cama",),
+                                      cache=cache)
             site.add_clip(path, scene)
         if refine:
             site.refine_alignment()
@@ -447,7 +457,10 @@ class Site:
                                       class_names=scene.flat["cama"].class_names)
         scene.flat["site"] = flat
         scene.traj["site"] = scene.traj["cama"]
-        return ClipPipeline(clip_path=path, scene=scene, chunk=chunk)
+        # carry the site's configs: frame_cache/scene_cache knobs must apply
+        # to member-video pipelines too
+        return ClipPipeline(self.configs, clip_path=path, scene=scene,
+                            chunk=chunk)
 
     def member_overlay_rasters(self, chunk=8, max_in_flight=3):
         """Site-scale serving: reproject the MERGED map into EVERY member

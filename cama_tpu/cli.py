@@ -193,10 +193,11 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
             clips = [os.path.join(output_dir, m) for m in members]
             print(f"[{name}] aggregating {len(members)} scenes"
                   + (" (+refine)" if refine else ""))
-            site = Site.from_clips(clips, configs=configs.get("cama_configs"))
-            site.dedupe()
-            if refine:
-                site.refine_alignment()
+            # reuse the scenes the pipelines above already compiled — a site
+            # member is never re-lifted
+            site = Site.from_clips(
+                clips, configs=configs.get("cama_configs"), refine=refine,
+                scenes=[by_name[m].scene for m in members])
             out_json = os.path.join(output_video_dir, f"{name}_labels.json")
             site.save_labels_json(out_json)
             print(f"  merged map -> {out_json}")

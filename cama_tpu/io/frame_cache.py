@@ -76,6 +76,14 @@ class FrameCache:
         self._q = None
         self._writer = None
         self._open()
+        if self._async:
+            # started here, not lazily in put(): the per-camera thread pool
+            # calls put concurrently, and a racy lazy start can orphan a
+            # freshly-created queue (losing enqueued writes silently)
+            self._q = queue.Queue(maxsize=self.QUEUE_SLOTS)
+            self._writer = threading.Thread(
+                target=self._writer_loop, name="frame-cache-writer", daemon=True)
+            self._writer.start()
 
     # ---------------- store lifecycle ----------------
 
@@ -148,11 +156,6 @@ class FrameCache:
         if not self._async:
             self._write(frame_idx, cam_idx, image)
             return
-        if self._writer is None:
-            self._q = queue.Queue(maxsize=self.QUEUE_SLOTS)
-            self._writer = threading.Thread(
-                target=self._writer_loop, name="frame-cache-writer", daemon=True)
-            self._writer.start()
         try:
             # defensive copy: the producer may paint on its array before the
             # writer lands it (composite overlays would get baked into the

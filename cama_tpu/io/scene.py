@@ -181,20 +181,66 @@ def load_scene_cache(path, clip_path):
     )
 
 
-def _scene_cache_key(configs, sources, output_size, pad_multiple):
-    """Compilation parameters that change the cached tensors — a cache built
-    with different sources / map size / output size must not be served."""
+def _file_sig(path):
+    """Content signature of one input file: (size, sha256 of head+tail MB).
+    mtimes are useless here — the CLI re-extracts the label zip every run,
+    refreshing mtimes of identical bytes; hashing the full 144 MB height
+    grid every compile would cost ~0.5 s, so big files sign by their first
+    and last megabyte plus exact size."""
+    import hashlib
+
+    try:
+        st = os.stat(path)
+    except OSError:
+        return ("absent",)
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        h.update(f.read(1 << 20))
+        if st.st_size > (2 << 20):
+            f.seek(-(1 << 20), 2)
+        h.update(f.read(1 << 20))
+    return (st.st_size, h.hexdigest())
+
+
+def _clip_content_sig(clip_path, configs, sources):
+    """Signatures of every clip file whose content flows into the compiled
+    tensors — labels, height grid, odometry, attribute.json.  A cache built
+    before the label zip was extracted (or from a re-converted clip) must
+    not be served (the round-3 reviewer's stale-scene scenario)."""
+    result_dir = configs["result_dir"]
+    files = [os.path.join(clip_path, "attribute.json"),
+             os.path.join(clip_path, "odometry", "wigo_offset_clip.txt")]
+    if "cama" in sources:
+        files += [
+            os.path.join(clip_path, "odometry",
+                         f"{configs['pose_prefix']}_{configs['camera_main']}.txt"),
+            os.path.join(clip_path, result_dir, configs["cama_map_file"]),
+            os.path.join(clip_path, result_dir, configs["height_mlp"]),
+        ]
+    if "nuscenes" in sources:
+        files.append(os.path.join(clip_path, result_dir,
+                                  configs["nuscenes_map_file"]))
+    return tuple((os.path.basename(f),) + _file_sig(f) for f in files)
+
+
+def _scene_cache_key(configs, sources, output_size, pad_multiple, clip_path=None):
+    """Compilation parameters AND input-content signatures that change the
+    cached tensors — a cache built with different sources / map size /
+    output size / label bytes must not be served."""
+    content = (_clip_content_sig(str(clip_path), configs, sources)
+               if clip_path is not None else ())
     return repr((tuple(sorted(sources)), tuple(output_size), int(pad_multiple),
                  float(configs.get("map_size_m", 600.0)),
                  tuple(configs.get("camera_list", ())),
                  configs.get("pose_prefix"), configs.get("cama_map_file"),
-                 configs.get("nuscenes_map_file")))
+                 configs.get("nuscenes_map_file"), content))
 
 
 def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
                   output_size=OUTPUT_SIZE, pad_multiple=1024, cache=None):
     configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
-    key = _scene_cache_key(configs, sources, output_size, pad_multiple)
+    key = _scene_cache_key(configs, sources, output_size, pad_multiple,
+                           clip_path=clip_path)
     if cache and os.path.exists(cache):
         stored = np.load(cache, allow_pickle=True)
         if str(stored.get("cache_key", "")) == key:

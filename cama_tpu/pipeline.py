@@ -400,8 +400,9 @@ class MultiScenePipeline:
                     for src, raster in by_src.items():
                         if (si, src) not in sinks:
                             continue
-                        out = bufs.setdefault(
-                            (si, src), pipe.composite_out_buffers())
+                        if (si, src) not in bufs:  # setdefault would allocate
+                            bufs[(si, src)] = pipe.composite_out_buffers()
+                        out = bufs[(si, src)]
                         frame = pipe.composite_frame(
                             src, idx, raster, pool=pool, base=base, out=out)
                         sinks[(si, src)].add_frame_from_dict(frame)

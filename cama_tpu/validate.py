@@ -120,7 +120,17 @@ def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
     kernel = {"sparse": "compact", "two_stage": "compact"}.get(path_name, path_name)
     pipe = ClipPipeline(scene=scene, raster_kernel=kernel, chunk=chunk)
     if path_name == "sparse":
-        mode = "sparse"
+        # k = P: the deduped kept count can never exceed the point count, so
+        # the per-frame dense-raster overflow fallback (which would validate
+        # the scatter kernel under the 'sparse' name) cannot engage
+        P = int(pipe.device_points(source)[0].shape[0])
+        out = {}
+        for idx, vals, cnts in pipe.iter_sparse_points(source, k=P):
+            if idx not in frame_ids:
+                continue
+            assert cnts.max() <= P, "sparse budget k=P overflowed"
+            out[idx] = pipe.composite_frame_sparse(source, idx, vals, cnts)
+        return out
     else:
         mode = "raster"
         pipe.overlay_mode(source)  # sizes the compact scatter (k)

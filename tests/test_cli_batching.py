@@ -116,3 +116,29 @@ def test_warmup_cli(two_scene_ws, capsys):
     for k in entry["kernels"].values():
         assert k["seconds"] >= 0 and k["mode"] in ("raster", "sparse")
     assert report["first_frame_latency_seconds"] < 10
+
+
+def test_scene_cache_invalidated_by_label_content(tmp_path):
+    """A cache compiled before labels changed must not be served: the key
+    signs the content of every input file (labels, height grid, odometry)."""
+    import json
+
+    from cama_tpu.io.scene import compile_scene
+
+    clip = make_fixture_clip(tmp_path, scene_name="s", n_frames=4,
+                             with_images=False, with_lidar=False)
+    cache = str(tmp_path / "cache.npz")
+    s1 = compile_scene(clip, cache=cache)
+    n1 = int(s1.flat["cama"].valid.sum())
+    # append one more label instance -> content signature changes
+    labels_path = os.path.join(clip, "maps", "map_labels.json")
+    with open(labels_path) as f:
+        labels = json.load(f)
+    labels.append(dict(labels[0]))
+    with open(labels_path, "w") as f:
+        json.dump(labels, f)
+    s2 = compile_scene(clip, cache=cache)
+    assert not s2.from_cache, "stale scene cache was served after label edit"
+    assert int(s2.flat["cama"].valid.sum()) > n1
+    s3 = compile_scene(clip, cache=cache)
+    assert s3.from_cache, "rewritten cache should now hit"

@@ -92,8 +92,11 @@ def test_perf_gate_floor_logic(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     line = {"metric": "m", "value": 700.0,
-            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 12.0,
-                        "dual_video_write_fps": 4.0, "backend": "tpu"}}
+            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 90.0,
+                        "dual_video_write_fps": 25.0,
+                        "dual_video_write_cold_fps": 5.0,
+                        "multi_scene_stream_fps_batched": 500.0,
+                        "backend": "tpu"}}
     p = tmp_path / "bench.json"
     p.write_text(json.dumps(line))
     gate = os.path.join(repo, "tools", "perf_gate.py")
