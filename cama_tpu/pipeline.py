@@ -63,6 +63,7 @@ from cama_tpu.ops.raster import (
 )
 from cama_tpu.ops.undistort import RemapCache, remap_host
 from cama_tpu.profiling import PhaseTimers
+from cama_tpu import native as _native
 
 _P = jax.lax.Precision.HIGHEST
 
@@ -392,7 +393,7 @@ class MultiScenePipeline:
                 for src, path in paths.items():
                     sinks[(si, src)] = VideoSink(
                         path, output_shape=(w * 3, h * 2), fps=fps, preset=preset)
-            bufs = {}  # (si, src) -> persistent composite buffers
+            bufs = {}  # (si, src) -> persistent composite or mosaic buffers
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 for si, idx, by_src in self.iter_frame_groups(sources):
                     pipe = self.pipelines[si]
@@ -400,12 +401,25 @@ class MultiScenePipeline:
                     for src, raster in by_src.items():
                         if (si, src) not in sinks:
                             continue
-                        if (si, src) not in bufs:  # setdefault would allocate
-                            bufs[(si, src)] = pipe.composite_out_buffers()
-                        out = bufs[(si, src)]
-                        frame = pipe.composite_frame(
-                            src, idx, raster, pool=pool, base=base, out=out)
-                        sinks[(si, src)].add_frame_from_dict(frame)
+                        # fused native path: paint straight into the mosaic
+                        fused = (_native.available()
+                                 and pipe._grid_positions() is not None)
+                        if fused:
+                            mos = bufs.get((si, src))
+                            if mos is None:
+                                mos = bufs[(si, src)] = np.empty(
+                                    (h * 2, w * 3, 3), np.uint8)
+                            pipe.composite_mosaic_frame(
+                                src, idx, raster, "raster", base, mos,
+                                pool=pool)
+                            sinks[(si, src)].add_frame(mos)
+                        else:
+                            if (si, src) not in bufs:
+                                bufs[(si, src)] = pipe.composite_out_buffers()
+                            frame = pipe.composite_frame(
+                                src, idx, raster, pool=pool, base=base,
+                                out=bufs[(si, src)])
+                            sinks[(si, src)].add_frame_from_dict(frame)
                         counts[si][src] += 1
         finally:
             for s in sinks.values():
@@ -493,14 +507,19 @@ class ClipPipeline:
 
     # ---------------- device passes ----------------
 
-    def iter_overlay_rasters(self, source, max_in_flight=16):
+    def iter_overlay_rasters(self, source, max_in_flight=16, unpack=True):
         """Yield (image_idx, cls_raster [C, H, W] uint8 on host) per valid
         frame.  Chunks are dispatched ahead of consumption (JAX dispatch is
         async), so device compute and device->host transfer of later chunks
         overlap with host consumption of earlier ones — this hides the
         per-call latency of a tunneled TPU.  At most `max_in_flight` chunks'
         rasters are pending on device at once, bounding memory on long
-        scenes."""
+        scenes.
+
+        unpack=False hands the 2-bit packed [C, H, ceil(W/4)] device format
+        through untouched (when the scene uses it) — the native mosaic
+        compositor decodes it during the paint pass, so the host never
+        materializes the unpacked raster."""
         fm, A, B, fv, F = self._chunked_AB(source)
         points, cls, valid = self.device_points(source)
         use_2bit = self._use_2bit(source)
@@ -533,7 +552,7 @@ class ClipPipeline:
             s, rasters = entry
             with self.timers.phase("raster_fetch"):
                 rasters = np.asarray(rasters)
-                if use_2bit:
+                if use_2bit and unpack:
                     rasters = unpack_cls_2bit(rasters, w)  # [chunk, C, H, W] uint8
             out = []
             for k in range(rasters.shape[0]):
@@ -695,11 +714,19 @@ class ClipPipeline:
         painting.  Pass `out` (composite_out_buffers) to reuse output
         buffers across frames."""
         table = self._color_tables[source]
+        use_native = _native.available()
 
         def one(c_camera):
             c, camera = c_camera
-            img = self._composite_base(camera, image_idx, base, out)
             r = cls_raster[c]
+            if use_native:
+                # fused copy+paint in one streaming pass (cama_tpu/native);
+                # byte-identical to the NumPy path below (tests/test_native.py)
+                src = base[camera] if base is not None else \
+                    self.undistorted_image(camera, image_idx, copy=False)
+                buf = out[camera] if out is not None else np.empty_like(src)
+                return camera, _native.composite(src, r, table, buf)
+            img = self._composite_base(camera, image_idx, base, out)
             # index-based paint: flatnonzero over the sparse raster beats a
             # [H, W] boolean-mask scatter ~4x on this host
             nz = np.flatnonzero(r)
@@ -710,6 +737,63 @@ class ClipPipeline:
         items = list(enumerate(self.scene.camera_list))
         results = pool.map(one, items) if pool is not None else map(one, items)
         return dict(results)
+
+    def _grid_positions(self):
+        """{camera: (row, col)} in the reference 3x2 mosaic, or None when the
+        scene's cameras don't exactly fill it (fused mosaic path disabled)."""
+        if not hasattr(self, "_grid_pos"):
+            from cama_tpu.io.video import CAMERA_GRID
+
+            pos = {cam: (r, c) for r, row in enumerate(CAMERA_GRID)
+                   for c, cam in enumerate(row)}
+            cams = self.scene.camera_list
+            self._grid_pos = pos if set(cams) == set(pos) else None
+        return self._grid_pos
+
+    def composite_mosaic_frame(self, source, image_idx, payload, kind, base,
+                               mosaic, pool=None):
+        """Native fused composite of one frame straight into the 3x2 video
+        mosaic — each camera's base pixels and overlay colors are written to
+        their mosaic slot in a single streaming pass, so the per-camera
+        intermediate images (and one full 9.3 MB mosaic copy per frame)
+        disappear.  Output is byte-identical to composite_frame +
+        concat_camera_grid (tests/test_native.py).
+
+        kind 'raster': payload [C, H, W] uint8 class rasters, or the 2-bit
+        packed [C, H, ceil(W/4)] device format (detected by width — the
+        unpack step is then fused into the paint).  kind 'sparse': payload
+        (vals [C, k], counts [C]) from iter_sparse_points.
+
+        Returns True, or False when the native tier or the exact camera grid
+        is unavailable — callers fall back to the dict-of-images path."""
+        if not _native.available() or self._grid_positions() is None:
+            return False
+        pos = self._grid_positions()
+        h, w = self.scene.output_size
+        table = self._color_tables[source]
+
+        def one(c_camera):
+            c, camera = c_camera
+            gr, gc = pos[camera]
+            slot = mosaic[gr * h:(gr + 1) * h, gc * w:(gc + 1) * w]
+            src = base[camera] if base is not None else \
+                self.undistorted_image(camera, image_idx, copy=False)
+            if kind == "sparse":
+                vals, counts = payload
+                np.copyto(slot, src)
+                _native.paint_sparse(vals[c], counts[c], table, w, slot)
+            elif payload.shape[-1] == w:
+                _native.composite(src, payload[c], table, slot)
+            else:
+                _native.composite_packed2(src, payload[c], table, slot, w)
+
+        items = list(enumerate(self.scene.camera_list))
+        if pool is not None:
+            list(pool.map(one, items))
+        else:
+            for it in items:
+                one(it)
+        return True
 
     def overlay_mode(self, source):
         """Pick 'sparse' vs 'raster' from measured effective (deduped)
@@ -815,11 +899,15 @@ class ClipPipeline:
                                base=None, out=None):
         table = self._color_tables[source]
         h, w = self.scene.output_size
+        use_native = _native.available()
 
         def one(c_camera):
             c, camera = c_camera
             img = self._composite_base(camera, image_idx, base, out)
-            paint_sparse_host(img, vals[c], counts[c], table, w)
+            if use_native:
+                _native.paint_sparse(vals[c], counts[c], table, w, img)
+            else:
+                paint_sparse_host(img, vals[c], counts[c], table, w)
             return camera, img
 
         items = list(enumerate(self.scene.camera_list))
@@ -905,16 +993,24 @@ class ClipPipeline:
         sinks, streams, heads = {}, {}, {}
         counts = {src: 0 for src in source_paths}
         h, w = self.scene.output_size
+        # fused native mosaic path: base copy + overlay paint + mosaic
+        # placement in one pass per camera (cama_tpu/native); 2-bit device
+        # rasters stream through packed, decoded during the paint
+        fused = _native.available() and self._grid_positions() is not None
         try:
             for src, path in source_paths.items():
                 mode, k = self.overlay_mode(src)
                 sinks[src] = VideoSink(path, output_shape=(w * 3, h * 2), fps=fps,
                                        preset=preset)
                 if mode == "raster":
-                    streams[src] = ("raster", self.iter_overlay_rasters(src))
+                    streams[src] = ("raster", self.iter_overlay_rasters(
+                        src, unpack=not fused))
                 else:
                     streams[src] = ("sparse", self.iter_sparse_points(src, k=k))
-            bufs = {src: self.composite_out_buffers() for src in source_paths}
+            bufs = {src: self.composite_out_buffers() for src in source_paths} \
+                if not fused else None
+            mosaics = {src: np.empty((h * 2, w * 3, 3), np.uint8)
+                       for src in source_paths} if fused else None
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
                 for src, (_, it) in streams.items():
                     heads[src] = next(it, None)
@@ -928,23 +1024,34 @@ class ClipPipeline:
                         kind, it = streams[src]
                         with self.timers.phase("host_composite"):
                             if kind == "raster":
-                                frame = self.composite_frame(
-                                    src, idx, head[1], pool=pool, base=base,
-                                    out=bufs[src])
+                                payload = head[1]
                             else:
                                 _, vals, cnts = head
                                 if cnts.max() > vals.shape[-1]:
-                                    raster = self._overlay_single(src, idx)
-                                    frame = self.composite_frame(
-                                        src, idx, raster, pool=pool, base=base,
-                                        out=bufs[src])
+                                    kind, payload = "raster", self._overlay_single(src, idx)
                                 else:
-                                    frame = self.composite_frame_sparse(
-                                        src, idx, vals, cnts, pool=pool,
-                                        base=base, out=bufs[src])
-                        # add_frame_from_dict reuses the sink's mosaic buffer
-                        # (a fresh 9.3 MB mosaic per frame costs ~10x the fill)
-                        sinks[src].add_frame_from_dict(frame)
+                                    kind, payload = "sparse", (vals, cnts)
+                            if fused:
+                                self.composite_mosaic_frame(
+                                    src, idx, payload, kind, base,
+                                    mosaics[src], pool=pool)
+                            elif kind == "raster":
+                                frame = self.composite_frame(
+                                    src, idx, payload, pool=pool, base=base,
+                                    out=bufs[src])
+                            else:
+                                frame = self.composite_frame_sparse(
+                                    src, idx, payload[0], payload[1], pool=pool,
+                                    base=base, out=bufs[src])
+                        if fused:
+                            # the pipe write is synchronous, so the mosaic
+                            # buffer is free again by the next frame
+                            sinks[src].add_frame(mosaics[src])
+                        else:
+                            # add_frame_from_dict reuses the sink's mosaic
+                            # buffer (a fresh 9.3 MB mosaic per frame costs
+                            # ~10x the fill)
+                            sinks[src].add_frame_from_dict(frame)
                         counts[src] += 1
                         heads[src] = next(it, None)
         finally:
