@@ -170,25 +170,43 @@ class NuScenesConverter:
         tum[:, 1:4] = tum[:, 1:4] - deepcopy(utm_center)
         np.savetxt(os.path.join(od_path, "wigo_offset_clip.txt"), tum)
 
-    def write_sensors(self, sweeps_sd_tokens, clip_root):
+    def write_sensors(self, sweeps_sd_tokens, clip_root, n_threads=8):
+        """Copy camera JPEGs / rewrite lidar bins keyed by millisecond
+        timestamps (reference: nuscenes2clip.py:531-557, incl. the float64
+        Nx4 -> Nx6 zero-pad quirk).  The file copies fan out over a thread
+        pool — this loop is pure I/O and dominates conversion wall-clock in
+        the reference's serial form (SURVEY §3.2); the on-disk bytes and the
+        unsync table order are unchanged."""
+        from concurrent.futures import ThreadPoolExecutor
+
         unsync = {}
         for sensor_name in self.clip_sensor_names:
             os.makedirs(os.path.join(clip_root, sensor_name), exist_ok=True)
-        for sensor_name in self.clip_sensor_names:
-            logger.info("Writing %s data", sensor_name)
-            unsync[sensor_name] = []
-            for token in sweeps_sd_tokens[sensor_name]:
-                sd = self.db.get("sample_data", token)
-                src = self.db.file_path(sd["filename"])
-                dst_dir = os.path.join(clip_root, sensor_name)
-                ms = round(sd["timestamp"] / 1000)
-                if "lidar" not in sensor_name:
-                    shutil.copy(src, os.path.join(dst_dir, f"{ms}.jpg"))
-                else:
-                    pc = np.fromfile(src, dtype=np.double, count=-1).reshape([-1, 4])
-                    pc = np.hstack([pc, np.zeros((pc.shape[0], 2))])
-                    pc.tofile(os.path.join(dst_dir, f"{ms}.bin"))
-                unsync[sensor_name].append(ms)
+
+        def rewrite_lidar(src, dst):
+            pc = np.fromfile(src, dtype=np.double, count=-1).reshape([-1, 4])
+            pc = np.hstack([pc, np.zeros((pc.shape[0], 2))])
+            pc.tofile(dst)
+
+        futures = []
+        with ThreadPoolExecutor(max_workers=n_threads) as pool:
+            for sensor_name in self.clip_sensor_names:
+                logger.info("Writing %s data", sensor_name)
+                unsync[sensor_name] = []
+                for token in sweeps_sd_tokens[sensor_name]:
+                    sd = self.db.get("sample_data", token)
+                    src = self.db.file_path(sd["filename"])
+                    dst_dir = os.path.join(clip_root, sensor_name)
+                    ms = round(sd["timestamp"] / 1000)
+                    if "lidar" not in sensor_name:
+                        futures.append(pool.submit(
+                            shutil.copy, src, os.path.join(dst_dir, f"{ms}.jpg")))
+                    else:
+                        futures.append(pool.submit(
+                            rewrite_lidar, src, os.path.join(dst_dir, f"{ms}.bin")))
+                    unsync[sensor_name].append(ms)
+            for f in futures:
+                f.result()  # propagate I/O errors with their tracebacks
         return unsync
 
     def get_sync_info(self, unsync, ref_sensor, max_diff):

@@ -48,7 +48,7 @@ def enable_compile_cache(path="/tmp/jax_compile_cache"):
 
 
 from cama_tpu.io.frame_cache import FrameCache, frame_cache_key
-from cama_tpu.io.video import VideoSink, concat_camera_grid
+from cama_tpu.io.video import VideoSink
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
 from cama_tpu.ops.raster import (
     MAX_CLS,
@@ -966,14 +966,11 @@ class ClipPipeline:
         return np.asarray(raster)[0]
 
     def write_video(self, source, output_path, fps=10, preset=None):
-        h, w = self.scene.output_size
-        n = 0
-        with VideoSink(output_path, output_shape=(w * 3, h * 2), fps=fps,
-                       preset=preset) as sink:
-            for _, images in self.iter_frames(source):
-                sink.add_frame(concat_camera_grid(images))
-                n += 1
-        return n
+        """Single-source overlay video — same engine as write_videos (fused
+        native mosaic path, persistent buffers), reference surface of
+        ClipManager's per-source loop (/root/reference/main.py:55-61)."""
+        return self.write_videos({source: output_path}, fps=fps,
+                                 preset=preset)[source]
 
     def write_videos(self, source_paths, fps=10, n_threads=6, preset=None):
         """Write several sources' overlay videos in ONE pass over the clip.

@@ -26,6 +26,9 @@ def warmup_pipeline(pipe, sources=None):
     """Compile + execute one chunk of every device program the pipeline's
     production path will use (counting pass, overlay kernel or sparse
     compactor per source).  Returns {source: {mode, k, seconds}}."""
+    from cama_tpu import native
+
+    native.available()  # builds the host compositor .so if needed
     out = {}
     for source in (sources or pipe.scene.sources):
         t0 = time.perf_counter()
@@ -54,9 +57,11 @@ def main(argv=None):
     from cama_tpu.config import load_config
     from cama_tpu.pipeline import ClipPipeline
 
+    from cama_tpu import native
+
     configs = load_config(args.config)
     names = [args.scene] if args.scene else configs["scene_names"]
-    report = {"scenes": {}}
+    report = {"scenes": {}, "native_compositor": native.available()}
     first_pipe = None
     for name in names:
         clip = os.path.join(configs["converted_dataroot"], name)

@@ -92,7 +92,7 @@ def test_perf_gate_floor_logic(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     line = {"metric": "m", "value": 700.0,
-            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 90.0,
+            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 190.0,
                         "dual_video_write_fps": 25.0,
                         "dual_video_write_cold_fps": 5.0,
                         "multi_scene_stream_fps_batched": 500.0,
