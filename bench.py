@@ -194,9 +194,10 @@ def bench_ours(clip):
                 "nuscenes": os.path.join(td, "n.mp4"),
             })
             fps = sum(counts.values()) / (time.perf_counter() - t0)
-        if fps <= dual_fps * 1.05:
-            break
+        converged = fps <= dual_fps * 1.05
         dual_fps = max(dual_fps, fps)
+        if converged:
+            break
     return e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n
 
 
@@ -295,6 +296,10 @@ def main():
             "multi_scene_stream_fps_sequential": round(ms_seq, 2) if ms_seq else None,
             "frames": n,
             "backend": jax.default_backend(),
+            # perf_gate applies relaxed host-path floors when the native
+            # compositor couldn't build (toolchain-less gate hosts)
+            "native_compositor": __import__(
+                "cama_tpu.native", fromlist=["available"]).available(),
         },
     }))
 

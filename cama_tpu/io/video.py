@@ -60,7 +60,6 @@ class VideoSink:
         self._proc = None
         self._writer = None
         self._frames_dir = None
-        self._count = 0
         self._write_count = 0  # raw-backend file numbering (feeder-thread safe)
         self.backend = self._open()
         if async_write is None:
@@ -149,7 +148,6 @@ class VideoSink:
             self._queue.put(buf)
         else:
             self._write_frame(img)
-        self._count += 1
 
     def _write_frame(self, img):
         if self._proc is not None:
@@ -164,8 +162,8 @@ class VideoSink:
             self._write_count += 1
 
     def add_frame_from_dict(self, image_dict):
-        # reuse one mosaic buffer across frames (the pipe write is
-        # synchronous, so the buffer is free again by the next call)
+        # reuse one mosaic buffer across frames — safe because add_frame
+        # either writes before returning or (async feeder) copies eagerly
         self._mosaic = concat_camera_grid(image_dict,
                                           out=getattr(self, "_mosaic", None))
         self.add_frame(self._mosaic)

@@ -47,7 +47,15 @@ def _build_and_load():
     ]
     for so_path in candidates:
         if os.path.exists(so_path):
-            return ctypes.CDLL(so_path)
+            try:
+                return ctypes.CDLL(so_path)
+            except OSError:
+                # corrupt/foreign-arch cached .so (e.g. network home dir):
+                # drop it and fall through to a rebuild or the NumPy fallback
+                try:
+                    os.remove(so_path)
+                except OSError:
+                    pass
     for so_path in candidates:
         try:
             os.makedirs(os.path.dirname(so_path), exist_ok=True)
@@ -74,7 +82,10 @@ def _load():
         if os.environ.get("CAMA_TPU_NO_NATIVE"):
             _lib, _tried = None, True
             return None
-        lib = _build_and_load()
+        try:
+            lib = _build_and_load()
+        except Exception:  # any loader surprise degrades to the NumPy path
+            lib = None
         if lib is not None:
             i64, i32, u8p, i32p = (ctypes.c_int64, ctypes.c_int32,
                                    ctypes.POINTER(ctypes.c_uint8),

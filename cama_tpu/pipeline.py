@@ -68,6 +68,22 @@ from cama_tpu import native as _native
 _P = jax.lax.Precision.HIGHEST
 
 
+def _close_all_sinks(sinks):
+    """Close every sink even when one close() raises (async feeders surface
+    deferred encoder errors there); re-raise the first failure after all
+    encoders have been released — otherwise one bad sink would leave the
+    others' outputs truncated."""
+    first = None
+    for s in sinks.values():
+        try:
+            s.close()
+        except Exception as e:
+            if first is None:
+                first = e
+    if first is not None:
+        raise first
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
     """One chunk of frames -> uint8 class rasters [chunk, C, H, W].
@@ -305,12 +321,14 @@ class MultiScenePipeline:
             pass
         return rasters
 
-    def _drain_chunk(self, state, s, rasters):
-        """[(global scene_idx, image_idx, cls_raster [C, H, W] uint8), ...]."""
+    def _drain_chunk(self, state, s, rasters, unpack=True):
+        """[(global scene_idx, image_idx, cls_raster [C, H, W] uint8), ...].
+        unpack=False passes the 2-bit packed link format through (the native
+        mosaic compositor decodes it during the paint)."""
         members, fms, Fs, _, _, _, use_2bit = state
         w = self.pipelines[0].scene.output_size[1]
         rasters = np.asarray(rasters)  # [S, chunk, C, H, W(/4)]
-        if use_2bit:
+        if use_2bit and unpack:
             rasters = unpack_cls_2bit(rasters, w)
         out = []
         for mi, (fm, F) in enumerate(zip(fms, Fs)):
@@ -340,7 +358,7 @@ class MultiScenePipeline:
         for s0, r0 in pending:
             yield from self._drain_chunk(state, s0, r0)
 
-    def iter_frame_groups(self, sources, max_in_flight=3):
+    def iter_frame_groups(self, sources, max_in_flight=3, unpack=True):
         """Multi-source batched serving: yields, in chunk order,
         (scene_idx, image_idx, {source: cls_raster}) with every source's
         device work dispatched back-to-back per chunk — ONE dispatch wave per
@@ -358,7 +376,8 @@ class MultiScenePipeline:
             for src, rasters in per_src.items():
                 if rasters is None:
                     continue
-                for si, idx, raster in self._drain_chunk(states[src], s, rasters):
+                for si, idx, raster in self._drain_chunk(states[src], s,
+                                                         rasters, unpack):
                     grouped.setdefault((si, idx), {})[src] = raster
             for (si, idx), by_src in sorted(grouped.items()):
                 yield si, idx, by_src
@@ -394,16 +413,19 @@ class MultiScenePipeline:
                     sinks[(si, src)] = VideoSink(
                         path, output_shape=(w * 3, h * 2), fps=fps, preset=preset)
             bufs = {}  # (si, src) -> persistent composite or mosaic buffers
+            # fused native path for every scene, or the dict path for every
+            # scene: decided up-front so packed 2-bit rasters can stream
+            # through to the paint (the NumPy path needs them unpacked)
+            fused = _native.available() and all(
+                p._grid_positions() is not None for p in self.pipelines)
             with ThreadPoolExecutor(max_workers=n_threads) as pool:
-                for si, idx, by_src in self.iter_frame_groups(sources):
+                for si, idx, by_src in self.iter_frame_groups(
+                        sources, unpack=not fused):
                     pipe = self.pipelines[si]
                     base = pipe.base_images(idx, pool=pool)
                     for src, raster in by_src.items():
                         if (si, src) not in sinks:
                             continue
-                        # fused native path: paint straight into the mosaic
-                        fused = (_native.available()
-                                 and pipe._grid_positions() is not None)
                         if fused:
                             mos = bufs.get((si, src))
                             if mos is None:
@@ -422,8 +444,7 @@ class MultiScenePipeline:
                             sinks[(si, src)].add_frame_from_dict(frame)
                         counts[si][src] += 1
         finally:
-            for s in sinks.values():
-                s.close()
+            _close_all_sinks(sinks)
         return counts
 
 
@@ -1041,8 +1062,8 @@ class ClipPipeline:
                                     src, idx, payload[0], payload[1], pool=pool,
                                     base=base, out=bufs[src])
                         if fused:
-                            # the pipe write is synchronous, so the mosaic
-                            # buffer is free again by the next frame
+                            # reuse is safe: add_frame either writes before
+                            # returning or (async feeder) copies eagerly
                             sinks[src].add_frame(mosaics[src])
                         else:
                             # add_frame_from_dict reuses the sink's mosaic
@@ -1052,6 +1073,5 @@ class ClipPipeline:
                         counts[src] += 1
                         heads[src] = next(it, None)
         finally:
-            for s in sinks.values():
-                s.close()
+            _close_all_sinks(sinks)
         return counts

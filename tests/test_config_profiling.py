@@ -110,3 +110,20 @@ def test_perf_gate_floor_logic(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 1
     assert "headline" in r.stdout
+
+    # host-path floors relax when the native compositor is unavailable
+    # (NumPy-fallback e2e ~115 must pass via _no_native_overrides)
+    line["value"] = 700.0
+    line["details"]["end_to_end_video_fps"] = 115.0
+    line["details"]["native_compositor"] = False
+    p.write_text(json.dumps(line))
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+    # with the native tier present the same number is a real regression
+    line["details"]["native_compositor"] = True
+    p.write_text(json.dumps(line))
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "end_to_end_video_fps" in r.stdout

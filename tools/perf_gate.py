@@ -38,7 +38,7 @@ def run_bench():
 def flatten(bench):
     out = {"headline": bench.get("value")}
     out.update({k: v for k, v in bench.get("details", {}).items()
-                if isinstance(v, (int, float))})
+                if isinstance(v, (int, float)) and not isinstance(v, bool)})
     return out
 
 
@@ -62,7 +62,12 @@ def main(argv=None):
 
     backend = bench.get("details", {}).get("backend", "unknown")
     floors_all = json.load(open(args.floors)) if os.path.exists(args.floors) else {}
-    floors = floors_all.get(backend, {})
+    floors = dict(floors_all.get(backend, {}))
+    # host-path floors assume the native compositor; a gate host without a
+    # C++ toolchain runs the NumPy fallback — not a regression
+    no_native = floors.pop("_no_native_overrides", {})
+    if bench.get("details", {}).get("native_compositor") is False:
+        floors.update(no_native)
     metrics = flatten(bench)
 
     failures = []
