@@ -171,6 +171,38 @@ def unpack_cls_2bit(packed2, width):
     return out[..., :width]
 
 
+def _encode_effective(vu, keep, cls, width, height):
+    """Shared by compact_points and effective_counts: per-point pixel+class
+    encoding and the consecutive-duplicate suppression mask.
+
+    Returns (enc [..., P] int32 with -1 at suppressed/dropped points,
+    eff [..., P] bool)."""
+    vi = vu[..., 0].astype(jnp.int32)
+    ui = vu[..., 1].astype(jnp.int32)
+    enc = (vi * width + ui) * MAX_CLS + cls
+    enc = jnp.where(keep, enc, -1)
+    # consecutive-duplicate suppression: successor kept & same pixel
+    pix = enc // MAX_CLS
+    dup = jnp.concatenate(
+        [keep[..., 1:] & keep[..., :-1] & (pix[..., 1:] == pix[..., :-1]),
+         jnp.zeros_like(keep[..., :1])],
+        axis=-1,
+    )
+    eff = keep & ~dup
+    return jnp.where(eff, enc, -1), eff
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def effective_counts(vu, keep, cls, width, height):
+    """Effective (deduped) kept-point counts — compact_points' `counts`
+    WITHOUT the sort.  The counting pass only needs these numbers, and the
+    P-wide lax.sort is the expensive compile (minutes through a
+    remote-compile tunnel for a 42 k-point scene); a count-only program must
+    not pay it."""
+    _, eff = _encode_effective(vu, keep, cls, width, height)
+    return eff.sum(axis=-1).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "k"))
 def compact_points(vu, keep, cls, width, height, k):
     """Compact kept projected points into fixed-size sparse buffers, in paint
@@ -192,19 +224,7 @@ def compact_points(vu, keep, cls, width, height, k):
         overflow and the caller must fall back to the dense path.
     """
     P = vu.shape[-2]
-    vi = vu[..., 0].astype(jnp.int32)
-    ui = vu[..., 1].astype(jnp.int32)
-    enc = (vi * width + ui) * MAX_CLS + cls
-    enc = jnp.where(keep, enc, -1)
-    # consecutive-duplicate suppression: successor kept & same pixel
-    pix = enc // MAX_CLS
-    dup = jnp.concatenate(
-        [keep[..., 1:] & keep[..., :-1] & (pix[..., 1:] == pix[..., :-1]),
-         jnp.zeros_like(keep[..., :1])],
-        axis=-1,
-    )
-    eff = keep & ~dup
-    enc = jnp.where(eff, enc, -1)
+    enc, eff = _encode_effective(vu, keep, cls, width, height)
     order = jnp.arange(P, dtype=jnp.int32)
     key = jnp.where(eff, order, P + order)  # kept first, original order kept
     batch = vu.shape[:-2]

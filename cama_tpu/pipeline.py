@@ -54,6 +54,7 @@ from cama_tpu.ops.raster import (
     MAX_CLS,
     build_color_table,
     compact_points,
+    effective_counts,
     pack_cls_2bit,
     packed_to_cls,
     paint_sparse_host,
@@ -133,7 +134,11 @@ def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width,
     pipelines (an inline closure recompiled per call: ~76 s per scene on a
     remote-compile tunnel).  The crop count sizes the two-stage path's first
     compaction; the eff count (computed on the full sequence — an upper bound
-    for the subsequence dedup) sizes the second."""
+    for the subsequence dedup) sizes the second.
+
+    Deliberately sort-free (effective_counts, not compact_points): the
+    P-wide sort is the expensive compile, and paying it in the COUNTING
+    program would double every scene's cold-start compile cost."""
 
     def per_frame(args):
         Af, Bf, fv = args
@@ -144,7 +149,7 @@ def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width,
         vu, keep = project_frames(
             points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
         )
-        _, counts = compact_points(vu[0], keep[0], cls, width, height, 1)
+        counts = effective_counts(vu[0], keep[0], cls, width, height)
         return crop_count, counts.max()
 
     crop_counts, eff_counts = jax.lax.map(per_frame, (A, B, frame_valid))

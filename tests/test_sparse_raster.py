@@ -10,9 +10,23 @@ from cama_tpu.ops.raster import (
     build_color_table,
     compact_points,
     composite_overlay_host,
+    effective_counts,
     paint_sparse_host,
     rasterize_packed,
 )
+
+
+def test_effective_counts_equal_compact_counts():
+    """The sort-free counting path (used by the cold-start-critical counting
+    kernel) must agree exactly with compact_points' counts."""
+    rng = np.random.default_rng(11)
+    P, W, H = 257, 40, 30
+    vu = jnp.asarray(rng.integers(0, 30, (4, P, 2)).astype(np.float32))
+    keep = jnp.asarray(rng.random((4, P)) < 0.6)
+    cls = jnp.asarray(rng.integers(0, 3, P).astype(np.int32))
+    _, want = compact_points(vu, keep, cls, W, H, 8)
+    got = effective_counts(vu, keep, cls, W, H)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 from cama_tpu.pipeline import ClipPipeline
 
 RNG = np.random.default_rng(21)
