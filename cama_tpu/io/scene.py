@@ -143,7 +143,21 @@ def save_scene_cache(scene, path, cache_key=""):
         tr = scene.traj[src]
         payload[f"traj_{src}_T"] = tr.as_transform(True)
         payload[f"traj_{src}_ts"] = tr.timestamps
-    np.savez_compressed(path, **payload)
+    # write-then-rename: a concurrent run reading `path` must never see a
+    # partially written zip (the frame cache uses the same discipline)
+    tmp = f"{path}.tmp{os.getpid()}"
+    try:
+        np.savez_compressed(tmp, **payload)
+        # savez appends .npz when missing; our tmp has no .npz suffix
+        written = tmp if os.path.exists(tmp) else tmp + ".npz"
+        os.replace(written, path)
+    except BaseException:
+        for cand in (tmp, tmp + ".npz"):
+            try:
+                os.remove(cand)
+            except OSError:
+                pass
+        raise
     return path
 
 
@@ -242,11 +256,15 @@ def compile_scene(clip_path, configs=None, sources=("cama", "nuscenes"),
     key = _scene_cache_key(configs, sources, output_size, pad_multiple,
                            clip_path=clip_path)
     if cache and os.path.exists(cache):
-        stored = np.load(cache, allow_pickle=True)
-        if str(stored.get("cache_key", "")) == key:
-            return load_scene_cache(cache, clip_path)
-        # parameters changed since the cache was written: recompile below
-        # (and overwrite) instead of silently serving mismatched tensors
+        try:
+            stored = np.load(cache, allow_pickle=True)
+            if str(stored.get("cache_key", "")) == key:
+                return load_scene_cache(cache, clip_path)
+            # parameters changed since the cache was written: recompile below
+            # (and overwrite) instead of silently serving mismatched tensors
+        except Exception:  # corrupt/truncated cache (crashed writer, foreign
+            pass           # bytes — np.load raises several unrelated types):
+            #                recompile and overwrite
     reader = ClipReader(clip_path)
     camera_list = configs["camera_list"]
     camera_main = configs["camera_main"]

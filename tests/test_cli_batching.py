@@ -142,3 +142,20 @@ def test_scene_cache_invalidated_by_label_content(tmp_path):
     assert int(s2.flat["cama"].valid.sum()) > n1
     s3 = compile_scene(clip, cache=cache)
     assert s3.from_cache, "rewritten cache should now hit"
+
+
+def test_scene_cache_corrupt_file_recompiles(tmp_path):
+    """A truncated/corrupt cache (crashed writer, foreign bytes) must
+    recompile and overwrite, never crash; saves are write-then-rename so a
+    concurrent reader cannot observe a partial zip."""
+    from cama_tpu.io.scene import compile_scene
+
+    clip = make_fixture_clip(tmp_path, scene_name="s", n_frames=4,
+                             with_images=False, with_lidar=False)
+    cache = str(tmp_path / "cache.npz")
+    with open(cache, "wb") as f:
+        f.write(b"not a zip at all")
+    s1 = compile_scene(clip, cache=cache)
+    assert not s1.from_cache
+    s2 = compile_scene(clip, cache=cache)
+    assert s2.from_cache, "recompile should have overwritten the corrupt cache"
