@@ -50,8 +50,13 @@ def estimate_sim3_to_world(scene, t_max_diff=0.5):
     ts = sfm.timestamps[:, 0]
     sfm_xyz = sfm.as_transform(True)[:, :3, 3]
 
-    wigo = np.loadtxt(os.path.join(scene.clip_path, "odometry", "wigo.txt"))
+    # the clip reader is the single wigo resolution point (io/clip.py)
+    from cama_tpu.io.clip import ClipReader
     from cama_tpu.se3.codec import tum_to_transforms
+
+    reader = scene.reader if getattr(scene, "reader", None) is not None \
+        else ClipReader(scene.clip_path)
+    wigo = reader.odometry("wigo.txt")
 
     T_w, t_w = tum_to_transforms(wigo)
     idx = seek_indices(t_w, ts, t_max_diff, interpolate=True)

@@ -38,11 +38,29 @@ def extract_dir_from_zip(zip_filepath, dir_in_zip, dest_dir):
                     os.makedirs(os.path.join(dest_dir, member), exist_ok=True)
 
 
+def _extract_all_labels(zip_filepath, scene_names, dest_dir):
+    """Extract every configured scene's label files in ONE pass over the
+    release zip — the reference reopens and rescans the (multi-GB) zip per
+    scene (/root/reference/main.py:41-43); the bytes on disk are the same."""
+    prefixes = tuple(f"{name}/" for name in scene_names)
+    with zipfile.ZipFile(zip_filepath, "r") as zf:
+        for member in zf.namelist():
+            if member.startswith(prefixes):
+                zf.extract(member, dest_dir)
+                if member.endswith("/"):
+                    os.makedirs(os.path.join(dest_dir, member), exist_ok=True)
+
+
 def run(configs):
     output_dir = configs["converted_dataroot"]
     os.makedirs(output_dir, exist_ok=True)
     output_video_dir = configs["output_video_dir"]
     os.makedirs(output_video_dir, exist_ok=True)
+
+    # CAMA label files into the clip dirs: one zip pass for every scene
+    zip_file = configs.get("cama_label_file")
+    if zip_file and os.path.exists(zip_file):
+        _extract_all_labels(zip_file, configs["scene_names"], output_dir)
 
     state = {"converter": None}
     failures = []
@@ -92,10 +110,7 @@ def _prepare_scene(configs, scene_name, output_dir, output_video_dir, state):
             state["converter"] = NuScenesConverter(configs)
         state["converter"].convert(scene_name)
 
-    # Step 2: CAMA label files into the clip dir
-    zip_file = configs.get("cama_label_file")
-    if zip_file and os.path.exists(zip_file):
-        extract_dir_from_zip(zip_file, f"{scene_name}/", output_dir)
+    # Step 2 (label extraction) runs once for all scenes in run()
 
     # Step 3: compile the scene (served from the scene cache on re-runs)
     pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
@@ -177,13 +192,25 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
     writes a site-merged overlay video per member clip."""
     failures = []
     by_name = {name: pipe for name, pipe, _ in prepared}
-    for site_cfg in configs["sites"]:
+    seen_names = set()
+    for i, site_cfg in enumerate(configs["sites"]):
+        default_name = "site" if len(configs["sites"]) == 1 else f"site{i}"
         if isinstance(site_cfg, dict):
-            name = site_cfg.get("name", "site")
+            name = site_cfg.get("name", default_name)
             members = site_cfg.get("scenes", [])
             refine = bool(site_cfg.get("refine", False))
+        elif isinstance(site_cfg, str):  # single scene name, not char-split
+            members, name, refine = [site_cfg], default_name, False
         else:  # plain list of scene names
-            members, name, refine = list(site_cfg), "site", False
+            members, name, refine = list(site_cfg), default_name, False
+        if name in seen_names:
+            failures.append((f"site:{name}",
+                             f"duplicate site name {name!r}: outputs "
+                             f"({name}_labels.json, member videos) would "
+                             f"overwrite each other — give each site a "
+                             f"unique 'name'"))
+            continue
+        seen_names.add(name)
         try:
             from cama_tpu.aggregate.site import Site
 
@@ -232,4 +259,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

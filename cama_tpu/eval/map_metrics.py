@@ -385,7 +385,7 @@ def reduce_metrics(partials):
     recall = total["gt_covered"] / gt_tot if gt_tot else 0.0
     f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
     return {
-        "SRE": total["sre_sum"] / n_pts if n_pts else float("nan"),
+        "SRE": total.get("sre_sum", 0.0) / n_pts if n_pts else float("nan"),
         "precision": precision,
         "recall": recall,
         "f1": f1,
@@ -524,6 +524,49 @@ class MapEvaluator:
         out["frames_evaluated"] = evaluated
         return out
 
+    def evaluate_scene_all(self, pipeline, source="cama", frames=None,
+                           assignment="nearest"):
+        """Scene metrics AND instance association in ONE pass: the GT
+        instance PNGs are read+remapped once and the device projections run
+        once per chunk (running evaluate_scene + evaluate_scene_instances
+        separately doubles both costs).  Result dict is the union of the two
+        single-metric methods' outputs."""
+        import jax.numpy as jnp
+
+        point_inst = pipeline.scene.flat[source].inst
+        partials, all_mi, all_gi = [], [], []
+        gt_visible = set()
+        evaluated = 0
+        for image_idx, vu, keep in self._iter_frame_projections(
+                pipeline, source, frames):
+            ids = self._load_all_cameras(pipeline, image_idx)
+            if ids is None:
+                continue
+            p = frame_metrics(
+                jnp.asarray(ids > 0), vu, keep, self.max_radius,
+                self.tolerance, self.distance,
+            )
+            partials.append({k2: np.asarray(v) for k2, v in p.items()})
+            mi, gi = frame_instance_pairs(
+                ids, vu, keep, point_inst, self.tolerance,
+                assignment=assignment,
+            )
+            all_mi.append(mi)
+            all_gi.append(gi)
+            gt_visible.update(np.unique(ids[ids > 0]).tolist())
+            evaluated += 1
+        out = reduce_metrics(partials)
+        if all_mi:
+            out.update(instance_association(
+                np.concatenate(all_mi), np.concatenate(all_gi),
+                gt_ids_visible=gt_visible))
+        else:
+            out.update({"instance_precision": 0.0, "instance_recall": 0.0,
+                        "mean_purity": 0.0, "n_map_instances": 0,
+                        "n_gt_instances": 0})
+        out["frames_evaluated"] = evaluated
+        return out
+
 
 def main(argv=None):
     """Map-quality evaluation script (the CAMAv2 release notes' "evaluation
@@ -549,11 +592,18 @@ def main(argv=None):
     pipe = ClipPipeline(clip_path=args.clip)
     ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
                       distance=args.distance)
-    result = ev.evaluate_scene(pipe, args.source)
-    if args.instances:
-        result.update(ev.evaluate_scene_instances(pipe, args.source))
-    print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                      for k, v in result.items()}))
+    if args.instances:  # one pass computes both metric families
+        result = ev.evaluate_scene_all(pipe, args.source)
+    else:
+        result = ev.evaluate_scene(pipe, args.source)
+    import math
+
+    # NaN (no frames/points evaluated) must serialize as null — bare NaN
+    # tokens are not valid JSON and break strict consumers (jq etc.)
+    print(json.dumps({
+        k: (None if isinstance(v, float) and not math.isfinite(v)
+            else round(v, 4) if isinstance(v, float) else v)
+        for k, v in result.items()}))
 
 
 if __name__ == "__main__":

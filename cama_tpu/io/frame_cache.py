@@ -29,11 +29,13 @@ valid flag lands after the pixel write, so readers never see torn slots.
 """
 from __future__ import annotations
 
+import atexit
 import hashlib
 import json
 import os
 import queue
 import threading
+import weakref
 
 import numpy as np
 
@@ -84,6 +86,13 @@ class FrameCache:
             self._writer = threading.Thread(
                 target=self._writer_loop, name="frame-cache-writer", daemon=True)
             self._writer.start()
+            # drain the backlog at interpreter exit: without this the last
+            # <= QUEUE_SLOTS enqueued writes (the clip's tail frames) are
+            # dropped EVERY run and those slots would never converge.  The
+            # weakref makes a collected cache a no-op instead of pinning the
+            # memmaps alive until exit.
+            ref = weakref.ref(self)
+            atexit.register(lambda: (lambda c: c.flush() if c else None)(ref()))
 
     # ---------------- store lifecycle ----------------
 
@@ -124,8 +133,23 @@ class FrameCache:
             os.replace(tmp_key, self._key_path)
             self._data, self._valid = data, valid
         else:
-            self._data = np.lib.format.open_memmap(self._data_path, mode="r+")
-            self._valid = np.lib.format.open_memmap(self._valid_path, mode="r+")
+            try:
+                data = np.lib.format.open_memmap(self._data_path, mode="r+")
+                valid = np.lib.format.open_memmap(self._valid_path, mode="r+")
+                if (data.dtype != np.uint8 or data.shape != self.shape
+                        or valid.shape != self.shape[:2]):
+                    raise ValueError("frame cache shape/dtype mismatch")
+                self._data, self._valid = data, valid
+            except Exception:
+                # corrupt/truncated store (interrupted copy of the clip dir):
+                # self-heal by rebuilding instead of failing the scene on
+                # every run (same contract as the scene cache)
+                for p in (self._data_path, self._valid_path, self._key_path):
+                    try:
+                        os.remove(p)
+                    except OSError:
+                        pass
+                self._open()
 
     @classmethod
     def open(cls, cache_dir, n_frames, n_cameras, output_size, key):
@@ -133,7 +157,7 @@ class FrameCache:
         (read-only clip mounts degrade to the uncached path, never fail)."""
         try:
             return cls(cache_dir, n_frames, n_cameras, output_size, key)
-        except OSError:
+        except Exception:  # unwritable dir, exotic fs: uncached, never fatal
             return None
 
     # ---------------- access ----------------
@@ -156,12 +180,15 @@ class FrameCache:
         if not self._async:
             self._write(frame_idx, cam_idx, image)
             return
+        if self._q.full():  # skip the ~1.5 MB copy when the put would drop
+            self.dropped_writes += 1
+            return
         try:
             # defensive copy: the producer may paint on its array before the
             # writer lands it (composite overlays would get baked into the
             # cache); the backlog bound keeps the copies to ~70 MB
             self._q.put_nowait((frame_idx, cam_idx, np.array(image, copy=True)))
-        except queue.Full:
+        except queue.Full:  # lost the race with another producer thread
             self.dropped_writes += 1
 
     def _write(self, frame_idx, cam_idx, image):

@@ -102,3 +102,40 @@ def test_cli_exit_code_on_scene_failure(tmp_path):
     p.write_text(yaml.safe_dump(cfg))
     rc = cli_main(["-c", str(p)])
     assert rc == 1  # conversion impossible (no devkit/data) -> failure signaled
+
+
+def test_label_zip_extracted_once_for_all_scenes(tmp_path):
+    """run() extracts every configured scene's label files in one zip pass
+    (reference reopens the zip per scene, main.py:41-43); bytes land
+    identically and other scenes' files stay untouched."""
+    import zipfile
+
+    from cama_tpu.cli import _extract_all_labels
+
+    zp = tmp_path / "labels.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("scene-a/maps/map_labels.json", "[1]")
+        zf.writestr("scene-b/maps/map_labels.json", "[2]")
+        zf.writestr("scene-c/maps/map_labels.json", "[3]")
+    out = tmp_path / "converted"
+    _extract_all_labels(str(zp), ["scene-a", "scene-b"], str(out))
+    assert (out / "scene-a/maps/map_labels.json").read_text() == "[1]"
+    assert (out / "scene-b/maps/map_labels.json").read_text() == "[2]"
+    assert not (out / "scene-c").exists()
+
+
+def test_site_config_string_and_duplicate_names(tmp_path, capsys):
+    """A plain-string site entry means one scene (not its characters), and
+    duplicate site names fail that site instead of overwriting outputs."""
+    from cama_tpu.cli import _run_sites
+
+    # no prepared scenes: every site fails, but the failure text shows the
+    # parsed member list / duplicate detection
+    cfgs = {"sites": ["scene-x", {"name": "s", "scenes": ["a"]},
+                      {"name": "s", "scenes": ["b"]}]}
+    failures = _run_sites(cfgs, [], str(tmp_path), str(tmp_path))
+    assert len(failures) == 3
+    # string entry parsed as one scene name
+    assert "scene-x" in failures[0][1] and "'s'" not in failures[0][1]
+    # duplicate name rejected before any output is written
+    assert "duplicate site name" in failures[2][1]

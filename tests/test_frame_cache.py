@@ -102,3 +102,46 @@ def test_fast_decode_approximates_full_decode(clip, tmp_path):
     assert fast.frame_cache().key.startswith("fast2:")
     assert ClipPipeline(clip_path=clip, configs={
         "frame_cache_dir": str(tmp_path / "fc")}).frame_cache().get(1, 1) is None
+
+
+def test_corrupt_store_self_heals(tmp_path):
+    """A truncated data file (interrupted copy of the clip dir) must rebuild
+    the store on open, not crash the scene on every run."""
+    d = str(tmp_path / "fc")
+    fc = FrameCache(d, 3, 2, (8, 10), key="k")
+    img = np.arange(8 * 10 * 3, dtype=np.uint8).reshape(8, 10, 3)
+    fc.put(0, 0, img)
+    fc.flush()
+    assert fc.get(0, 0) is not None
+    # truncate the data file, keep the key file intact
+    data_path = fc._data_path
+    with open(data_path, "r+b") as f:
+        f.truncate(64)
+    fc2 = FrameCache(d, 3, 2, (8, 10), key="k")
+    assert fc2.get(0, 0) is None  # rebuilt empty, not crashed
+    fc2.put(0, 0, img)
+    fc2.flush()
+    np.testing.assert_array_equal(fc2.get(0, 0), img)
+
+
+def test_tail_writes_flush_at_exit(tmp_path):
+    """The atexit drain lands enqueued tail writes: a put followed by flush
+    (what the atexit hook runs) must persist even without an explicit
+    consumer-side flush call."""
+    import subprocess
+    import sys
+
+    code = f"""
+import numpy as np
+from cama_tpu.io.frame_cache import FrameCache
+fc = FrameCache({str(tmp_path / 'fc2')!r}, 2, 1, (4, 6), key="k")
+fc.put(1, 0, np.full((4, 6, 3), 7, np.uint8))
+# no flush(): the atexit hook must drain the writer backlog
+"""
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True)
+    assert r.returncode == 0, r.stderr
+    fc = FrameCache(str(tmp_path / "fc2"), 2, 1, (4, 6), key="k")
+    got = fc.get(1, 0)
+    assert got is not None, "tail write was dropped at process exit"
+    assert int(got[0, 0, 0]) == 7

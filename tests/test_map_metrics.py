@@ -219,6 +219,18 @@ def test_scene_instance_metrics_self_consistent(clip):
     assert out["mean_purity"] > 0.8  # nearest-downsampled thin masks leak some background votes
 
 
+def test_evaluate_scene_all_matches_separate_passes(clip):
+    """The one-pass combined evaluation (used by --instances) must return the
+    exact union of the two single-metric methods."""
+    ev = MapEvaluator(tolerance=4)
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    combined = ev.evaluate_scene_all(pipe, "cama")
+    scene = ev.evaluate_scene(pipe, "cama")
+    inst = ev.evaluate_scene_instances(pipe, "cama")
+    for k, v in {**scene, **inst}.items():
+        assert combined[k] == pytest.approx(v), k
+
+
 def test_squared_edt_edge_masks():
     from scipy.ndimage import distance_transform_edt
 
