@@ -61,11 +61,14 @@ def validate_config(configs):
             f"(accepted: {sorted(DEFAULT_CAMA_CONFIGS)})"
         )
     for i, site in enumerate(configs.get("sites") or []):
-        members = site.get("scenes") if isinstance(site, dict) else site
+        if isinstance(site, str):  # single scene name
+            members = [site]
+        else:
+            members = site.get("scenes") if isinstance(site, dict) else site
         if not isinstance(members, list) or not members:
             raise ConfigError(
-                f"sites[{i}] must be a non-empty scene-name list or a mapping "
-                "with a 'scenes' list")
+                f"sites[{i}] must be a scene name, a non-empty scene-name "
+                "list, or a mapping with a 'scenes' list")
         unknown_scenes = set(members) - set(configs["scene_names"])
         if unknown_scenes:
             raise ConfigError(
