@@ -31,6 +31,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import os
+
 import numpy as np
 
 import jax
@@ -412,6 +414,8 @@ class MapEvaluator:
         scene = pipeline.scene
         ms = scene.sync_ms[camera][image_idx]
         path = f"{scene.clip_path}/lane_ins_{camera}/{ms}.png"
+        if not os.path.exists(path):  # absent masks are routine (not every
+            return None               # clip ships GT) — no cv2 WARN spam
         raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH)
         if raw is None:
             return None

@@ -1,0 +1,229 @@
+"""Scene QA report: one self-contained HTML page per config.
+
+The reference's de-facto validation is manual: watch the overlay videos and
+run the pose-evaluator CLI by hand (SURVEY.md §4).  This collates the same
+evidence automatically — per scene: overlay thumbnails (the visual check),
+SRE/precision/recall/F1 map quality, instance association, and KITTI-style
+pose metrics — into a single HTML file with no external assets, so QA of a
+label release is one command:
+
+    cama-tpu-report --config config.yaml [--out report.html]
+
+Scenes fail independently (same isolation as the CLI driver); a scene whose
+GT masks or pose files are absent reports what it can and says what is
+missing rather than failing.
+"""
+from __future__ import annotations
+
+import base64
+import html
+import json
+import os
+import time
+
+
+def _thumbnail_b64(pipe, source, image_idx, width=720):
+    """One overlay mosaic as a base64 JPEG (downscaled for the report)."""
+    import cv2
+
+    from cama_tpu.io.video import concat_camera_grid
+
+    raster = pipe._overlay_single(source, image_idx)
+    images = pipe.composite_frame(source, image_idx, raster)
+    mosaic = concat_camera_grid(images)
+    h = max(1, round(mosaic.shape[0] * width / mosaic.shape[1]))
+    small = cv2.resize(mosaic, (width, h), interpolation=cv2.INTER_AREA)
+    ok, buf = cv2.imencode(".jpg", small, [cv2.IMWRITE_JPEG_QUALITY, 82])
+    if not ok:
+        return None
+    return base64.b64encode(buf.tobytes()).decode("ascii")
+
+
+def _pose_metrics(clip_path, configs):
+    """KITTI-style metrics of the clip's SfM chain vs its ego odometry, or
+    None when either trajectory file is absent."""
+    import numpy as np
+
+    from cama_tpu.eval.pose_metrics import PoseEvaluator
+
+    prefix = (configs or {}).get("pose_prefix", "scmv")
+    camera = (configs or {}).get("camera_main", "camera_front")
+    pred_path = os.path.join(clip_path, "odometry", f"{prefix}_{camera}.txt")
+    gt_path = os.path.join(clip_path, "odometry", "wigo.txt")
+    if not (os.path.exists(pred_path) and os.path.exists(gt_path)):
+        return None
+    res = PoseEvaluator(alignment="7dof", min_matches=5).eval(
+        np.loadtxt(gt_path), np.loadtxt(pred_path))
+    return {k: float(v) for k, v in res.items()
+            if np.isscalar(v) or getattr(v, "ndim", 1) == 0}
+
+
+def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
+                  instances=True):
+    """All QA evidence for one compiled scene, as a plain dict."""
+    import numpy as np
+
+    from cama_tpu.eval.map_metrics import MapEvaluator
+
+    scene = pipe.scene
+    sources = [s for s in (sources or sorted(scene.flat))
+               if s in scene.flat]
+    out = {
+        "scene": os.path.basename(os.path.normpath(scene.clip_path)),
+        "clip_path": scene.clip_path,
+        "sources": {},
+        "scene_cache_hit": bool(scene.from_cache),
+        "output_size": list(scene.output_size),
+    }
+    for source in sources:
+        fm = pipe.frame_matrices(source)
+        n_valid = int(np.asarray(fm.frame_valid).sum())
+        entry = {"frames": n_valid,
+                 "points": int(scene.flat[source].valid.sum()),
+                 "instances": int(len(np.unique(
+                     scene.flat[source].inst[scene.flat[source].valid])))}
+        ev = MapEvaluator(tolerance=tolerance)
+        try:
+            metrics = (ev.evaluate_scene_all(pipe, source) if instances
+                       else ev.evaluate_scene(pipe, source))
+            if metrics.get("frames_evaluated"):
+                entry["map_metrics"] = metrics
+            else:
+                entry["map_metrics_note"] = "no GT instance masks in clip"
+        except Exception as e:  # map metrics are optional evidence
+            entry["map_metrics_note"] = f"unavailable: {e!r}"
+        # thumbnails spread across the scene, first available source only
+        # rendered at full density (they are the visual QA artifact)
+        if thumbnails and not out.get("thumbs"):
+            idxs = [int(i) for i in np.asarray(fm.frame_indices)[
+                np.asarray(fm.frame_valid)]]
+            picks = sorted({idxs[int(k * (len(idxs) - 1) / max(thumbnails - 1, 1))]
+                            for k in range(min(thumbnails, len(idxs)))})
+            thumbs = []
+            for idx in picks:
+                b64 = _thumbnail_b64(pipe, source, idx)
+                if b64:
+                    thumbs.append({"source": source, "image_idx": idx,
+                                   "jpeg_b64": b64})
+            out["thumbs"] = thumbs
+        out["sources"][source] = entry
+    pose = _pose_metrics(scene.clip_path, pipe.configs)
+    if pose is not None:
+        out["pose_metrics"] = pose
+    return out
+
+
+def _fmt(v):
+    if isinstance(v, float):
+        return f"{v:.4g}"
+    return html.escape(str(v))
+
+
+def _metrics_table(d):
+    rows = "".join(
+        f"<tr><td>{html.escape(str(k))}</td><td>{_fmt(v)}</td></tr>"
+        for k, v in d.items() if not isinstance(v, (dict, list)))
+    return f"<table>{rows}</table>"
+
+
+def render_html(summaries, title="cama_tpu QA report"):
+    """Self-contained HTML (inline CSS, base64 images, no external assets)."""
+    css = ("body{font-family:sans-serif;margin:2em;max-width:1000px}"
+           "table{border-collapse:collapse;margin:0.5em 0}"
+           "td,th{border:1px solid #ccc;padding:2px 8px;font-size:13px}"
+           "h2{border-bottom:2px solid #444;padding-bottom:2px}"
+           "img{display:block;margin:6px 0;max-width:100%}"
+           ".note{color:#a40;font-size:13px}"
+           ".meta{color:#666;font-size:12px}")
+    parts = [f"<!doctype html><html><head><meta charset='utf-8'>"
+             f"<title>{html.escape(title)}</title><style>{css}</style></head>"
+             f"<body><h1>{html.escape(title)}</h1>"
+             f"<p class='meta'>generated {time.strftime('%Y-%m-%d %H:%M:%S')}"
+             f" — {len(summaries)} scene(s)</p>"]
+    for s in summaries:
+        if "error" in s:
+            parts.append(f"<h2>{html.escape(s['scene'])}</h2>"
+                         f"<p class='note'>FAILED: {html.escape(s['error'])}</p>")
+            continue
+        parts.append(f"<h2>{html.escape(s['scene'])}</h2>")
+        parts.append(f"<p class='meta'>{html.escape(s['clip_path'])} — "
+                     f"scene cache {'hit' if s['scene_cache_hit'] else 'miss'}"
+                     f", output {s['output_size'][1]}x{s['output_size'][0]}</p>")
+        for source, entry in s["sources"].items():
+            parts.append(f"<h3>{html.escape(source)} labels</h3>")
+            head = {k: entry[k] for k in ("frames", "points", "instances")}
+            parts.append(_metrics_table(head))
+            if "map_metrics" in entry:
+                parts.append("<h4>map quality</h4>")
+                parts.append(_metrics_table(entry["map_metrics"]))
+            elif "map_metrics_note" in entry:
+                parts.append(f"<p class='note'>map metrics: "
+                             f"{html.escape(entry['map_metrics_note'])}</p>")
+        if s.get("pose_metrics"):
+            parts.append("<h4>pose metrics (SfM chain vs ego odometry, "
+                         "7dof-aligned)</h4>")
+            parts.append(_metrics_table(s["pose_metrics"]))
+        for t in s.get("thumbs", ()):
+            parts.append(
+                f"<p class='meta'>{html.escape(t['source'])} overlay, frame "
+                f"{t['image_idx']}</p>"
+                f"<img src='data:image/jpeg;base64,{t['jpeg_b64']}'/>")
+    parts.append("</body></html>")
+    return "".join(parts)
+
+
+def main(argv=None):
+    import argparse
+
+    from cama_tpu.config import load_config
+    from cama_tpu.pipeline import ClipPipeline
+
+    parser = argparse.ArgumentParser(
+        description="Collate overlay thumbnails + map/pose metrics into one "
+                    "self-contained HTML QA report")
+    parser.add_argument("-c", "--config", default="config.yaml")
+    parser.add_argument("-o", "--out", default=None,
+                        help="output HTML path (default: "
+                             "{output_video_dir}/report.html)")
+    parser.add_argument("--source", default=None,
+                        choices=["cama", "nuscenes"],
+                        help="restrict to one label source")
+    parser.add_argument("--thumbnails", type=int, default=3)
+    parser.add_argument("--tolerance", type=int, default=5)
+    parser.add_argument("--no-instances", action="store_true")
+    args = parser.parse_args(argv)
+
+    configs = load_config(args.config)
+    out_path = args.out or os.path.join(configs["output_video_dir"],
+                                        "report.html")
+    summaries = []
+    failures = 0
+    for scene_name in configs["scene_names"]:
+        clip = os.path.join(configs["converted_dataroot"], scene_name)
+        if not os.path.exists(os.path.join(clip, "attribute.json")):
+            summaries.append({"scene": scene_name,
+                              "error": "clip not converted"})
+            failures += 1
+            continue
+        try:
+            pipe = ClipPipeline(configs.get("cama_configs"), clip)
+            summaries.append(scene_summary(
+                pipe, sources=[args.source] if args.source else None,
+                thumbnails=args.thumbnails, tolerance=args.tolerance,
+                instances=not args.no_instances))
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc()
+            summaries.append({"scene": scene_name, "error": repr(e)})
+            failures += 1
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(out_path, "w") as f:
+        f.write(render_html(summaries))
+    print(json.dumps({"report": out_path, "scenes": len(summaries),
+                      "failures": failures}))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -139,3 +139,22 @@ def test_site_config_string_and_duplicate_names(tmp_path, capsys):
     assert "scene-x" in failures[0][1] and "'s'" not in failures[0][1]
     # duplicate name rejected before any output is written
     assert "duplicate site name" in failures[2][1]
+
+
+def test_report_cli(workspace, tmp_path, capsys):
+    """cama-tpu-report writes one self-contained HTML with thumbnails and
+    metrics for every configured scene."""
+    from cama_tpu.report import main as report_main
+
+    out = tmp_path / "report.html"
+    rc = report_main(["-c", workspace["config"], "-o", str(out),
+                      "--thumbnails", "2"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["failures"] == 0 and line["scenes"] == 1
+    body = out.read_text()
+    assert "scene-cli" in body
+    assert "SRE" in body and "instance_precision" in body
+    assert "pose metrics" in body
+    assert body.count("data:image/jpeg;base64,") == 2
+    assert "<script" not in body  # self-contained, no external/active assets
