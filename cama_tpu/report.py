@@ -59,8 +59,10 @@ def _pose_metrics(clip_path, configs):
 
 
 def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
-                  instances=True):
-    """All QA evidence for one compiled scene, as a plain dict."""
+                  instances=True, max_frames=None):
+    """All QA evidence for one compiled scene, as a plain dict.
+    max_frames: evaluate/thumbnail only the first N valid frames (quick-look
+    reports on long clips)."""
     import numpy as np
 
     from cama_tpu.eval.map_metrics import MapEvaluator
@@ -78,14 +80,18 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
     for source in sources:
         fm = pipe.frame_matrices(source)
         n_valid = int(np.asarray(fm.frame_valid).sum())
+        valid_idxs = [int(i) for i in np.asarray(fm.frame_indices)[
+            np.asarray(fm.frame_valid)]]
+        frames = set(valid_idxs[:max_frames]) if max_frames else None
         entry = {"frames": n_valid,
                  "points": int(scene.flat[source].valid.sum()),
                  "instances": int(len(np.unique(
                      scene.flat[source].inst[scene.flat[source].valid])))}
         ev = MapEvaluator(tolerance=tolerance)
         try:
-            metrics = (ev.evaluate_scene_all(pipe, source) if instances
-                       else ev.evaluate_scene(pipe, source))
+            metrics = (ev.evaluate_scene_all(pipe, source, frames=frames)
+                       if instances
+                       else ev.evaluate_scene(pipe, source, frames=frames))
             if metrics.get("frames_evaluated"):
                 entry["map_metrics"] = metrics
             else:
@@ -95,8 +101,7 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
         # thumbnails spread across the scene, first available source only
         # rendered at full density (they are the visual QA artifact)
         if thumbnails and not out.get("thumbs"):
-            idxs = [int(i) for i in np.asarray(fm.frame_indices)[
-                np.asarray(fm.frame_valid)]]
+            idxs = valid_idxs[:max_frames] if max_frames else valid_idxs
             picks = sorted({idxs[int(k * (len(idxs) - 1) / max(thumbnails - 1, 1))]
                             for k in range(min(thumbnails, len(idxs)))})
             thumbs = []
@@ -191,6 +196,8 @@ def main(argv=None):
     parser.add_argument("--thumbnails", type=int, default=3)
     parser.add_argument("--tolerance", type=int, default=5)
     parser.add_argument("--no-instances", action="store_true")
+    parser.add_argument("--max-frames", type=int, default=None,
+                        help="quick-look: evaluate only the first N frames")
     args = parser.parse_args(argv)
 
     configs = load_config(args.config)
@@ -210,7 +217,8 @@ def main(argv=None):
             summaries.append(scene_summary(
                 pipe, sources=[args.source] if args.source else None,
                 thumbnails=args.thumbnails, tolerance=args.tolerance,
-                instances=not args.no_instances))
+                instances=not args.no_instances,
+                max_frames=args.max_frames))
         except Exception as e:
             import traceback
 

@@ -148,7 +148,7 @@ def test_report_cli(workspace, tmp_path, capsys):
 
     out = tmp_path / "report.html"
     rc = report_main(["-c", workspace["config"], "-o", str(out),
-                      "--thumbnails", "2"])
+                      "--thumbnails", "2", "--max-frames", "2"])
     assert rc == 0
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["failures"] == 0 and line["scenes"] == 1
