@@ -442,8 +442,19 @@ class MapEvaluator:
         fm, A, B, fv, F = pipeline._chunked_AB(source)
         points, cls, valid = pipeline.device_points(source)
         h, w = pipeline.scene.output_size
+        pending = None if frames is None else set(frames)
         for s in range(0, len(fv), pipeline.chunk):
+            if pending is not None and not pending:
+                return  # all requested frames served — stop dispatching
             sl = slice(s, s + pipeline.chunk)
+            if pending is not None:
+                # skip whole chunks with no requested frame BEFORE paying the
+                # device projection for them (quick-look reports on long clips)
+                chunk_idxs = {int(fm.frame_indices[k])
+                              for k in range(s, min(s + pipeline.chunk, F))
+                              if fm.frame_valid[k]}
+                if not (chunk_idxs & pending):
+                    continue
             vu_c, keep_c = project_frames(
                 points, valid,
                 jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
@@ -456,6 +467,8 @@ class MapEvaluator:
                 image_idx = int(fm.frame_indices[k])
                 if frames is not None and image_idx not in frames:
                     continue
+                if pending is not None:
+                    pending.discard(image_idx)
                 yield image_idx, vu_c[kk], keep_c[kk]
 
     def _load_all_cameras(self, pipeline, image_idx):

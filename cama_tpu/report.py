@@ -68,8 +68,8 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
     from cama_tpu.eval.map_metrics import MapEvaluator
 
     scene = pipe.scene
-    sources = [s for s in (sources or sorted(scene.flat))
-               if s in scene.flat]
+    requested = list(sources or sorted(scene.flat))
+    sources = [s for s in requested if s in scene.flat]
     out = {
         "scene": os.path.basename(os.path.normpath(scene.clip_path)),
         "clip_path": scene.clip_path,
@@ -77,12 +77,17 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
         "scene_cache_hit": bool(scene.from_cache),
         "output_size": list(scene.output_size),
     }
+    missing = [s for s in requested if s not in scene.flat]
+    if missing:  # a requested source the scene never lifted is a QA finding,
+        # not something to silently drop (the section would render empty-OK)
+        out["missing_sources"] = missing
     for source in sources:
         fm = pipe.frame_matrices(source)
         n_valid = int(np.asarray(fm.frame_valid).sum())
         valid_idxs = [int(i) for i in np.asarray(fm.frame_indices)[
             np.asarray(fm.frame_valid)]]
-        frames = set(valid_idxs[:max_frames]) if max_frames else None
+        frames = (set(valid_idxs[:max_frames]) if max_frames is not None
+                  else None)
         entry = {"frames": n_valid,
                  "points": int(scene.flat[source].valid.sum()),
                  "instances": int(len(np.unique(
@@ -101,7 +106,8 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
         # thumbnails spread across the scene, first available source only
         # rendered at full density (they are the visual QA artifact)
         if thumbnails and not out.get("thumbs"):
-            idxs = valid_idxs[:max_frames] if max_frames else valid_idxs
+            idxs = (valid_idxs[:max_frames] if max_frames is not None
+                    else valid_idxs)
             picks = sorted({idxs[int(k * (len(idxs) - 1) / max(thumbnails - 1, 1))]
                             for k in range(min(thumbnails, len(idxs)))})
             thumbs = []
@@ -154,6 +160,10 @@ def render_html(summaries, title="cama_tpu QA report"):
         parts.append(f"<p class='meta'>{html.escape(s['clip_path'])} — "
                      f"scene cache {'hit' if s['scene_cache_hit'] else 'miss'}"
                      f", output {s['output_size'][1]}x{s['output_size'][0]}</p>")
+        if s.get("missing_sources"):
+            parts.append(
+                f"<p class='note'>requested source(s) not lifted in this "
+                f"scene: {html.escape(', '.join(s['missing_sources']))}</p>")
         for source, entry in s["sources"].items():
             parts.append(f"<h3>{html.escape(source)} labels</h3>")
             head = {k: entry[k] for k in ("frames", "points", "instances")}
@@ -199,6 +209,8 @@ def main(argv=None):
     parser.add_argument("--max-frames", type=int, default=None,
                         help="quick-look: evaluate only the first N frames")
     args = parser.parse_args(argv)
+    if args.max_frames is not None and args.max_frames < 1:
+        parser.error("--max-frames must be >= 1")
 
     configs = load_config(args.config)
     out_path = args.out or os.path.join(configs["output_video_dir"],

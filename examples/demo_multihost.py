@@ -11,8 +11,6 @@ fleets of clips: scenes never cross hosts, only O(#metrics) floats do.
 """
 import json
 import os
-import socket
-import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -79,6 +77,7 @@ def main():
 
     sys.path.insert(0, REPO)
     from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+    from cama_tpu.parallel.cluster import free_port, run_local_cluster
 
     with tempfile.TemporaryDirectory() as workdir:
         for i in range(3):  # 3 scenes over n hosts: uneven shard on purpose
@@ -86,28 +85,15 @@ def main():
                                      n_frames=4, with_images=True,
                                      with_lidar=False, seed=i)
             add_instance_masks(clip)
-        s = socket.socket()
-        s.bind(("localhost", 0))
-        port = s.getsockname()[1]
-        s.close()
-        env = {k: v for k, v in os.environ.items()
-               if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
-        procs = [subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--child",
-             str(i), str(n), str(port), workdir],
-            stdout=subprocess.PIPE, text=True, env=env) for i in range(n)]
-        outs = []
-        for p in procs:
-            out, _ = p.communicate(timeout=600)
-            if p.returncode != 0:
-                for q in procs:
-                    q.kill()
-                print(out)
-                return 1
-            # Gloo chatters on stdout around teardown: take the last JSON line
-            payload = next(ln for ln in reversed(out.strip().splitlines())
-                           if ln.startswith("{"))
-            outs.append(json.loads(payload))
+        port = free_port()
+        try:
+            outs = run_local_cluster(
+                [[sys.executable, os.path.abspath(__file__), "--child",
+                  str(i), str(n), str(port), workdir] for i in range(n)],
+                timeout=600)
+        except RuntimeError as e:
+            print(e)
+            return 1
     for o in outs:
         print(f"process {o['process']}: scenes {o['my_scenes']} -> "
               f"global {o['global']}")
