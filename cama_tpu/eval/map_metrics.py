@@ -117,6 +117,95 @@ def frame_metrics(gt_mask, vu, keep, max_radius, tolerance, distance="chebyshev"
     Returns dict of scalars: sre_sum, n_points, n_hit (precision numerator),
     gt_total, gt_covered (recall terms).
     """
+    return _frame_metrics_impl(gt_mask, vu, keep, max_radius, tolerance,
+                               distance)
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tolerance", "distance"))
+def frame_metrics_chunk(gt_mask, vu, keep, fv, max_radius, tolerance,
+                        distance="chebyshev"):
+    """Batched frame_metrics over a whole projection chunk in ONE dispatch.
+
+    Args mirror frame_metrics with a leading frame axis plus a validity
+    weight:
+        gt_mask: [K, C, H, W] bool (zeros for rows without GT)
+        vu/keep: [K, C, P, 2] / [K, C, P]
+        fv:      [K] float32 — 1.0 where the row is a real evaluated frame,
+                 0.0 padding (invalid frame / GT masks absent)
+
+    Returns frame_metrics' dict with each entry summed over the valid rows.
+    Rationale: the per-frame eager call costs one device dispatch per frame
+    (~30 ms through this environment's tunneled runtime — larger than the
+    metric compute itself); batching over the chunk amortizes it K-fold and
+    is exactly how sharded_map_metrics already shapes the computation.
+    """
+    p = jax.vmap(
+        lambda g, v, k: _frame_metrics_impl(g, v, k, max_radius, tolerance,
+                                            distance)
+    )(gt_mask, vu, keep)
+    z = fv.astype(jnp.float32)
+    return {k2: jnp.sum(v * z) for k2, v in p.items()}
+
+
+def _unpack_bits(packed, width):
+    """Device-side np.packbits inverse: [..., Wp] uint8 (big-endian bit
+    order) -> [..., width] bool, slicing off packbits' zero padding."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    out = bits.reshape(packed.shape[:-1] + (-1,))
+    return out[..., :width].astype(bool)
+
+
+@partial(jax.jit, static_argnames=("width", "max_radius", "tolerance",
+                                   "distance"))
+def frame_metrics_chunk_packed(gt_packed, vu, keep, fv, width, max_radius,
+                               tolerance, distance="chebyshev"):
+    """frame_metrics_chunk fed by host-bitpacked masks ([K, C, H, W/8] uint8
+    via np.packbits(axis=-1)): 8x less host->device traffic, which is the
+    binding cost when the device link is a tunnel (BENCH.md)."""
+    gt = _unpack_bits(gt_packed, width)
+    return frame_metrics_chunk(gt, vu, keep, fv, max_radius, tolerance,
+                               distance)
+
+
+@partial(jax.jit, static_argnames=("shape",))
+def _scatter_ids(idx, vals, shape):
+    """Rebuild a dense id stack from COO (flat index, value) pairs; padding
+    entries carry idx == prod(shape) and are dropped."""
+    size = 1
+    for s in shape:
+        size *= s
+    buf = jnp.zeros((size,), vals.dtype)
+    buf = buf.at[idx].set(vals, mode="drop")
+    return buf.reshape(shape)
+
+
+def device_ids(ids_b):
+    """Upload a chunk's GT instance-id stack link-efficiently.
+
+    Lane-geometry GT typically paints a few percent of pixels, and the
+    host->device link (not device compute) bounds metric throughput on
+    tunneled runtimes — so sparse COO upload (6 B/nonzero: int32 index +
+    uint16 id, scattered on device) wins whenever it moves fewer bytes than
+    the dense uint16 stack; otherwise upload dense.  COO budgets round up to
+    powers of two so the scatter compiles once per bucket, not per frame."""
+    ids_b = np.ascontiguousarray(ids_b)
+    if ids_b.dtype != np.uint16:
+        assert ids_b.max(initial=0) < 65536, "instance ids exceed uint16"
+        ids_b = ids_b.astype(np.uint16)
+    nnz = int(np.count_nonzero(ids_b))
+    if 6 * nnz < 2 * ids_b.size:
+        flat = np.flatnonzero(ids_b)
+        budget = 1 << max(10, (len(flat) - 1).bit_length() if len(flat) else 0)
+        idx = np.full((budget,), ids_b.size, np.int32)
+        vals = np.zeros((budget,), np.uint16)
+        idx[: len(flat)] = flat
+        vals[: len(flat)] = ids_b.flat[flat]
+        return _scatter_ids(jnp.asarray(idx), jnp.asarray(vals), ids_b.shape)
+    return jnp.asarray(ids_b)
+
+
+def _frame_metrics_impl(gt_mask, vu, keep, max_radius, tolerance, distance):
     if distance == "euclidean":
         return _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance)
     C, H, W = gt_mask.shape
@@ -296,6 +385,44 @@ def dilate_ids(ids, rounds):
     return out
 
 
+@partial(jax.jit, static_argnames=("tolerance", "assignment"))
+def instance_votes_chunk(gt_ids, vu, keep, tolerance, assignment="nearest"):
+    """Device half of association voting, batched over a projection chunk:
+    for each kept projected point, the GT instance id it votes for (0 = no
+    GT instance within `tolerance` px).
+
+    gt_ids: [K, C, H, W] int (0 = background); vu/keep: [K, C, P, 2]/[K, C, P]
+    Returns [K, C, P] int32 vote ids (host filters by keep + row validity).
+    One dispatch per chunk — the eager per-frame path paid a full EDT
+    dispatch per frame.
+    """
+    H, W = gt_ids.shape[-2], gt_ids.shape[-1]
+    vi, ui = _clip_pixels(vu, H, W)
+    ids = gt_ids.astype(jnp.int32)
+    if assignment == "nearest":
+        d2, nid = nearest_id_edt(ids)
+        gt_d = jnp.where(d2 <= float(tolerance) ** 2, nid, 0)
+    else:
+        gt_d = dilate_ids(ids, tolerance)
+    votes = jax.vmap(_gather_at)(gt_d, vi, ui)  # [K, C, P]
+    # votes are ids drawn from gt_ids, so they fit its dtype — returning in
+    # it halves the device->host bytes for the common uint16 GT stacks
+    return votes.astype(gt_ids.dtype)
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tolerance", "distance",
+                                   "assignment"))
+def _metrics_and_votes_chunk(gt_ids, vu, keep, fv, max_radius, tolerance,
+                             distance, assignment):
+    """Fused chunk dispatch for evaluate_scene_all: binary SRE/P/R partials
+    and instance votes from one traced program (gt ids are uploaded once and
+    the two metric families share it on device)."""
+    p = frame_metrics_chunk(gt_ids > 0, vu, keep, fv, max_radius, tolerance,
+                            distance)
+    votes = instance_votes_chunk(gt_ids, vu, keep, tolerance, assignment)
+    return p, votes
+
+
 def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance,
                          assignment="nearest"):
     """Per-frame (map_instance_id, gt_instance_id) pairs for every kept
@@ -310,15 +437,9 @@ def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance,
     Returns (mi [N], gi [N]) numpy arrays (gi = 0 where no GT instance is
     within tolerance).
     """
-    C, H, W = gt_ids.shape
-    vi, ui = _clip_pixels(vu, H, W)
-    ids = jnp.asarray(gt_ids).astype(jnp.int32)
-    if assignment == "nearest":
-        d2, nid = nearest_id_edt(ids)
-        gt_d = jnp.where(d2 <= float(tolerance) ** 2, nid, 0)
-    else:
-        gt_d = dilate_ids(ids, tolerance)
-    g_at = np.asarray(_gather_at(gt_d, vi, ui))  # [C, P]
+    g_at = np.asarray(instance_votes_chunk(
+        jnp.asarray(gt_ids)[None], jnp.asarray(vu)[None],
+        jnp.asarray(keep)[None], tolerance, assignment))[0]
     keep_np = np.asarray(keep)
     mi = np.broadcast_to(np.asarray(point_inst)[None, :], keep_np.shape)[keep_np]
     return mi.astype(np.int64), g_at[keep_np].astype(np.int64)
@@ -431,10 +552,13 @@ class MapEvaluator:
         ids = self.instance_loader(pipeline, camera, image_idx)
         return None if ids is None else ids > 0
 
-    def _iter_frame_projections(self, pipeline, source, frames):
+    def _iter_chunk_projections(self, pipeline, source, frames):
         """Chunked device projection shared by every scene-level metric:
-        yields (image_idx, vu [C, P, 2], keep [C, P]) for each valid frame
-        (memory bounded at pipeline.chunk frames)."""
+        yields (image_idxs, vu [K, C, P, 2], keep [K, C, P]) per chunk, where
+        image_idxs[kk] is the frame index for chunk row kk, or None for rows
+        that are invalid frames / not in the requested `frames` set.  Memory
+        stays bounded at pipeline.chunk frames; metric consumers batch their
+        device work over the whole chunk (one dispatch each)."""
         import jax.numpy as jnp
 
         from cama_tpu.ops.geometry import project_frames
@@ -447,29 +571,38 @@ class MapEvaluator:
             if pending is not None and not pending:
                 return  # all requested frames served — stop dispatching
             sl = slice(s, s + pipeline.chunk)
+            idxs = []
+            for k in range(s, min(s + pipeline.chunk, len(fv))):
+                if k >= F or not fm.frame_valid[k]:
+                    idxs.append(None)
+                    continue
+                image_idx = int(fm.frame_indices[k])
+                if frames is not None and image_idx not in frames:
+                    idxs.append(None)
+                    continue
+                idxs.append(image_idx)
             if pending is not None:
                 # skip whole chunks with no requested frame BEFORE paying the
                 # device projection for them (quick-look reports on long clips)
-                chunk_idxs = {int(fm.frame_indices[k])
-                              for k in range(s, min(s + pipeline.chunk, F))
-                              if fm.frame_valid[k]}
-                if not (chunk_idxs & pending):
+                if not any(i is not None for i in idxs):
                     continue
+                pending.difference_update(i for i in idxs if i is not None)
             vu_c, keep_c = project_frames(
                 points, valid,
                 jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
                 w, h, pipeline._crop_lo, pipeline._crop_hi,
             )
-            for kk in range(vu_c.shape[0]):
-                k = s + kk
-                if k >= F or not fm.frame_valid[k]:
-                    continue
-                image_idx = int(fm.frame_indices[k])
-                if frames is not None and image_idx not in frames:
-                    continue
-                if pending is not None:
-                    pending.discard(image_idx)
-                yield image_idx, vu_c[kk], keep_c[kk]
+            idxs += [None] * (vu_c.shape[0] - len(idxs))
+            yield idxs, vu_c, keep_c
+
+    def _iter_frame_projections(self, pipeline, source, frames):
+        """Per-frame adapter over _iter_chunk_projections: yields
+        (image_idx, vu [C, P, 2], keep [C, P]) for each valid frame."""
+        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+                pipeline, source, frames):
+            for kk, image_idx in enumerate(idxs):
+                if image_idx is not None:
+                    yield image_idx, vu_c[kk], keep_c[kk]
 
     def _load_all_cameras(self, pipeline, image_idx):
         """Instance-id images for every camera, or None if any is missing."""
@@ -481,107 +614,142 @@ class MapEvaluator:
             ids.append(m)
         return np.stack(ids)
 
-    def evaluate_scene(self, pipeline, source="cama", frames=None):
-        """Run the metric over all valid frames that have GT masks.
+    def _chunk_gt(self, pipeline, idxs):
+        """GT instance-id stacks for one projection chunk.
 
-        Projection runs chunk-by-chunk (pipeline.chunk frames at a time) so
-        memory stays bounded for long scenes; per-frame partials are plain
-        sums, so they reduce the same way on one chip or psum'd across a
-        frame-sharded mesh (see parallel.sharded_map_metrics)."""
-        import jax.numpy as jnp
-
-        partials = []
+        Returns (ids_b [K, C, H, W] uint16 — zeros for rows without GT,
+        fv [K] float32 row validity, evaluated frame-index list), or
+        (None, None, []) when no row in the chunk has GT masks (the chunk's
+        metric dispatch is skipped entirely).  uint16 holds any id cv2 can
+        read from a lane_ins PNG (8- or 16-bit) and halves upload bytes on
+        the dense path."""
+        ids_b = None
+        fv = np.zeros((len(idxs),), np.float32)
         evaluated = []
-        for image_idx, vu, keep in self._iter_frame_projections(
-                pipeline, source, frames):
+        for kk, image_idx in enumerate(idxs):
+            if image_idx is None:
+                continue
             ids = self._load_all_cameras(pipeline, image_idx)
             if ids is None:
                 continue
-            p = frame_metrics(
-                jnp.asarray(ids > 0), vu, keep, self.max_radius,
-                self.tolerance, self.distance,
+            if ids_b is None:
+                ids_b = np.zeros((len(idxs),) + ids.shape, np.uint16)
+            ids_b[kk] = ids
+            fv[kk] = 1.0
+            evaluated.append((kk, image_idx))
+        return ids_b, fv, evaluated
+
+    def evaluate_scene(self, pipeline, source="cama", frames=None):
+        """Run the metric over all valid frames that have GT masks.
+
+        Projection AND metrics run chunk-by-chunk (pipeline.chunk frames per
+        device dispatch) so memory stays bounded for long scenes and the
+        ~30 ms/dispatch tunnel latency amortizes across the chunk; chunk
+        partials are plain sums, so they reduce the same way on one chip or
+        psum'd across a frame-sharded mesh (see parallel.sharded_map_metrics).
+        """
+        import jax.numpy as jnp
+
+        partials = []  # device scalars: fetched once, after every chunk is
+        n_evaluated = 0  # dispatched, so host GT loading overlaps device work
+        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+                pipeline, source, frames):
+            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            if ids_b is None:
+                continue
+            p = frame_metrics_chunk_packed(
+                jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c, keep_c,
+                jnp.asarray(fv), ids_b.shape[-1],
+                self.max_radius, self.tolerance, self.distance,
             )
-            partials.append({k2: np.asarray(v) for k2, v in p.items()})
-            evaluated.append(image_idx)
-        out = reduce_metrics(partials)
-        out["frames_evaluated"] = len(evaluated)
+            partials.append(p)
+            n_evaluated += len(evaluated)
+        out = reduce_metrics(jax.device_get(partials))
+        out["frames_evaluated"] = n_evaluated
         return out
 
+    @staticmethod
+    def _reduce_votes(pipeline, source, pending, visible):
+        """Batched host half of association voting: fetch every chunk's
+        device votes + keep masks in ONE device_get (transfers coalesce and
+        all dispatches have already been queued), then filter per row.
+        pending: list of (votes_dev [K, C, P], keep_dev [K, C, P], evaluated)."""
+        point_inst = np.asarray(pipeline.scene.flat[source].inst)
+        fetched = jax.device_get([(v, k) for v, k, _ in pending])
+        all_mi, all_gi = [], []
+        for (g_at, keep_np), (_, _, evaluated) in zip(fetched, pending):
+            for kk, _image_idx in evaluated:
+                k_row = keep_np[kk]
+                mi = np.broadcast_to(point_inst[None, :], k_row.shape)[k_row]
+                all_mi.append(mi.astype(np.int64))
+                all_gi.append(g_at[kk][k_row].astype(np.int64))
+        if not all_mi:
+            return None
+        return instance_association(np.concatenate(all_mi),
+                                    np.concatenate(all_gi),
+                                    gt_ids_visible=visible)
+
+    _EMPTY_ASSOCIATION = {"instance_precision": 0.0, "instance_recall": 0.0,
+                          "mean_purity": 0.0, "n_map_instances": 0,
+                          "n_gt_instances": 0}
 
     def evaluate_scene_instances(self, pipeline, source="cama", frames=None,
                                  assignment="nearest"):
         """Instance-level association quality over all valid frames with GT
         instance masks: each map instance's projected points vote on a GT
         instance id (for the Euclidean-nearest instance within tolerance by
-        default — see frame_instance_pairs); reports precision/recall/purity
-        (see instance_association)."""
-        point_inst = pipeline.scene.flat[source].inst
-        all_mi, all_gi = [], []
-        gt_visible = set()
-        evaluated = 0
-        for image_idx, vu, keep in self._iter_frame_projections(
+        default — see instance_votes_chunk); reports precision/recall/purity
+        (see instance_association).  One device dispatch per chunk; votes
+        fetched in one batched transfer at the end."""
+        pending = []
+        visible = set()
+        n_evaluated = 0
+        for idxs, vu_c, keep_c in self._iter_chunk_projections(
                 pipeline, source, frames):
-            stacked = self._load_all_cameras(pipeline, image_idx)
-            if stacked is None:
+            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            if ids_b is None:
                 continue
-            mi, gi = frame_instance_pairs(
-                stacked, vu, keep, point_inst, self.tolerance,
-                assignment=assignment,
-            )
-            all_mi.append(mi)
-            all_gi.append(gi)
-            gt_visible.update(np.unique(stacked[stacked > 0]).tolist())
-            evaluated += 1
-        if not all_mi:
-            return {"instance_precision": 0.0, "instance_recall": 0.0,
-                    "mean_purity": 0.0, "n_map_instances": 0,
-                    "n_gt_instances": 0, "frames_evaluated": 0}
-        out = instance_association(np.concatenate(all_mi), np.concatenate(all_gi),
-                                   gt_ids_visible=gt_visible)
-        out["frames_evaluated"] = evaluated
+            votes = instance_votes_chunk(
+                device_ids(ids_b), vu_c, keep_c, self.tolerance, assignment)
+            pending.append((votes, keep_c, evaluated))
+            visible.update(np.unique(ids_b[ids_b > 0]).tolist())
+            n_evaluated += len(evaluated)
+        out = self._reduce_votes(pipeline, source, pending, visible)
+        if out is None:
+            return dict(self._EMPTY_ASSOCIATION, frames_evaluated=0)
+        out["frames_evaluated"] = n_evaluated
         return out
 
     def evaluate_scene_all(self, pipeline, source="cama", frames=None,
                            assignment="nearest"):
         """Scene metrics AND instance association in ONE pass: the GT
-        instance PNGs are read+remapped once and the device projections run
-        once per chunk (running evaluate_scene + evaluate_scene_instances
-        separately doubles both costs).  Result dict is the union of the two
-        single-metric methods' outputs."""
+        instance PNGs are read+remapped once, the device projections run once
+        per chunk, and both metric families share a single fused device
+        dispatch per chunk (_metrics_and_votes_chunk).  All results come
+        back in one batched device_get after the last dispatch.  Result dict
+        is the union of the two single-metric methods' outputs."""
         import jax.numpy as jnp
 
-        point_inst = pipeline.scene.flat[source].inst
-        partials, all_mi, all_gi = [], [], []
-        gt_visible = set()
-        evaluated = 0
-        for image_idx, vu, keep in self._iter_frame_projections(
+        partials, pending = [], []
+        visible = set()
+        n_evaluated = 0
+        for idxs, vu_c, keep_c in self._iter_chunk_projections(
                 pipeline, source, frames):
-            ids = self._load_all_cameras(pipeline, image_idx)
-            if ids is None:
+            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            if ids_b is None:
                 continue
-            p = frame_metrics(
-                jnp.asarray(ids > 0), vu, keep, self.max_radius,
-                self.tolerance, self.distance,
+            p, votes = _metrics_and_votes_chunk(
+                device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
+                self.max_radius, self.tolerance, self.distance, assignment,
             )
-            partials.append({k2: np.asarray(v) for k2, v in p.items()})
-            mi, gi = frame_instance_pairs(
-                ids, vu, keep, point_inst, self.tolerance,
-                assignment=assignment,
-            )
-            all_mi.append(mi)
-            all_gi.append(gi)
-            gt_visible.update(np.unique(ids[ids > 0]).tolist())
-            evaluated += 1
-        out = reduce_metrics(partials)
-        if all_mi:
-            out.update(instance_association(
-                np.concatenate(all_mi), np.concatenate(all_gi),
-                gt_ids_visible=gt_visible))
-        else:
-            out.update({"instance_precision": 0.0, "instance_recall": 0.0,
-                        "mean_purity": 0.0, "n_map_instances": 0,
-                        "n_gt_instances": 0})
-        out["frames_evaluated"] = evaluated
+            partials.append(p)
+            pending.append((votes, keep_c, evaluated))
+            visible.update(np.unique(ids_b[ids_b > 0]).tolist())
+            n_evaluated += len(evaluated)
+        out = reduce_metrics(jax.device_get(partials))
+        assoc = self._reduce_votes(pipeline, source, pending, visible)
+        out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
+        out["frames_evaluated"] = n_evaluated
         return out
 
 

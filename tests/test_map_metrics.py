@@ -311,3 +311,118 @@ def test_nearest_assignment_respects_tolerance():
     mi, gi = frame_instance_pairs(gt, jnp.asarray(vu), jnp.asarray(keep),
                                   point_inst, 3)
     assert list(gi) == [0, 5], "beyond-tolerance points vote background"
+
+
+def test_frame_metrics_chunk_matches_per_frame():
+    """Chunk-batched metrics (one dispatch) == summed per-frame calls, with
+    zero-weighted padding rows contributing nothing — both distances."""
+    from cama_tpu.eval.map_metrics import frame_metrics_chunk
+
+    K, C, H, W, P = 4, 2, 40, 56, 60
+    gt = RNG.random((K, C, H, W)) > 0.98
+    vu = np.stack([RNG.uniform(-5, H + 5, (K, C, P)),
+                   RNG.uniform(-5, W + 5, (K, C, P))], -1).astype(np.float32)
+    keep = RNG.random((K, C, P)) > 0.2
+    fv = np.array([1.0, 0.0, 1.0, 1.0], np.float32)  # row 1 is padding
+    for distance in ("chebyshev", "euclidean"):
+        got = frame_metrics_chunk(jnp.asarray(gt), jnp.asarray(vu),
+                                  jnp.asarray(keep), jnp.asarray(fv),
+                                  12, 3, distance)
+        want = {}
+        for k in range(K):
+            if fv[k] == 0.0:
+                continue
+            p = frame_metrics(jnp.asarray(gt[k]), jnp.asarray(vu[k]),
+                              jnp.asarray(keep[k]), 12, 3, distance)
+            for k2, v in p.items():
+                want[k2] = want.get(k2, 0.0) + float(v)
+        for k2, v in want.items():
+            np.testing.assert_allclose(float(got[k2]), v, rtol=1e-6,
+                                       err_msg=f"{distance}:{k2}")
+
+
+def test_instance_votes_chunk_matches_per_frame():
+    """Batched association votes == frame_instance_pairs row by row."""
+    from cama_tpu.eval.map_metrics import frame_instance_pairs, instance_votes_chunk
+
+    K, C, H, W, P = 3, 2, 32, 48, 40
+    gt = (RNG.random((K, C, H, W)) > 0.97).astype(np.int32) * RNG.integers(
+        1, 5, (K, C, H, W), dtype=np.int32)
+    vu = np.stack([RNG.uniform(0, H, (K, C, P)),
+                   RNG.uniform(0, W, (K, C, P))], -1).astype(np.float32)
+    keep = RNG.random((K, C, P)) > 0.3
+    point_inst = RNG.integers(0, 6, (P,), dtype=np.int32)
+    for assignment in ("nearest", "chebyshev"):
+        votes = np.asarray(instance_votes_chunk(
+            jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep), 3, assignment))
+        for k in range(K):
+            mi_want, gi_want = frame_instance_pairs(
+                gt[k], jnp.asarray(vu[k]), jnp.asarray(keep[k]), point_inst,
+                3, assignment=assignment)
+            gi_got = votes[k][keep[k]].astype(np.int64)
+            mi_got = np.broadcast_to(point_inst[None, :], keep[k].shape)[
+                keep[k]].astype(np.int64)
+            np.testing.assert_array_equal(gi_got, gi_want, err_msg=assignment)
+            np.testing.assert_array_equal(mi_got, mi_want)
+
+
+def test_evaluate_scene_chunked_equals_reference_totals(tmp_path):
+    """The chunk-batched evaluator path on the fixture clip produces the same
+    totals as a hand-rolled per-frame loop over the same projections."""
+    clip = make_fixture_clip(tmp_path, scene_name="scene-chunk", n_frames=5,
+                             with_images=False, with_lidar=False)
+    add_instance_masks(clip)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)  # several partial chunks
+    ev = MapEvaluator(tolerance=3, max_radius=8)
+    got = ev.evaluate_scene(pipe, "cama")
+
+    partials = []
+    n = 0
+    for image_idx, vu, keep in ev._iter_frame_projections(pipe, "cama", None):
+        ids = ev._load_all_cameras(pipe, image_idx)
+        if ids is None:
+            continue
+        p = frame_metrics(jnp.asarray(ids > 0), vu, keep, 8, 3)
+        partials.append({k: np.asarray(v) for k, v in p.items()})
+        n += 1
+    want = reduce_metrics(partials)
+    assert got["frames_evaluated"] == n > 0
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-6, err_msg=k)
+
+    # and the fused all-in-one pass agrees on the shared keys
+    both = ev.evaluate_scene_all(pipe, "cama")
+    for k in ("SRE", "precision", "recall", "f1", "n_points", "gt_pixels"):
+        np.testing.assert_allclose(both[k], got[k], rtol=1e-6, err_msg=k)
+
+
+def test_packed_chunk_and_device_ids_match_dense():
+    """Bitpacked mask upload and sparse-COO id upload are pure transport
+    optimizations: results identical to the dense arrays they encode."""
+    import jax
+
+    from cama_tpu.eval.map_metrics import (
+        device_ids, frame_metrics_chunk, frame_metrics_chunk_packed)
+
+    K, C, H, W, P = 3, 2, 24, 37, 50  # W deliberately not a multiple of 8
+    ids = (RNG.random((K, C, H, W)) > 0.96).astype(np.uint16) * RNG.integers(
+        1, 7, (K, C, H, W), dtype=np.uint16)
+    vu = np.stack([RNG.uniform(0, H, (K, C, P)),
+                   RNG.uniform(0, W, (K, C, P))], -1).astype(np.float32)
+    keep = RNG.random((K, C, P)) > 0.3
+    fv = np.ones((K,), np.float32)
+
+    dense = frame_metrics_chunk(jnp.asarray(ids > 0), jnp.asarray(vu),
+                                jnp.asarray(keep), jnp.asarray(fv), 10, 3)
+    packed = frame_metrics_chunk_packed(
+        jnp.asarray(np.packbits(ids > 0, axis=-1)), jnp.asarray(vu),
+        jnp.asarray(keep), jnp.asarray(fv), W, 10, 3)
+    for k in dense:
+        np.testing.assert_array_equal(np.asarray(dense[k]),
+                                      np.asarray(packed[k]), err_msg=k)
+
+    np.testing.assert_array_equal(np.asarray(device_ids(ids)), ids)
+    dense_ids = np.full((2, 3, 3), 5, np.uint16)  # >1/3 nonzero: dense path
+    np.testing.assert_array_equal(np.asarray(device_ids(dense_ids)), dense_ids)
+    np.testing.assert_array_equal(
+        np.asarray(device_ids(np.zeros((2, 4, 4), np.int32))), 0)
