@@ -61,12 +61,19 @@ class FrameCache:
     QUEUE_SLOTS = 48
 
     def __init__(self, cache_dir, n_frames, n_cameras, output_size, key,
-                 async_writes=True):
+                 async_writes=True, name="frames", dtype=np.uint8, channels=3):
+        """name/dtype/channels generalize the store beyond RGB frames: the
+        GT-mask cache stores remapped lane_ins instance ids as
+        name='gt_ids', dtype=uint16, channels=0 (no trailing axis) — the
+        same ~55 ms/frame decode+remap host floor applies to metric GT as
+        to base images, and the same mmap store removes it."""
         self.dir = str(cache_dir)
         self.key = str(key)
+        self.dtype = np.dtype(dtype)
         h, w = output_size
-        self.shape = (int(n_frames), int(n_cameras), int(h), int(w), 3)
-        base = os.path.join(self.dir, f"frames_{h}x{w}")
+        self.shape = (int(n_frames), int(n_cameras), int(h), int(w)) + (
+            (int(channels),) if channels else ())
+        base = os.path.join(self.dir, f"{name}_{h}x{w}")
         self._data_path = base + ".npy"
         self._valid_path = base + ".valid.npy"
         self._key_path = base + ".key.json"
@@ -106,6 +113,7 @@ class FrameCache:
                 fresh = not (
                     meta.get("key") == self.key
                     and tuple(meta.get("shape", ())) == self.shape
+                    and meta.get("dtype", "uint8") == self.dtype.name
                     and os.path.exists(self._data_path)
                     and os.path.exists(self._valid_path)
                 )
@@ -120,7 +128,7 @@ class FrameCache:
             pid = os.getpid()
             tmp_data, tmp_valid = f"{self._data_path}.{pid}", f"{self._valid_path}.{pid}"
             data = np.lib.format.open_memmap(
-                tmp_data, mode="w+", dtype=np.uint8, shape=self.shape
+                tmp_data, mode="w+", dtype=self.dtype, shape=self.shape
             )
             valid = np.lib.format.open_memmap(
                 tmp_valid, mode="w+", dtype=np.uint8, shape=self.shape[:2]
@@ -129,14 +137,15 @@ class FrameCache:
             os.replace(tmp_valid, self._valid_path)
             tmp_key = f"{self._key_path}.{pid}"
             with open(tmp_key, "w") as f:
-                json.dump({"key": self.key, "shape": list(self.shape)}, f)
+                json.dump({"key": self.key, "shape": list(self.shape),
+                           "dtype": self.dtype.name}, f)
             os.replace(tmp_key, self._key_path)
             self._data, self._valid = data, valid
         else:
             try:
                 data = np.lib.format.open_memmap(self._data_path, mode="r+")
                 valid = np.lib.format.open_memmap(self._valid_path, mode="r+")
-                if (data.dtype != np.uint8 or data.shape != self.shape
+                if (data.dtype != self.dtype or data.shape != self.shape
                         or valid.shape != self.shape[:2]):
                     raise ValueError("frame cache shape/dtype mismatch")
                 self._data, self._valid = data, valid
@@ -152,11 +161,12 @@ class FrameCache:
                 self._open()
 
     @classmethod
-    def open(cls, cache_dir, n_frames, n_cameras, output_size, key):
+    def open(cls, cache_dir, n_frames, n_cameras, output_size, key, **kwargs):
         """Build a cache, or return None when the directory is not writable
         (read-only clip mounts degrade to the uncached path, never fail)."""
         try:
-            return cls(cache_dir, n_frames, n_cameras, output_size, key)
+            return cls(cache_dir, n_frames, n_cameras, output_size, key,
+                       **kwargs)
         except Exception:  # unwritable dir, exotic fs: uncached, never fatal
             return None
 

@@ -490,6 +490,7 @@ class ClipPipeline:
         import threading
 
         self._fcache = False  # False = not yet resolved (None = disabled)
+        self._gtcache = False  # same protocol, GT-mask store
         self._fcache_lock = threading.Lock()
         self._fm = {}
         self._dev = {}
@@ -633,16 +634,18 @@ class ClipPipeline:
                     self._fcache = self._build_frame_cache()
         return self._fcache
 
+    def _cache_dir(self):
+        scene = self.scene
+        cache_dir = self.configs.get("frame_cache_dir")
+        if cache_dir:  # shared dir: keep per-clip stores distinct
+            return os.path.join(
+                cache_dir, os.path.basename(os.path.normpath(scene.clip_path)))
+        return os.path.join(scene.clip_path, ".cama_tpu")
+
     def _build_frame_cache(self):
         scene = self.scene
         if not self.configs.get("frame_cache", True):
             return None
-        cache_dir = self.configs.get("frame_cache_dir")
-        if cache_dir:  # shared dir: keep per-clip stores distinct
-            cache_dir = os.path.join(
-                cache_dir, os.path.basename(os.path.normpath(scene.clip_path)))
-        else:
-            cache_dir = os.path.join(scene.clip_path, ".cama_tpu")
         key = frame_cache_key(
             scene.camera_list, scene.output_size, scene.K_orig,
             scene.d, scene.K_scaled, scene.sync_ms,
@@ -650,8 +653,55 @@ class ClipPipeline:
         if self.configs.get("fast_decode"):
             key = "fast2:" + key  # reduced-decode pixels differ
         return FrameCache.open(
-            cache_dir, len(scene.frame_times), len(scene.camera_list),
+            self._cache_dir(), len(scene.frame_times), len(scene.camera_list),
             scene.output_size, key,
+        )
+
+    def gt_mask_cache(self):
+        """Per-clip store of remapped lane_ins GT instance-id images
+        ([frame, camera] -> [H, W] uint16), resolved lazily like
+        frame_cache(): metric GT pays the same per-frame PNG decode +
+        INTER_NEAREST remap host floor as base images (~10 ms per camera on
+        the bench host), and evaluation/report reruns read it back at mmap
+        speed instead.  Shares the frame_cache config gates."""
+        if self._gtcache is False:
+            with self._fcache_lock:
+                if self._gtcache is False:
+                    self._gtcache = self._build_gt_cache()
+        return self._gtcache
+
+    def _gt_stat_key(self):
+        """Identity of the on-disk lane_ins PNG population (size + mtime per
+        synced frame).  GT masks can be regenerated while calibration stays
+        identical — e.g. a re-labeled clip, or a clip directory copied then
+        re-masked — and a calibration-only key would serve the stale masks.
+        Stat of ~frames x cameras files is microseconds; resolved once per
+        pipeline (PNGs swapped mid-lifetime are not re-checked)."""
+        import hashlib
+
+        scene = self.scene
+        h = hashlib.sha256()
+        for cam in scene.camera_list:
+            d = os.path.join(scene.clip_path, f"lane_ins_{cam}")
+            for ms in scene.sync_ms[cam]:
+                try:
+                    st = os.stat(os.path.join(d, f"{ms}.png"))
+                    h.update(f"{cam}:{ms}:{st.st_size}:{st.st_mtime_ns};".encode())
+                except OSError:
+                    h.update(f"{cam}:{ms}:absent;".encode())
+        return h.hexdigest()
+
+    def _build_gt_cache(self):
+        scene = self.scene
+        if not self.configs.get("frame_cache", True):
+            return None
+        key = f"gt:{self._gt_stat_key()}:" + frame_cache_key(
+            scene.camera_list, scene.output_size, scene.K_orig,
+            scene.d, scene.K_scaled, scene.sync_ms,
+        )
+        return FrameCache.open(
+            self._cache_dir(), len(scene.frame_times), len(scene.camera_list),
+            scene.output_size, key, name="gt_ids", dtype=np.uint16, channels=0,
         )
 
     def _decode_remap(self, camera, c, image_idx):

@@ -145,3 +145,57 @@ fc.put(1, 0, np.full((4, 6, 3), 7, np.uint8))
     got = fc.get(1, 0)
     assert got is not None, "tail write was dropped at process exit"
     assert int(got[0, 0, 0]) == 7
+
+
+def test_generalized_store_dtype_and_channels(tmp_path):
+    """The GT-mask configuration of the store: named, uint16, no channel
+    axis — coexists with a frames store in the same directory."""
+    from cama_tpu.io.frame_cache import FrameCache
+
+    d = str(tmp_path / "fc3")
+    ids = FrameCache(d, 2, 1, (4, 6), key="g", name="gt_ids",
+                     dtype=np.uint16, channels=0)
+    frames = FrameCache(d, 2, 1, (4, 6), key="f")
+    mask = np.arange(24, dtype=np.uint16).reshape(4, 6) * 300  # > uint8
+    ids.put(0, 0, mask)
+    ids.flush()
+    got = ids.get(0, 0)
+    assert got.dtype == np.uint16 and got.shape == (4, 6)
+    np.testing.assert_array_equal(got, mask)
+    assert frames.get(0, 0) is None  # distinct store, untouched
+
+    # reopening with a different dtype invalidates rather than mis-serving
+    ids8 = FrameCache(d, 2, 1, (4, 6), key="g", name="gt_ids",
+                      dtype=np.uint8, channels=0)
+    assert ids8.get(0, 0) is None
+
+
+def test_gt_mask_cache_serves_and_invalidates(tmp_path):
+    """instance_loader round-trips through the GT store byte-identically,
+    and REGENERATED masks (same calibration, new PNG bytes) invalidate it —
+    the copied-clip-then-remasked hazard."""
+    import time
+
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path, scene_name="gtc", n_frames=3,
+                             with_images=False, with_lidar=False)
+    add_instance_masks(clip)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    ev = MapEvaluator()
+    cam = pipe.scene.camera_list[0]
+    cold = ev.instance_loader(pipe, cam, 1)
+    pipe.gt_mask_cache().flush()
+    pipe2 = ClipPipeline(clip_path=str(clip), chunk=2)
+    warm = ev.instance_loader(pipe2, cam, 1)
+    assert pipe2.gt_mask_cache().get(1, 0) is not None, "expected a cache hit"
+    np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
+
+    time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
+    add_instance_masks(clip, shift_px=9.0)  # regenerate, same calibration
+    pipe3 = ClipPipeline(clip_path=str(clip), chunk=2)
+    fresh = ev.instance_loader(pipe3, cam, 1)
+    assert not np.array_equal(np.asarray(fresh), np.asarray(cold)), \
+        "stale GT served after masks were regenerated"

@@ -426,3 +426,22 @@ def test_packed_chunk_and_device_ids_match_dense():
     np.testing.assert_array_equal(np.asarray(device_ids(dense_ids)), dense_ids)
     np.testing.assert_array_equal(
         np.asarray(device_ids(np.zeros((2, 4, 4), np.int32))), 0)
+
+
+def test_nearest_id_within_matches_full_edt_inside_mask():
+    """The bounded feature transform is identical to the full EDT for every
+    pixel within the radius (same ids, same distances, same tie-breaks) —
+    only pixels the tolerance test discards may differ."""
+    from cama_tpu.eval.map_metrics import nearest_id_edt, nearest_id_within
+
+    for radius in (1, 3, 5):
+        ids = (RNG.random((2, 30, 44)) > 0.93).astype(np.int32) * RNG.integers(
+            1, 9, (2, 30, 44), dtype=np.int32)
+        d2_f, id_f = (np.asarray(a) for a in nearest_id_edt(jnp.asarray(ids)))
+        d2_b, id_b = (np.asarray(a) for a in
+                      nearest_id_within(jnp.asarray(ids), radius))
+        inside = d2_f <= radius ** 2
+        np.testing.assert_array_equal(d2_b[inside], d2_f[inside])
+        np.testing.assert_array_equal(id_b[inside], id_f[inside])
+        # and the bounded pass never UNDER-estimates outside the radius
+        assert (d2_b >= d2_f - 1e-6).all()
