@@ -201,6 +201,38 @@ def bench_ours(clip):
     return e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n
 
 
+def bench_map_eval(clip):
+    """Scene-level SRE/precision/recall map evaluation throughput, warm
+    (GT mask store resident, kernels compiled): the CAMAv2 metric protocol
+    as chunk-batched device reductions — one metric dispatch per chunk,
+    bitpacked mask upload, all partials fetched in one device_get.  The
+    reference ships no metric code at all (SURVEY.md §2.3); this measures
+    the protocol this framework added, so there is no reference number to
+    beat, only the floor gate."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.io.fixture import add_instance_masks
+    from cama_tpu.pipeline import ClipPipeline
+
+    if not os.path.isdir(os.path.join(clip, "lane_ins_camera_front")):
+        add_instance_masks(clip)
+    pipe = ClipPipeline(clip_path=clip, chunk=8)
+    ev = MapEvaluator()
+    r = ev.evaluate_scene(pipe, "cama")  # compile + populate the GT store
+    cache = pipe.gt_mask_cache()
+    if cache is not None:
+        cache.flush()
+    best = 0.0
+    for _ in range(3):  # steady state, same convergence rule as dual video
+        t0 = time.perf_counter()
+        r = ev.evaluate_scene(pipe, "cama")
+        fps = r["frames_evaluated"] / (time.perf_counter() - t0)
+        converged = fps <= best * 1.05
+        best = max(best, fps)
+        if converged:
+            break
+    return best
+
+
 def bench_multi_scene(n_scenes=4, n_frames=17):
     """Scene-batched vs sequential overlay streaming (the CLI's batch_scenes
     path, pipeline.MultiScenePipeline): one dispatch wave per chunk for ALL
@@ -273,6 +305,9 @@ def main():
     ms_batched = ms_seq = None
     if os.environ.get("CAMA_BENCH_MULTI", "1") != "0":
         ms_batched, ms_seq = bench_multi_scene()
+    map_eval_fps = None
+    if os.environ.get("CAMA_BENCH_EVAL", "1") != "0":
+        map_eval_fps = bench_map_eval(clip)
     ref_runs = bench_reference(clip, REF_FRAME_BUDGET)
     ref_fps = float(np.mean(ref_runs)) if ref_runs else None
     vs = (dev_fps / ref_fps) if ref_fps else None
@@ -294,6 +329,7 @@ def main():
             "reference_repeats": len(ref_runs) if ref_runs else 0,
             "multi_scene_stream_fps_batched": round(ms_batched, 2) if ms_batched else None,
             "multi_scene_stream_fps_sequential": round(ms_seq, 2) if ms_seq else None,
+            "map_eval_fps": round(map_eval_fps, 2) if map_eval_fps else None,
             "frames": n,
             "backend": jax.default_backend(),
             # perf_gate applies relaxed host-path floors when the native

@@ -74,6 +74,25 @@ def _nearest_dist_rows(mask):
     return jnp.moveaxis(jnp.minimum(fwd, bwd), 0, -2)
 
 
+@partial(jax.jit, static_argnames=("radius",))
+def squared_edt_within(mask, radius):
+    """Squared Euclidean distance transform, EXACT wherever the true distance
+    is <= radius (farther pixels carry overestimates >= radius^2, so
+    `min(sqrt(d2), radius)` equals the capped exact distance everywhere).
+
+    Same column scan as squared_edt, but the row reduction only considers
+    source columns within +-radius — O(H*W*radius) instead of O(H*W^2).
+    Every consumer of the transform caps at max_radius/tolerance, which is
+    tens of pixels while W is ~10^3 (see _frame_metrics_euclidean)."""
+    D0 = _nearest_dist_rows(mask) ** 2
+    best = D0
+    for dx in range(1, radius + 1):
+        for s in (dx, -dx):
+            best = jnp.minimum(best, _shift_cols(D0, s, _EDT_INF ** 2)
+                               + float(dx * dx))
+    return best.astype(jnp.float32)
+
+
 @partial(jax.jit, static_argnames=("block",))
 def squared_edt(mask, block=8):
     """Exact squared Euclidean distance transform ([..., H, W] bool -> f32).
@@ -275,17 +294,20 @@ def _point_raster(vi, ui, keep, H, W):
 
 def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
     """Euclidean variant of frame_metrics: point->mask distances sampled from
-    the gt EDT; recall from the EDT of the projected-point raster."""
+    the gt EDT; recall from the EDT of the projected-point raster.  Every
+    use caps at max_radius/tolerance, so the radius-bounded transform is
+    exact here (squared_edt_within) at a fraction of the full EDT's cost."""
     C, H, W = gt_mask.shape
+    radius = max(max_radius, tolerance)
     vi, ui = _clip_pixels(vu, H, W)
-    d2_pts = _gather_at(squared_edt(gt_mask), vi, ui)  # [C, P]
+    d2_pts = _gather_at(squared_edt_within(gt_mask, radius), vi, ui)  # [C, P]
     dist = jnp.minimum(jnp.sqrt(d2_pts), float(max_radius))
     kf = keep.astype(jnp.float32)
     sre_sum = jnp.sum(dist * kf)
     n_points = jnp.sum(kf)
     n_hit = jnp.sum((d2_pts <= float(tolerance) ** 2) * kf)
 
-    D_pts = squared_edt(_point_raster(vi, ui, keep, H, W))
+    D_pts = squared_edt_within(_point_raster(vi, ui, keep, H, W), radius)
     gt_total = jnp.sum(gt_mask)
     gt_covered = jnp.sum(gt_mask & (D_pts <= float(tolerance) ** 2))
     return {

@@ -445,3 +445,19 @@ def test_nearest_id_within_matches_full_edt_inside_mask():
         np.testing.assert_array_equal(id_b[inside], id_f[inside])
         # and the bounded pass never UNDER-estimates outside the radius
         assert (d2_b >= d2_f - 1e-6).all()
+
+
+def test_squared_edt_within_capped_equals_full():
+    """min(sqrt(bounded), R) == min(sqrt(full), R) everywhere, and the
+    bounded transform never under-estimates — the property the Euclidean
+    metric path relies on."""
+    from cama_tpu.eval.map_metrics import squared_edt, squared_edt_within
+
+    mask = RNG.random((2, 28, 52)) > 0.95
+    full = np.asarray(squared_edt(jnp.asarray(mask)))
+    for R in (2, 6, 11):
+        bounded = np.asarray(squared_edt_within(jnp.asarray(mask), R))
+        assert (bounded >= full - 1e-4).all()
+        np.testing.assert_allclose(
+            np.minimum(np.sqrt(bounded), R), np.minimum(np.sqrt(full), R),
+            atol=1e-4)
