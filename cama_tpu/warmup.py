@@ -25,7 +25,8 @@ import time
 def warmup_pipeline(pipe, sources=None):
     """Compile + execute one chunk of every device program the pipeline's
     production path will use (counting pass, overlay kernel or sparse
-    compactor per source).  Returns {source: {mode, k, seconds}}."""
+    compactor per source; the chunk-batched map-metric program when the clip
+    ships GT masks).  Returns {source: {mode, k, seconds}}."""
     from cama_tpu import native
 
     native.available()  # builds the host compositor .so if needed
@@ -41,7 +42,33 @@ def warmup_pipeline(pipe, sources=None):
         it.close()
         out[source] = {"mode": mode, "k": k,
                        "seconds": round(time.perf_counter() - t0, 2)}
+    eval_s = warmup_map_eval(pipe, sources)
+    if eval_s is not None:
+        out["map_eval"] = {"seconds": round(eval_s, 2)}
     return out
+
+
+def warmup_map_eval(pipe, sources=None):
+    """Compile the chunk-batched metric program (the report tool's hot
+    kernel — minutes cold through a remote-compile runtime) by evaluating
+    the first chunk's worth of frames.  No-op (returns None) when the clip
+    has no lane_ins GT masks."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+
+    ev = MapEvaluator()
+    source = (sources or pipe.scene.sources)[0]
+    fm = pipe.frame_matrices(source)
+    import numpy as np
+
+    valid_idxs = [int(i) for i in np.asarray(fm.frame_indices)[
+        np.asarray(fm.frame_valid)]]
+    if not any(ev.mask_loader(pipe, cam, idx) is not None
+               for cam in pipe.scene.camera_list[:1]
+               for idx in valid_idxs[:1]):
+        return None
+    t0 = time.perf_counter()
+    ev.evaluate_scene(pipe, source, frames=set(valid_idxs[:pipe.chunk]))
+    return time.perf_counter() - t0
 
 
 def main(argv=None):
