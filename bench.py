@@ -329,7 +329,8 @@ def main():
             "reference_repeats": len(ref_runs) if ref_runs else 0,
             "multi_scene_stream_fps_batched": round(ms_batched, 2) if ms_batched else None,
             "multi_scene_stream_fps_sequential": round(ms_seq, 2) if ms_seq else None,
-            "map_eval_fps": round(map_eval_fps, 2) if map_eval_fps else None,
+            "map_eval_fps": (round(map_eval_fps, 2)
+                             if map_eval_fps is not None else None),
             "frames": n,
             "backend": jax.default_backend(),
             # perf_gate applies relaxed host-path floors when the native

@@ -212,10 +212,11 @@ def device_ids(ids_b):
     if ids_b.dtype != np.uint16:
         assert ids_b.max(initial=0) < 65536, "instance ids exceed uint16"
         ids_b = ids_b.astype(np.uint16)
-    nnz = int(np.count_nonzero(ids_b))
-    if 6 * nnz < 2 * ids_b.size:
-        flat = np.flatnonzero(ids_b)
-        budget = 1 << max(10, (len(flat) - 1).bit_length() if len(flat) else 0)
+    flat = np.flatnonzero(ids_b)
+    # compare what each path actually moves: the COO budget is padded to a
+    # power of two (>= 1024) for compile reuse, so decide on the padded size
+    budget = 1 << max(10, (len(flat) - 1).bit_length() if len(flat) else 0)
+    if 6 * budget < 2 * ids_b.size:
         idx = np.full((budget,), ids_b.size, np.int32)
         vals = np.zeros((budget,), np.uint16)
         idx[: len(flat)] = flat
@@ -743,25 +744,43 @@ class MapEvaluator:
         out["frames_evaluated"] = n_evaluated
         return out
 
+    # device-vote backlog bound (chunks): enough in flight to overlap host GT
+    # loading with device work, small enough that vote buffers stay O(1) in
+    # scene length (a [K, C, P] uint16 + bool pair per chunk can be tens of
+    # MB at production point counts)
+    MAX_PENDING_CHUNKS = 4
+
     @staticmethod
-    def _reduce_votes(pipeline, source, pending, visible):
-        """Batched host half of association voting: fetch every chunk's
-        device votes + keep masks in ONE device_get (transfers coalesce and
-        all dispatches have already been queued), then filter per row.
+    def _drain_votes(pipeline, source, pending, sink):
+        """Fetch the queued chunks' device votes + keep masks in one batched
+        device_get, filter per evaluated row, fold into sink['mi'/'gi'].
         pending: list of (votes_dev [K, C, P], keep_dev [K, C, P], evaluated)."""
+        if not pending:
+            return
         point_inst = np.asarray(pipeline.scene.flat[source].inst)
         fetched = jax.device_get([(v, k) for v, k, _ in pending])
-        all_mi, all_gi = [], []
         for (g_at, keep_np), (_, _, evaluated) in zip(fetched, pending):
             for kk, _image_idx in evaluated:
                 k_row = keep_np[kk]
                 mi = np.broadcast_to(point_inst[None, :], k_row.shape)[k_row]
-                all_mi.append(mi.astype(np.int64))
-                all_gi.append(g_at[kk][k_row].astype(np.int64))
-        if not all_mi:
+                sink["mi"].append(mi.astype(np.int64))
+                sink["gi"].append(g_at[kk][k_row].astype(np.int64))
+        pending.clear()
+
+    @classmethod
+    def _push_votes(cls, pipeline, source, pending, sink, item):
+        """Queue one chunk's device votes, draining when the backlog bound
+        is hit (keeps dispatch pipelining without unbounded buffers)."""
+        pending.append(item)
+        if len(pending) >= cls.MAX_PENDING_CHUNKS:
+            cls._drain_votes(pipeline, source, pending, sink)
+
+    @staticmethod
+    def _associate(sink, visible):
+        if not sink["mi"]:
             return None
-        return instance_association(np.concatenate(all_mi),
-                                    np.concatenate(all_gi),
+        return instance_association(np.concatenate(sink["mi"]),
+                                    np.concatenate(sink["gi"]),
                                     gt_ids_visible=visible)
 
     _EMPTY_ASSOCIATION = {"instance_precision": 0.0, "instance_recall": 0.0,
@@ -775,8 +794,9 @@ class MapEvaluator:
         instance id (for the Euclidean-nearest instance within tolerance by
         default — see instance_votes_chunk); reports precision/recall/purity
         (see instance_association).  One device dispatch per chunk; votes
-        fetched in one batched transfer at the end."""
+        fetched in batched transfers every MAX_PENDING_CHUNKS chunks."""
         pending = []
+        sink = {"mi": [], "gi": []}
         visible = set()
         n_evaluated = 0
         for idxs, vu_c, keep_c in self._iter_chunk_projections(
@@ -786,10 +806,12 @@ class MapEvaluator:
                 continue
             votes = instance_votes_chunk(
                 device_ids(ids_b), vu_c, keep_c, self.tolerance, assignment)
-            pending.append((votes, keep_c, evaluated))
+            self._push_votes(pipeline, source, pending, sink,
+                             (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
-        out = self._reduce_votes(pipeline, source, pending, visible)
+        self._drain_votes(pipeline, source, pending, sink)
+        out = self._associate(sink, visible)
         if out is None:
             return dict(self._EMPTY_ASSOCIATION, frames_evaluated=0)
         out["frames_evaluated"] = n_evaluated
@@ -800,12 +822,14 @@ class MapEvaluator:
         """Scene metrics AND instance association in ONE pass: the GT
         instance PNGs are read+remapped once, the device projections run once
         per chunk, and both metric families share a single fused device
-        dispatch per chunk (_metrics_and_votes_chunk).  All results come
-        back in one batched device_get after the last dispatch.  Result dict
-        is the union of the two single-metric methods' outputs."""
+        dispatch per chunk (_metrics_and_votes_chunk).  Vote buffers come
+        back in bounded batched transfers (MAX_PENDING_CHUNKS), scalar
+        partials in one trailing device_get.  Result dict is the union of
+        the two single-metric methods' outputs."""
         import jax.numpy as jnp
 
         partials, pending = [], []
+        sink = {"mi": [], "gi": []}
         visible = set()
         n_evaluated = 0
         for idxs, vu_c, keep_c in self._iter_chunk_projections(
@@ -818,11 +842,13 @@ class MapEvaluator:
                 self.max_radius, self.tolerance, self.distance, assignment,
             )
             partials.append(p)
-            pending.append((votes, keep_c, evaluated))
+            self._push_votes(pipeline, source, pending, sink,
+                             (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
+        self._drain_votes(pipeline, source, pending, sink)
         out = reduce_metrics(jax.device_get(partials))
-        assoc = self._reduce_votes(pipeline, source, pending, visible)
+        assoc = self._associate(sink, visible)
         out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
         out["frames_evaluated"] = n_evaluated
         return out

@@ -62,14 +62,18 @@ def run_local_cluster(cmds, env=None, timeout=240.0):
 
     All processes are started before any is waited on (they rendezvous with
     each other through the jax.distributed coordinator, so sequential spawn +
-    join would deadlock).  On a timeout or a nonzero exit the WHOLE cluster
-    is killed before raising — no stranded siblings.
+    join would deadlock), and every child's stdout/stderr pipes are drained
+    CONCURRENTLY — a sequential communicate() loop would let a chatty child
+    fill its ~64 KB pipe buffer and block mid-collective while the parent
+    still waits on an earlier rank.  On a timeout or a nonzero exit the
+    WHOLE cluster is killed before raising — no stranded siblings.
 
     env: base environment (default os.environ); JAX_PLATFORMS/XLA_FLAGS are
     always dropped so children pick their own platform.
     Returns: list of parsed JSON dicts, one per process, in cmds order.
     """
     import os
+    import threading
 
     child_env = {k: v for k, v in (env or os.environ).items()
                  if k not in _CHILD_ENV_DROP}
@@ -78,31 +82,46 @@ def run_local_cluster(cmds, env=None, timeout=240.0):
                               env=child_env)
              for cmd in cmds]
 
+    results = [None] * len(procs)  # (out, err) per child, set by its reader
+
+    def _drain(i, p):
+        try:
+            results[i] = p.communicate()  # reads both pipes until EOF
+        except Exception:
+            results[i] = ("", "")
+
+    readers = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in readers:
+        t.start()
+
     def _kill_all():
         for q in procs:
             if q.poll() is None:
                 q.kill()
-        for q in procs:
-            try:
-                q.communicate(timeout=10)
-            except Exception:
-                pass
+        for t in readers:
+            t.join(timeout=10)
 
-    payloads = []
     try:
-        for p in procs:
-            try:
-                out, err = p.communicate(timeout=timeout)
-            except subprocess.TimeoutExpired:
+        deadline = timeout
+        import time
+
+        t0 = time.monotonic()
+        for i, (p, t) in enumerate(zip(procs, readers)):
+            t.join(timeout=max(0.1, deadline - (time.monotonic() - t0)))
+            if t.is_alive():
                 _kill_all()
                 raise RuntimeError(
                     f"cluster child {p.args} hung past {timeout}s; "
-                    f"killed all {len(procs)} processes") from None
+                    f"killed all {len(procs)} processes")
+            out, err = results[i]
             if p.returncode != 0:
                 _kill_all()
                 raise RuntimeError(
                     f"cluster child {p.args} exited {p.returncode}:\n"
                     f"--- stdout ---\n{out}\n--- stderr ---\n{err}")
+        payloads = []
+        for p, (out, err) in zip(procs, results):
             payload = _last_json_line(out)
             if payload is None:
                 _kill_all()

@@ -49,10 +49,12 @@ def warmup_pipeline(pipe, sources=None):
 
 
 def warmup_map_eval(pipe, sources=None):
-    """Compile the chunk-batched metric program (the report tool's hot
-    kernel — minutes cold through a remote-compile runtime) by evaluating
-    the first chunk's worth of frames.  No-op (returns None) when the clip
-    has no lane_ins GT masks."""
+    """Compile the chunk-batched metric programs (the report tool's hot
+    kernels — minutes cold through a remote-compile runtime): BOTH the
+    binary-metrics program (report without --instances) and the fused
+    metrics+votes program (the --instances default), by evaluating one
+    chunk's worth of frames around the first frame whose GT masks are
+    complete.  No-op (returns None) when no frame has full lane_ins GT."""
     from cama_tpu.eval.map_metrics import MapEvaluator
 
     ev = MapEvaluator()
@@ -62,12 +64,23 @@ def warmup_map_eval(pipe, sources=None):
 
     valid_idxs = [int(i) for i in np.asarray(fm.frame_indices)[
         np.asarray(fm.frame_valid)]]
-    if not any(ev.mask_loader(pipe, cam, idx) is not None
-               for cam in pipe.scene.camera_list[:1]
-               for idx in valid_idxs[:1]):
+    scene = pipe.scene
+    # find the first frame with the COMPLETE camera set of GT PNGs (cheap
+    # existence checks — masks may start mid-clip or miss odd cameras)
+    first_gt = next(
+        (idx for idx in valid_idxs
+         if all(os.path.exists(os.path.join(
+             scene.clip_path, f"lane_ins_{cam}",
+             f"{scene.sync_ms[cam][idx]}.png"))
+             for cam in scene.camera_list)),
+        None)
+    if first_gt is None:
         return None
+    at = valid_idxs.index(first_gt)
+    frames = set(valid_idxs[at: at + pipe.chunk])
     t0 = time.perf_counter()
-    ev.evaluate_scene(pipe, source, frames=set(valid_idxs[:pipe.chunk]))
+    ev.evaluate_scene(pipe, source, frames=frames)
+    ev.evaluate_scene_all(pipe, source, frames=frames)
     return time.perf_counter() - t0
 
 

@@ -91,3 +91,16 @@ def test_missing_payload_raises():
     quiet = [PY, "-c", "print('no json here')"]
     with pytest.raises(RuntimeError, match="no JSON payload"):
         run_local_cluster([quiet])
+
+
+def test_chatty_child_does_not_deadlock():
+    """A child that writes far more than the OS pipe buffer (~64 KB) to
+    stderr must not stall the cluster: pipes drain concurrently."""
+    chatty = [PY, "-c",
+              "import sys, json; sys.stderr.write('x' * 300_000); "
+              "print(json.dumps({'ok': 1}))"]
+    quiet = [PY, "-c", "import json; print(json.dumps({'ok': 2}))"]
+    t0 = time.monotonic()
+    outs = run_local_cluster([chatty, quiet], timeout=60)
+    assert time.monotonic() - t0 < 30, "chatty child stalled the drain"
+    assert [o["ok"] for o in outs] == [1, 2]

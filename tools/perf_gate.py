@@ -68,17 +68,26 @@ def main(argv=None):
     no_native = floors.pop("_no_native_overrides", {})
     if bench.get("details", {}).get("native_compositor") is False:
         floors.update(no_native)
+    # sections bench can legitimately skip (CAMA_BENCH_EVAL=0 /
+    # CAMA_BENCH_MULTI=0): gated when present, informational when absent
+    optional = set(floors.pop("_optional", ()))
     metrics = flatten(bench)
 
     failures = []
+    skipped = []
     for key, floor in floors.items():
         got = metrics.get(key)
         if got is None:
-            failures.append(f"{key}: missing from bench output (floor {floor})")
+            if key in optional:
+                skipped.append(key)
+            else:
+                failures.append(f"{key}: missing from bench output (floor {floor})")
         elif got < floor:
             failures.append(f"{key}: {got} < floor {floor}")
     report = {"backend": backend, "metrics": metrics,
               "floors": floors, "failures": failures}
+    if skipped:
+        report["skipped_optional"] = skipped
     print(json.dumps(report))
     return 1 if failures else 0
 
