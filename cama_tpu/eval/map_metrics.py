@@ -158,12 +158,22 @@ def frame_metrics_chunk(gt_mask, vu, keep, fv, max_radius, tolerance,
     metric compute itself); batching over the chunk amortizes it K-fold and
     is exactly how sharded_map_metrics already shapes the computation.
     """
-    p = jax.vmap(
+    p = frame_metrics_rows(gt_mask, vu, keep, max_radius, tolerance, distance)
+    z = fv.astype(jnp.float32)
+    return {k2: jnp.sum(v * z) for k2, v in p.items()}
+
+
+@partial(jax.jit, static_argnames=("max_radius", "tolerance", "distance"))
+def frame_metrics_rows(gt_mask, vu, keep, max_radius, tolerance,
+                       distance="chebyshev"):
+    """Per-ROW frame_metrics over a batch: [K, ...] inputs -> dict of [K]
+    partials (no reduction).  The multi-scene batch path groups rows by
+    scene on the host, so it needs the per-row values; frame_metrics_chunk
+    is this plus an fv-weighted sum."""
+    return jax.vmap(
         lambda g, v, k: _frame_metrics_impl(g, v, k, max_radius, tolerance,
                                             distance)
     )(gt_mask, vu, keep)
-    z = fv.astype(jnp.float32)
-    return {k2: jnp.sum(v * z) for k2, v in p.items()}
 
 
 def _unpack_bits(packed, width):
@@ -185,6 +195,29 @@ def frame_metrics_chunk_packed(gt_packed, vu, keep, fv, width, max_radius,
     gt = _unpack_bits(gt_packed, width)
     return frame_metrics_chunk(gt, vu, keep, fv, max_radius, tolerance,
                                distance)
+
+
+@partial(jax.jit, static_argnames=("width", "max_radius", "tolerance",
+                                   "distance"))
+def frame_metrics_rows_packed(gt_packed, vu, keep, width, max_radius,
+                              tolerance, distance="chebyshev"):
+    """frame_metrics_rows fed by host-bitpacked masks (see
+    frame_metrics_chunk_packed): [K, ...] -> dict of [K] per-row partials."""
+    gt = _unpack_bits(gt_packed, width)
+    return frame_metrics_rows(gt, vu, keep, max_radius, tolerance, distance)
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _project_scenes(points, valid, A, B, fv, width, height, lo, hi):
+    """Scene-batched projection: [S, ...] stacked tensors -> vu [S, K, C, P,
+    2], keep [S, K, C, P] in one dispatch (the metric analogue of
+    pipeline._overlay_chunk_batched)."""
+    from cama_tpu.ops.geometry import project_frames
+
+    return jax.vmap(
+        lambda p, v, a, b, f: project_frames(p, v, a, b, f, width, height,
+                                             lo, hi)
+    )(points, valid, A, B, fv)
 
 
 @partial(jax.jit, static_argnames=("shape",))
@@ -852,6 +885,123 @@ class MapEvaluator:
         out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
         out["frames_evaluated"] = n_evaluated
         return out
+
+
+    def evaluate_scene_batch(self, pipelines, source="cama", instances=False,
+                             assignment="nearest"):
+        """Fleet evaluation: EVERY scene's metric device work batched into
+        one dispatch wave per chunk, riding MultiScenePipeline's stacked
+        tensors (scenes pad to a common (P, F); same batching the CLI uses
+        for overlay videos).  Per-scene results come from per-ROW partials
+        grouped on the host, so each scene still gets its own metric dict.
+
+        pipelines: list of ClipPipeline (same output size) or a
+            MultiScenePipeline.
+        instances: also run association voting per scene (one fused
+            projection+votes wave per chunk).
+        Returns: list aligned with the input pipelines — a result dict per
+        scene, or None for scenes that lack the source or have no GT.
+        """
+        import jax.numpy as jnp
+
+        from cama_tpu.pipeline import MultiScenePipeline
+
+        msp = (pipelines if isinstance(pipelines, MultiScenePipeline)
+               else MultiScenePipeline(pipelines, source=source))
+        members, fms, Fs, (ptsj, clsj, validj), (A, B, fv), _k, _2b = \
+            msp._source_state(source)
+        pipes = [msp.pipelines[i] for i in members]
+        h, w = pipes[0].scene.output_size
+        lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
+        S = len(pipes)
+        K = msp.chunk
+        P = ptsj.shape[1]
+        inst_pad = [np.pad(np.asarray(p.scene.flat[source].inst),
+                           (0, P - len(p.scene.flat[source].inst)))
+                    for p in pipes] if instances else None
+
+        sums = [dict() for _ in range(S)]
+        counts = [0] * S
+        sinks = [{"mi": [], "gi": []} for _ in range(S)]
+        visible = [set() for _ in range(S)]
+        pending = []  # (rows_dev dict, votes_dev|None, keep_dev, slots)
+
+        def drain():
+            if not pending:
+                return
+            for rows, votes, keep_p, slots in jax.device_get(pending):
+                keep_np = (None if keep_p is None else
+                           np.unpackbits(keep_p, axis=-1)[..., :P].astype(bool))
+                for r, (mi_s, kk) in enumerate(slots):
+                    for k2, v in rows.items():
+                        sums[mi_s][k2] = sums[mi_s].get(k2, 0.0) + float(v[r])
+                    counts[mi_s] += 1
+                    if votes is not None:
+                        k_row = keep_np[r]
+                        m = inst_pad[mi_s]
+                        sinks[mi_s]["mi"].append(np.broadcast_to(
+                            m[None, :], k_row.shape)[k_row].astype(np.int64))
+                        sinks[mi_s]["gi"].append(
+                            votes[r][k_row].astype(np.int64))
+            pending.clear()
+
+        for s in range(0, fv.shape[1], K):
+            sl = slice(s, s + K)
+            vu, keep = _project_scenes(
+                ptsj, validj, jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]),
+                jnp.asarray(fv[:, sl]), w, h, lo, hi)
+            # rows with complete GT, across all scenes of this chunk
+            gt_rows, slots = [], []
+            for mi_s, (fm, F) in enumerate(zip(fms, Fs)):
+                for kk in range(min(K, fv.shape[1] - s)):
+                    fidx = s + kk
+                    if fidx >= F or not fm.frame_valid[fidx]:
+                        continue
+                    ids = self._load_all_cameras(
+                        pipes[mi_s], int(fm.frame_indices[fidx]))
+                    if ids is None:
+                        continue
+                    gt_rows.append(np.asarray(ids, np.uint16))
+                    slots.append((mi_s, kk))
+            if not gt_rows:
+                continue
+            # pad the row batch to a fixed multiple for compile reuse
+            pad = (-len(gt_rows)) % K
+            ids_b = np.stack(gt_rows + [np.zeros_like(gt_rows[0])] * pad)
+            sel = np.asarray([mi_s * vu.shape[1] + kk for mi_s, kk in slots]
+                             + [0] * pad, np.int32)
+            vu_f = vu.reshape((-1,) + vu.shape[2:])[sel]
+            keep_f = keep.reshape((-1,) + keep.shape[2:])[sel]
+            rows = frame_metrics_rows_packed(
+                jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_f, keep_f,
+                w, self.max_radius, self.tolerance, self.distance)
+            votes = keep_p = None
+            if instances:
+                votes = instance_votes_chunk(
+                    device_ids(ids_b), vu_f, keep_f, self.tolerance,
+                    assignment)
+                # keep crosses the link bitpacked (8x fewer bytes); skipped
+                # entirely when only the scalar partials are needed
+                keep_p = jnp.packbits(keep_f, axis=-1)
+                for (mi_s, _kk), ids in zip(slots, gt_rows):
+                    visible[mi_s].update(np.unique(ids[ids > 0]).tolist())
+            pending.append((rows, votes, keep_p, slots))
+            if len(pending) >= self.MAX_PENDING_CHUNKS:
+                drain()
+        drain()
+
+        results = [None] * len(msp.pipelines)
+        for mi_s, gi in enumerate(members):
+            if counts[mi_s] == 0:
+                continue
+            out = reduce_metrics([sums[mi_s]])
+            if instances:
+                assoc = self._associate(sinks[mi_s], visible[mi_s])
+                out.update(assoc if assoc is not None
+                           else self._EMPTY_ASSOCIATION)
+            out["frames_evaluated"] = counts[mi_s]
+            results[gi] = out
+        return results
 
 
 def main(argv=None):

@@ -59,10 +59,12 @@ def _pose_metrics(clip_path, configs):
 
 
 def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
-                  instances=True, max_frames=None):
+                  instances=True, max_frames=None, precomputed=None):
     """All QA evidence for one compiled scene, as a plain dict.
     max_frames: evaluate/thumbnail only the first N valid frames (quick-look
-    reports on long clips)."""
+    reports on long clips).
+    precomputed: optional {source: metric dict} from a fleet-batched
+    evaluation (evaluate_scene_batch) — used instead of re-evaluating."""
     import numpy as np
 
     from cama_tpu.eval.map_metrics import MapEvaluator
@@ -94,9 +96,12 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
                      scene.flat[source].inst[scene.flat[source].valid])))}
         ev = MapEvaluator(tolerance=tolerance)
         try:
-            metrics = (ev.evaluate_scene_all(pipe, source, frames=frames)
-                       if instances
-                       else ev.evaluate_scene(pipe, source, frames=frames))
+            if precomputed and source in precomputed:
+                metrics = precomputed[source]
+            else:
+                metrics = (ev.evaluate_scene_all(pipe, source, frames=frames)
+                           if instances
+                           else ev.evaluate_scene(pipe, source, frames=frames))
             if metrics.get("frames_evaluated"):
                 entry["map_metrics"] = metrics
             else:
@@ -118,9 +123,13 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
                                    "jpeg_b64": b64})
             out["thumbs"] = thumbs
         out["sources"][source] = entry
-    pose = _pose_metrics(scene.clip_path, pipe.configs)
-    if pose is not None:
-        out["pose_metrics"] = pose
+    try:
+        pose = _pose_metrics(scene.clip_path, pipe.configs)
+        if pose is not None:
+            out["pose_metrics"] = pose
+    except Exception as e:  # optional evidence: e.g. trajectories that fail
+        # timestamp association must not fail the whole scene's report
+        out["pose_metrics_note"] = f"unavailable: {e!r}"
     return out
 
 
@@ -178,6 +187,9 @@ def render_html(summaries, title="cama_tpu QA report"):
             parts.append("<h4>pose metrics (SfM chain vs ego odometry, "
                          "7dof-aligned)</h4>")
             parts.append(_metrics_table(s["pose_metrics"]))
+        elif s.get("pose_metrics_note"):
+            parts.append(f"<p class='note'>pose metrics: "
+                         f"{html.escape(s['pose_metrics_note'])}</p>")
         for t in s.get("thumbs", ()):
             parts.append(
                 f"<p class='meta'>{html.escape(t['source'])} overlay, frame "
@@ -185,6 +197,42 @@ def render_html(summaries, title="cama_tpu QA report"):
                 f"<img src='data:image/jpeg;base64,{t['jpeg_b64']}'/>")
     parts.append("</body></html>")
     return "".join(parts)
+
+
+def _batch_metrics(pipes, args):
+    """Fleet-batched map metrics for report scenes sharing an output size:
+    one device dispatch wave per chunk for the whole group instead of
+    per-scene evaluation (MapEvaluator.evaluate_scene_batch).  Quick-look
+    runs (--max-frames) evaluate per scene instead — the batch path covers
+    whole scenes.  Failures fall back silently to per-scene evaluation.
+    Returns {scene_name: {source: metric dict}}."""
+    if args.max_frames is not None:
+        return {}
+    real = [(n, p) for n, p in pipes.items() if not isinstance(p, dict)]
+    groups = {}
+    for n, p in real:
+        groups.setdefault(tuple(p.scene.output_size), []).append((n, p))
+    from cama_tpu.eval.map_metrics import MapEvaluator
+
+    out = {}
+    ev = MapEvaluator(tolerance=args.tolerance)
+    for group in groups.values():
+        if len(group) < 2:
+            continue
+        names = [n for n, _ in group]
+        members = [p for _, p in group]
+        sources = ([args.source] if args.source
+                   else sorted({s for p in members for s in p.scene.flat}))
+        for source in sources:
+            try:
+                res = ev.evaluate_scene_batch(
+                    members, source, instances=not args.no_instances)
+            except Exception:  # batch path is an optimization, never fatal
+                continue
+            for name, r in zip(names, res):
+                if r is not None and r.get("frames_evaluated"):
+                    out.setdefault(name, {})[source] = r
+    return out
 
 
 def main(argv=None):
@@ -217,20 +265,31 @@ def main(argv=None):
                                         "report.html")
     summaries = []
     failures = 0
+    pipes = {}  # scene_name -> ClipPipeline (or an error marker dict)
     for scene_name in configs["scene_names"]:
         clip = os.path.join(configs["converted_dataroot"], scene_name)
         if not os.path.exists(os.path.join(clip, "attribute.json")):
-            summaries.append({"scene": scene_name,
-                              "error": "clip not converted"})
+            pipes[scene_name] = {"error": "clip not converted"}
+            continue
+        try:
+            pipes[scene_name] = ClipPipeline(configs.get("cama_configs"), clip)
+        except Exception as e:
+            pipes[scene_name] = {"error": repr(e)}
+
+    precomputed = _batch_metrics(pipes, args)
+
+    for scene_name, pipe in pipes.items():
+        if isinstance(pipe, dict):
+            summaries.append({"scene": scene_name, **pipe})
             failures += 1
             continue
         try:
-            pipe = ClipPipeline(configs.get("cama_configs"), clip)
             summaries.append(scene_summary(
                 pipe, sources=[args.source] if args.source else None,
                 thumbnails=args.thumbnails, tolerance=args.tolerance,
                 instances=not args.no_instances,
-                max_frames=args.max_frames))
+                max_frames=args.max_frames,
+                precomputed=precomputed.get(scene_name)))
         except Exception as e:
             import traceback
 

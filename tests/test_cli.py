@@ -158,3 +158,39 @@ def test_report_cli(workspace, tmp_path, capsys):
     assert "pose metrics" in body
     assert body.count("data:image/jpeg;base64,") == 2
     assert "<script" not in body  # self-contained, no external/active assets
+
+
+def test_report_uses_batched_fleet_eval(tmp_path, capsys, monkeypatch):
+    """With >=2 same-size scenes, the report's map metrics come from the
+    fleet-batched evaluator — proven by making the per-scene paths raise."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.report import main as report_main
+
+    for i in range(2):
+        clip = make_fixture_clip(tmp_path / "converted",
+                                 scene_name=f"scene-b{i}", n_frames=4,
+                                 with_images=True, seed=i)
+        add_instance_masks(clip)
+    cfg = {
+        "version": "v", "dataroot": str(tmp_path / "raw"),
+        "converted_dataroot": str(tmp_path / "converted"),
+        "scene_names": ["scene-b0", "scene-b1"],
+        "cama_label_file": str(tmp_path / "missing.zip"),
+        "output_video_dir": str(tmp_path / "videos"),
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    def boom(*a, **k):
+        raise AssertionError("per-scene evaluation path used")
+
+    monkeypatch.setattr(MapEvaluator, "evaluate_scene_all", boom)
+    monkeypatch.setattr(MapEvaluator, "evaluate_scene", boom)
+    out = tmp_path / "report.html"
+    rc = report_main(["-c", str(cfg_path), "-o", str(out), "--thumbnails", "0"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["failures"] == 0 and line["scenes"] == 2
+    body = out.read_text()
+    assert body.count("map quality") >= 4  # both scenes x both sources
+    assert "instance_precision" in body

@@ -461,3 +461,29 @@ def test_squared_edt_within_capped_equals_full():
         np.testing.assert_allclose(
             np.minimum(np.sqrt(bounded), R), np.minimum(np.sqrt(full), R),
             atol=1e-4)
+
+
+def test_evaluate_scene_batch_matches_per_scene(tmp_path):
+    """Fleet-batched evaluation == per-scene evaluation, scene by scene
+    (binary metrics AND instance association), including a scene without
+    GT masks (None slot) and differing frame counts."""
+    pipes = []
+    for i, nf in enumerate((4, 6, 5)):
+        clip = make_fixture_clip(tmp_path, scene_name=f"batch-{i}",
+                                 n_frames=nf, with_images=False,
+                                 with_lidar=False, seed=i)
+        if i != 2:  # scene 2 ships no GT: expect a None result slot
+            add_instance_masks(clip)
+        pipes.append(ClipPipeline(clip_path=str(clip), chunk=2))
+    ev = MapEvaluator(tolerance=3, max_radius=8)
+    batch = ev.evaluate_scene_batch(pipes, "cama", instances=True)
+    assert batch[2] is None
+    for i in (0, 1):
+        single = ev.evaluate_scene_all(pipes[i], "cama")
+        got = batch[i]
+        assert got["frames_evaluated"] == single["frames_evaluated"] > 0
+        for k in ("SRE", "precision", "recall", "f1", "n_points",
+                  "gt_pixels", "instance_precision", "instance_recall",
+                  "mean_purity", "n_map_instances", "n_gt_instances"):
+            np.testing.assert_allclose(got[k], single[k], rtol=1e-6,
+                                       err_msg=f"scene {i}: {k}")
