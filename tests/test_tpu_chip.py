@@ -73,6 +73,25 @@ def _compute_all():
                                     jnp.asarray(B[0]), W, H)
     out["pallas_vu"] = np.asarray(vu)
     out["pallas_keep"] = np.asarray(keep)
+
+    # chunk-batched map-metric programs (the evaluation hot path)
+    from cama_tpu.eval.map_metrics import (
+        device_ids, frame_metrics_chunk_packed, instance_votes_chunk)
+
+    rng = np.random.default_rng(77)
+    gt = (rng.random((F, C, H, W)) > 0.97).astype(np.uint16) * rng.integers(
+        1, 9, (F, C, H, W), dtype=np.uint16)
+    vuM = np.stack([rng.uniform(-4, H + 4, (F, C, P)),
+                    rng.uniform(-4, W + 4, (F, C, P))], -1).astype(np.float32)
+    keepM = rng.random((F, C, P)) > 0.1
+    margs = (jnp.asarray(np.packbits(gt > 0, axis=-1)), jnp.asarray(vuM),
+             jnp.asarray(keepM), jnp.asarray(np.ones(F, np.float32)), W, 10, 3)
+    pc = frame_metrics_chunk_packed(*margs)
+    out["metric_cheb"] = np.asarray([float(pc[k]) for k in sorted(pc)])
+    pe = frame_metrics_chunk_packed(*margs, "euclidean")
+    out["metric_eucl"] = np.asarray([float(pe[k]) for k in sorted(pe)])
+    out["votes"] = np.asarray(instance_votes_chunk(
+        device_ids(gt), jnp.asarray(vuM), jnp.asarray(keepM), 3, "nearest"))
     return out
 
 
@@ -131,3 +150,20 @@ def test_pallas_projection_on_chip(chip_outputs, cpu_golden):
     kept = cpu_golden["pallas_keep"]
     d = np.abs(chip_outputs["pallas_vu"] - cpu_golden["pallas_vu"])[kept]
     assert d.max(initial=0) < 1e-3  # MXU HIGHEST rounding vs CPU dot
+
+
+def test_map_metrics_on_chip(chip_outputs, cpu_golden):
+    # Chebyshev partials are sums of integer-valued float32 (< 2^24) — exact
+    # in any reduction order, so bit-equal across backends
+    np.testing.assert_array_equal(
+        chip_outputs["metric_cheb"], cpu_golden["metric_cheb"]
+    )
+    # Euclidean SRE sums sqrt() values; reduction order may differ on chip
+    np.testing.assert_allclose(
+        chip_outputs["metric_eucl"], cpu_golden["metric_eucl"], rtol=1e-5
+    )
+
+
+def test_instance_votes_on_chip(chip_outputs, cpu_golden):
+    # integer feature-transform ids: exact, including tie-breaks
+    np.testing.assert_array_equal(chip_outputs["votes"], cpu_golden["votes"])
