@@ -51,6 +51,23 @@ def _extract_all_labels(zip_filepath, scene_names, dest_dir):
                     os.makedirs(os.path.join(dest_dir, member), exist_ok=True)
 
 
+def _isolated(label, failures, fn, *args, **kwargs):
+    """Run one batch item under the driver's isolation contract: an
+    exception prints its traceback and records (label, repr(e)) in
+    `failures` — the batch keeps going, the exit code still reports it.
+    `label` may be a list to charge one failure per member (batched
+    groups).  Returns fn's result, or None on failure."""
+    try:
+        return fn(*args, **kwargs)
+    except Exception as e:
+        import traceback
+
+        traceback.print_exc()
+        for lb in (label if isinstance(label, list) else [label]):
+            failures.append((lb, repr(e)))
+        return None
+
+
 def run(configs):
     output_dir = configs["converted_dataroot"]
     os.makedirs(output_dir, exist_ok=True)
@@ -66,28 +83,18 @@ def run(configs):
     failures = []
     prepared = []  # (scene_name, pipeline, {source: video_path})
     for scene_name in configs["scene_names"]:
-        try:
-            prepared.append(
-                _prepare_scene(configs, scene_name, output_dir,
-                               output_video_dir, state))
-        except Exception as e:  # keep going: one bad scene must not kill the batch
-            import traceback
-
-            traceback.print_exc()
-            failures.append((scene_name, repr(e)))
+        item = _isolated(scene_name, failures, _prepare_scene, configs,
+                         scene_name, output_dir, output_video_dir, state)
+        if item is not None:
+            prepared.append(item)
 
     to_write = [item for item in prepared if item[2]]
     if configs.get("batch_scenes", True) and len(to_write) > 1:
         failures += _write_batched(configs, to_write)
     else:
         for scene_name, pipe, paths in to_write:
-            try:
-                _write_scene_videos(configs, scene_name, pipe, paths)
-            except Exception as e:
-                import traceback
-
-                traceback.print_exc()
-                failures.append((scene_name, repr(e)))
+            _isolated(scene_name, failures, _write_scene_videos,
+                      configs, scene_name, pipe, paths)
 
     if configs.get("sites"):
         failures += _run_sites(configs, prepared, output_dir, output_video_dir)
@@ -152,18 +159,14 @@ def _write_batched(configs, items):
     for size, group in groups.items():
         if len(group) == 1:
             scene_name, pipe, paths = group[0]
-            try:
-                _write_scene_videos(configs, scene_name, pipe, paths)
-            except Exception as e:
-                import traceback
-
-                traceback.print_exc()
-                failures.append((scene_name, repr(e)))
+            _isolated(scene_name, failures, _write_scene_videos,
+                      configs, scene_name, pipe, paths)
             continue
         names = [g[0] for g in group]
         print(f"Batching {len(group)} scenes at {size[1]}x{size[0]} through "
               f"one device program per chunk: {', '.join(names)}")
-        try:
+
+        def write_group(group=group):
             msp = MultiScenePipeline([g[1] for g in group],
                                      chunk=group[0][1].chunk)
             t0 = time.perf_counter()
@@ -177,11 +180,8 @@ def _write_batched(configs, items):
                 total += sum(cnt.values())
             print(f"  {total} video-frames in {dt:.1f}s "
                   f"({total / max(dt, 1e-9):.1f} fps, scene-batched)")
-        except Exception as e:
-            import traceback
 
-            traceback.print_exc()
-            failures.extend((name, repr(e)) for name in names)
+        _isolated(names, failures, write_group)
     return failures
 
 
@@ -190,19 +190,15 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
     shaped CLI (release notes, /root/reference/README.md:22-24): each entry
     merges member scenes' maps into one site (optionally bundle-refined) and
     writes a site-merged overlay video per member clip."""
+    from cama_tpu.config import normalize_site_entry
+
     failures = []
     by_name = {name: pipe for name, pipe, _ in prepared}
     seen_names = set()
     for i, site_cfg in enumerate(configs["sites"]):
-        default_name = "site" if len(configs["sites"]) == 1 else f"site{i}"
-        if isinstance(site_cfg, dict):
-            name = site_cfg.get("name", default_name)
-            members = site_cfg.get("scenes", [])
-            refine = bool(site_cfg.get("refine", False))
-        elif isinstance(site_cfg, str):  # single scene name, not char-split
-            members, name, refine = [site_cfg], default_name, False
-        else:  # plain list of scene names
-            members, name, refine = list(site_cfg), default_name, False
+        # the single shared interpreter of sites[] entry shapes (config.py)
+        entry = normalize_site_entry(site_cfg, i, len(configs["sites"]))
+        name, members, refine = entry["name"], entry["scenes"], entry["refine"]
         if name in seen_names:
             failures.append((f"site:{name}",
                              f"duplicate site name {name!r}: outputs "
@@ -211,7 +207,8 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
                              f"unique 'name'"))
             continue
         seen_names.add(name)
-        try:
+
+        def run_site(name=name, members=members, refine=refine):
             from cama_tpu.aggregate.site import Site
 
             missing = [m for m in members if m not in by_name]
@@ -237,11 +234,8 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
                 n += frames
             dt = time.perf_counter() - t0
             print(f"  {n} site video-frames in {dt:.1f}s")
-        except Exception as e:
-            import traceback
 
-            traceback.print_exc()
-            failures.append((f"site:{name}", repr(e)))
+        _isolated(f"site:{name}", failures, run_site)
     return failures
 
 

@@ -60,11 +60,9 @@ def validate_config(configs):
             f"unknown cama_configs keys: {sorted(unknown)} "
             f"(accepted: {sorted(DEFAULT_CAMA_CONFIGS)})"
         )
-    for i, site in enumerate(configs.get("sites") or []):
-        if isinstance(site, str):  # single scene name
-            members = [site]
-        else:
-            members = site.get("scenes") if isinstance(site, dict) else site
+    sites = configs.get("sites") or []
+    for i, site in enumerate(sites):
+        members = normalize_site_entry(site, i, len(sites))["scenes"]
         if not isinstance(members, list) or not members:
             raise ConfigError(
                 f"sites[{i}] must be a scene name, a non-empty scene-name "
@@ -78,6 +76,26 @@ def validate_config(configs):
     merged["cama_configs"] = {**DEFAULT_CAMA_CONFIGS, **cama}
     merged.setdefault("map_classes", ["lane_marking", "Road_teeth", "Crosswalk_Line"])
     return merged
+
+
+def normalize_site_entry(site_cfg, index, n_sites):
+    """Canonical {'name', 'scenes', 'refine'} view of one sites[] entry —
+    the SINGLE interpreter of the three accepted shapes (scene-name string,
+    scene-name list, mapping), shared by validate_config and the CLI driver
+    so the two cannot drift.  'scenes' is None for uninterpretable entries
+    (the validator rejects those with a ConfigError)."""
+    default_name = "site" if n_sites == 1 else f"site{index}"
+    if isinstance(site_cfg, dict):
+        return {"name": site_cfg.get("name", default_name),
+                "scenes": site_cfg.get("scenes", []),
+                "refine": bool(site_cfg.get("refine", False))}
+    if isinstance(site_cfg, str):  # single scene name, not char-split
+        return {"name": default_name, "scenes": [site_cfg], "refine": False}
+    try:
+        scenes = list(site_cfg)
+    except TypeError:
+        scenes = None
+    return {"name": default_name, "scenes": scenes, "refine": False}
 
 
 def load_config(path):

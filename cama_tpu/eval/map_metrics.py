@@ -243,7 +243,9 @@ def device_ids(ids_b):
     powers of two so the scatter compiles once per bucket, not per frame."""
     ids_b = np.ascontiguousarray(ids_b)
     if ids_b.dtype != np.uint16:
-        assert ids_b.max(initial=0) < 65536, "instance ids exceed uint16"
+        if ids_b.max(initial=0) >= 65536:  # not an assert: -O must not let
+            # out-of-range ids wrap into other instances' votes silently
+            raise ValueError("instance ids exceed uint16")
         ids_b = ids_b.astype(np.uint16)
     flat = np.flatnonzero(ids_b)
     # compare what each path actually moves: the COO budget is padded to a

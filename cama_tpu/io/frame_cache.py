@@ -205,7 +205,10 @@ class FrameCache:
         try:
             self._data[frame_idx, cam_idx] = image
             self._valid[frame_idx, cam_idx] = 1
-        except (OSError, ValueError):  # e.g. disk full mid-write
+        except Exception:  # disk full, caller shape/index bug, ...: latch
+            # read-only.  Anything escaping here would kill the writer
+            # thread, after which flush()/the atexit drain deadlock in
+            # Queue.join() — a broken cache must degrade, never hang.
             self.writable = False
 
     def _writer_loop(self):

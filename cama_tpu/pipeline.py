@@ -671,12 +671,18 @@ class ClipPipeline:
         return self._gtcache
 
     def _gt_stat_key(self):
-        """Identity of the on-disk lane_ins PNG population (size + mtime per
-        synced frame).  GT masks can be regenerated while calibration stays
-        identical — e.g. a re-labeled clip, or a clip directory copied then
-        re-masked — and a calibration-only key would serve the stale masks.
-        Stat of ~frames x cameras files is microseconds; resolved once per
-        pipeline (PNGs swapped mid-lifetime are not re-checked)."""
+        """Content identity of the on-disk lane_ins PNG population (size +
+        head-bytes hash per synced frame).  GT masks can be regenerated
+        while calibration stays identical — e.g. a re-labeled clip, or a
+        clip directory copied then re-masked — and a calibration-only key
+        would serve the stale masks.  mtimes are deliberately NOT used: the
+        CLI re-extracts the label zip every run, refreshing mtimes of
+        identical bytes (same reasoning as io/scene._file_sig), which would
+        rebuild the store on every CLI-then-eval cycle.  Compressed PNG
+        data diverges within the first bytes for any mask change, so an
+        8 KiB head hash + exact size identifies each file at ~microseconds
+        per file; resolved once per pipeline (PNGs swapped mid-lifetime are
+        not re-checked)."""
         import hashlib
 
         scene = self.scene
@@ -684,9 +690,14 @@ class ClipPipeline:
         for cam in scene.camera_list:
             d = os.path.join(scene.clip_path, f"lane_ins_{cam}")
             for ms in scene.sync_ms[cam]:
+                path = os.path.join(d, f"{ms}.png")
                 try:
-                    st = os.stat(os.path.join(d, f"{ms}.png"))
-                    h.update(f"{cam}:{ms}:{st.st_size}:{st.st_mtime_ns};".encode())
+                    st = os.stat(path)
+                    with open(path, "rb") as f:
+                        head = f.read(8192)
+                    h.update(f"{cam}:{ms}:{st.st_size}:".encode())
+                    h.update(hashlib.sha256(head).digest())
+                    h.update(b";")
                 except OSError:
                     h.update(f"{cam}:{ms}:absent;".encode())
         return h.hexdigest()

@@ -32,6 +32,9 @@ def warmup_pipeline(pipe, sources=None):
     native.available()  # builds the host compositor .so if needed
     out = {}
     for source in (sources or pipe.scene.sources):
+        if source not in pipe.scene.flat:  # same skip the CLI/report apply:
+            out[source] = {"skipped": "no labels for source"}
+            continue
         t0 = time.perf_counter()
         mode, k = pipe.overlay_mode(source)  # compiles the counting kernel
         if mode == "raster":
@@ -58,7 +61,11 @@ def warmup_map_eval(pipe, sources=None):
     from cama_tpu.eval.map_metrics import MapEvaluator
 
     ev = MapEvaluator()
-    source = (sources or pipe.scene.sources)[0]
+    usable = [s for s in (sources or pipe.scene.sources)
+              if s in pipe.scene.flat]
+    if not usable:
+        return None
+    source = usable[0]
     fm = pipe.frame_matrices(source)
     import numpy as np
 
@@ -108,16 +115,24 @@ def main(argv=None):
         if not os.path.exists(os.path.join(clip, "attribute.json")):
             report["scenes"][name] = {"skipped": "clip not converted"}
             continue
-        t0 = time.perf_counter()
-        pipe = ClipPipeline(configs.get("cama_configs"), clip)
-        compile_s = time.perf_counter() - t0
-        sources = [args.source] if args.source else None
-        entry = {"scene_compile_seconds": round(compile_s, 2),
-                 "scene_cache_hit": pipe.scene.from_cache,
-                 "kernels": warmup_pipeline(pipe, sources)}
+        try:  # per-scene isolation, same as the CLI driver: one broken
+            # clip must not abort warming the rest
+            t0 = time.perf_counter()
+            pipe = ClipPipeline(configs.get("cama_configs"), clip)
+            compile_s = time.perf_counter() - t0
+            sources = [args.source] if args.source else None
+            entry = {"scene_compile_seconds": round(compile_s, 2),
+                     "scene_cache_hit": pipe.scene.from_cache,
+                     "kernels": warmup_pipeline(pipe, sources)}
+        except Exception as e:
+            report["scenes"][name] = {"error": repr(e)}
+            continue
         report["scenes"][name] = entry
         if first_pipe is None:
-            first_pipe = (pipe, (sources or pipe.scene.sources)[0])
+            usable = [s for s in (sources or pipe.scene.sources)
+                      if s in pipe.scene.flat]
+            if usable:
+                first_pipe = (pipe, usable[0])
 
     if first_pipe is not None:
         pipe, source = first_pipe

@@ -193,6 +193,16 @@ def test_gt_mask_cache_serves_and_invalidates(tmp_path):
     assert pipe2.gt_mask_cache().get(1, 0) is not None, "expected a cache hit"
     np.testing.assert_array_equal(np.asarray(warm), np.asarray(cold))
 
+    # mtime-only refresh (the CLI re-extracts the label zip every run,
+    # rewriting identical bytes): the content-keyed store must STAY warm
+    for root, _dirs, files in os.walk(str(clip)):
+        if "lane_ins" in os.path.basename(root):
+            for f in files:
+                os.utime(os.path.join(root, f))
+    pipe_m = ClipPipeline(clip_path=str(clip), chunk=2)
+    assert pipe_m.gt_mask_cache().get(1, 0) is not None, \
+        "identical-bytes mtime refresh must not rebuild the GT store"
+
     time.sleep(0.01)  # ensure a distinct mtime_ns even on coarse clocks
     add_instance_masks(clip, shift_px=9.0)  # regenerate, same calibration
     pipe3 = ClipPipeline(clip_path=str(clip), chunk=2)
