@@ -133,6 +133,40 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
     return out
 
 
+def site_summary(configs, pipes_by_name, entry):
+    """QA evidence for one `sites:` config entry: member count, merged-map
+    element counts per class, duplicates removed by cross-clip dedupe, and
+    the joint-refinement chamfer residual when the entry asks for it.
+    Mirrors Site.from_clips step by step so the intermediate numbers (which
+    from_clips hides) land in the report."""
+    from cama_tpu.aggregate.site import Site
+
+    name, members, refine = entry["name"], entry["scenes"], entry["refine"]
+    out = {"site": name, "members": members, "refined": bool(refine)}
+    missing = [m for m in members
+               if m not in pipes_by_name
+               or "cama" not in pipes_by_name[m].scene.flat]
+    if missing:
+        out["note"] = f"members unavailable (not converted / no cama labels): {missing}"
+        return out
+    site = Site(name=name, configs=pipes_by_name[members[0]].configs)
+    for m in members:
+        pipe = pipes_by_name[m]
+        site.add_clip(pipe.scene.clip_path, pipe.scene)
+    out["instances_raw"] = len(site.instances)
+    if refine:
+        before, after = site.refine_alignment()
+        out["refine_chamfer_before_m"] = round(float(before), 4)
+        out["refine_chamfer_after_m"] = round(float(after), 4)
+    out["duplicates_removed"] = site.dedupe()
+    out["instances_merged"] = len(site.instances)
+    classes = {}
+    for cls_name, _pts, _ci in site.instances:
+        classes[cls_name] = classes.get(cls_name, 0) + 1
+    out["classes"] = classes
+    return out
+
+
 def _fmt(v):
     if isinstance(v, float):
         return f"{v:.4g}"
@@ -146,7 +180,7 @@ def _metrics_table(d):
     return f"<table>{rows}</table>"
 
 
-def render_html(summaries, title="cama_tpu QA report"):
+def render_html(summaries, title="cama_tpu QA report", sites=None):
     """Self-contained HTML (inline CSS, base64 images, no external assets)."""
     css = ("body{font-family:sans-serif;margin:2em;max-width:1000px}"
            "table{border-collapse:collapse;margin:0.5em 0}"
@@ -195,6 +229,21 @@ def render_html(summaries, title="cama_tpu QA report"):
                 f"<p class='meta'>{html.escape(t['source'])} overlay, frame "
                 f"{t['image_idx']}</p>"
                 f"<img src='data:image/jpeg;base64,{t['jpeg_b64']}'/>")
+    for s in sites or ():
+        parts.append(f"<h2>site: {html.escape(s['site'])}</h2>")
+        parts.append(f"<p class='meta'>members: "
+                     f"{html.escape(', '.join(s['members']))}</p>")
+        if s.get("error"):
+            parts.append(f"<p class='note'>FAILED: {html.escape(s['error'])}</p>")
+            continue
+        if s.get("note"):
+            parts.append(f"<p class='note'>{html.escape(s['note'])}</p>")
+            continue
+        head = {k: v for k, v in s.items()
+                if k not in ("site", "members", "classes")}
+        parts.append(_metrics_table(head))
+        parts.append("<h4>merged map elements per class</h4>")
+        parts.append(_metrics_table(s.get("classes", {})))
     parts.append("</body></html>")
     return "".join(parts)
 
@@ -296,11 +345,29 @@ def main(argv=None):
             traceback.print_exc()
             summaries.append({"scene": scene_name, "error": repr(e)})
             failures += 1
+    site_summaries = []
+    if configs.get("sites"):
+        from cama_tpu.config import normalize_site_entry
+
+        real = {n: p for n, p in pipes.items() if not isinstance(p, dict)}
+        for i, site_cfg in enumerate(configs["sites"]):
+            entry = normalize_site_entry(site_cfg, i, len(configs["sites"]))
+            try:
+                site_summaries.append(site_summary(configs, real, entry))
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                site_summaries.append({"site": entry["name"],
+                                       "members": entry["scenes"] or [],
+                                       "error": repr(e)})
+                failures += 1
+
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     with open(out_path, "w") as f:
-        f.write(render_html(summaries))
+        f.write(render_html(summaries, sites=site_summaries))
     print(json.dumps({"report": out_path, "scenes": len(summaries),
-                      "failures": failures}))
+                      "sites": len(site_summaries), "failures": failures}))
     return 1 if failures else 0
 
 

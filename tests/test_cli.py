@@ -194,3 +194,35 @@ def test_report_uses_batched_fleet_eval(tmp_path, capsys, monkeypatch):
     body = out.read_text()
     assert body.count("map quality") >= 4  # both scenes x both sources
     assert "instance_precision" in body
+
+
+def test_report_sites_section(tmp_path, capsys):
+    """A `sites:` config block adds a site section to the QA report: member
+    list, merged element counts, duplicates removed."""
+    from cama_tpu.report import main as report_main
+
+    for i in range(2):
+        clip = make_fixture_clip(tmp_path / "converted",
+                                 scene_name=f"scene-s{i}", n_frames=4,
+                                 with_images=True, seed=0)  # same world:
+        add_instance_masks(clip)                            # dedupe overlaps
+    cfg = {
+        "version": "v", "dataroot": str(tmp_path / "raw"),
+        "converted_dataroot": str(tmp_path / "converted"),
+        "scene_names": ["scene-s0", "scene-s1"],
+        "cama_label_file": str(tmp_path / "missing.zip"),
+        "output_video_dir": str(tmp_path / "videos"),
+        "sites": [{"name": "overlap", "scenes": ["scene-s0", "scene-s1"]}],
+    }
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    out = tmp_path / "report.html"
+    rc = report_main(["-c", str(cfg_path), "-o", str(out),
+                      "--thumbnails", "0", "--max-frames", "2"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["sites"] == 1 and line["failures"] == 0
+    body = out.read_text()
+    assert "site: overlap" in body
+    assert "duplicates_removed" in body and "instances_merged" in body
+    assert "merged map elements per class" in body
