@@ -487,3 +487,49 @@ def test_evaluate_scene_batch_matches_per_scene(tmp_path):
                   "mean_purity", "n_map_instances", "n_gt_instances"):
             np.testing.assert_allclose(got[k], single[k], rtol=1e-6,
                                        err_msg=f"scene {i}: {k}")
+
+
+@pytest.mark.parametrize("trial", range(3))
+def test_eval_fuzz_random_gt_patterns(tmp_path, trial):
+    """Chunked evaluation under randomized conditions — chunk size, frames
+    with missing GT PNGs (some cameras, some frames), quick-look subsets —
+    always equals the trusted per-frame reference loop."""
+    rng = np.random.default_rng(100 + trial)
+    nf = int(rng.integers(4, 8))
+    clip = make_fixture_clip(tmp_path, scene_name=f"fuzz-{trial}",
+                             n_frames=nf, with_images=False,
+                             with_lidar=False, seed=trial)
+    add_instance_masks(clip)
+    # knock out GT randomly: whole frames and single cameras
+    import glob
+    import os
+
+    pngs = sorted(glob.glob(os.path.join(str(clip), "lane_ins_*", "*.png")))
+    for p in rng.choice(pngs, size=max(1, len(pngs) // 5), replace=False):
+        os.remove(p)
+    chunk = int(rng.integers(1, 5))
+    pipe = ClipPipeline(clip_path=str(clip), chunk=chunk)
+    ev = MapEvaluator(tolerance=int(rng.integers(2, 5)),
+                      max_radius=int(rng.integers(6, 12)))
+    frames = None
+    if rng.random() < 0.5:  # quick-look subset
+        fm = pipe.frame_matrices("cama")
+        valid = [int(i) for i in np.asarray(fm.frame_indices)[
+            np.asarray(fm.frame_valid)]]
+        frames = set(rng.choice(valid, size=max(1, len(valid) // 2),
+                                replace=False).tolist())
+    got = ev.evaluate_scene(pipe, "cama", frames=frames)
+
+    partials, n = [], 0
+    for image_idx, vu, keep in ev._iter_frame_projections(pipe, "cama", frames):
+        ids = ev._load_all_cameras(pipe, image_idx)
+        if ids is None:
+            continue
+        p = frame_metrics(jnp.asarray(ids > 0), vu, keep,
+                          ev.max_radius, ev.tolerance)
+        partials.append({k: np.asarray(v) for k, v in p.items()})
+        n += 1
+    want = reduce_metrics(partials)
+    assert got["frames_evaluated"] == n
+    for k, v in want.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-6, err_msg=k)
