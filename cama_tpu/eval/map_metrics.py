@@ -621,9 +621,15 @@ class MapEvaluator:
     """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
 
     def __init__(self, tolerance=5, max_radius=20, distance="chebyshev"):
+        from cama_tpu.profiling import PhaseTimers
+
         self.tolerance = int(tolerance)
         self.max_radius = int(max_radius)
         self.distance = distance
+        # observability (SURVEY.md §5): per-phase wall-clock like the
+        # pipeline's — print evaluator.timers.report() after a run to see
+        # where an evaluation spent its time (GT load vs dispatch vs fetch)
+        self.timers = PhaseTimers()
 
     def instance_loader(self, pipeline, camera, image_idx):
         """Load + nearest-remap a `lane_ins_{camera}` instance-id PNG to the
@@ -765,17 +771,20 @@ class MapEvaluator:
         n_evaluated = 0  # dispatched, so host GT loading overlaps device work
         for idxs, vu_c, keep_c in self._iter_chunk_projections(
                 pipeline, source, frames):
-            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            with self.timers.phase("eval_gt_load"):
+                ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            p = frame_metrics_chunk_packed(
-                jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c, keep_c,
-                jnp.asarray(fv), ids_b.shape[-1],
-                self.max_radius, self.tolerance, self.distance,
-            )
+            with self.timers.phase("eval_dispatch"):
+                p = frame_metrics_chunk_packed(
+                    jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c, keep_c,
+                    jnp.asarray(fv), ids_b.shape[-1],
+                    self.max_radius, self.tolerance, self.distance,
+                )
             partials.append(p)
             n_evaluated += len(evaluated)
-        out = reduce_metrics(jax.device_get(partials))
+        with self.timers.phase("eval_fetch"):
+            out = reduce_metrics(jax.device_get(partials))
         out["frames_evaluated"] = n_evaluated
         return out
 
@@ -785,15 +794,15 @@ class MapEvaluator:
     # MB at production point counts)
     MAX_PENDING_CHUNKS = 4
 
-    @staticmethod
-    def _drain_votes(pipeline, source, pending, sink):
+    def _drain_votes(self, pipeline, source, pending, sink):
         """Fetch the queued chunks' device votes + keep masks in one batched
         device_get, filter per evaluated row, fold into sink['mi'/'gi'].
         pending: list of (votes_dev [K, C, P], keep_dev [K, C, P], evaluated)."""
         if not pending:
             return
         point_inst = np.asarray(pipeline.scene.flat[source].inst)
-        fetched = jax.device_get([(v, k) for v, k, _ in pending])
+        with self.timers.phase("eval_fetch"):
+            fetched = jax.device_get([(v, k) for v, k, _ in pending])
         for (g_at, keep_np), (_, _, evaluated) in zip(fetched, pending):
             for kk, _image_idx in evaluated:
                 k_row = keep_np[kk]
@@ -802,13 +811,12 @@ class MapEvaluator:
                 sink["gi"].append(g_at[kk][k_row].astype(np.int64))
         pending.clear()
 
-    @classmethod
-    def _push_votes(cls, pipeline, source, pending, sink, item):
+    def _push_votes(self, pipeline, source, pending, sink, item):
         """Queue one chunk's device votes, draining when the backlog bound
         is hit (keeps dispatch pipelining without unbounded buffers)."""
         pending.append(item)
-        if len(pending) >= cls.MAX_PENDING_CHUNKS:
-            cls._drain_votes(pipeline, source, pending, sink)
+        if len(pending) >= self.MAX_PENDING_CHUNKS:
+            self._drain_votes(pipeline, source, pending, sink)
 
     @staticmethod
     def _associate(sink, visible):
@@ -836,11 +844,13 @@ class MapEvaluator:
         n_evaluated = 0
         for idxs, vu_c, keep_c in self._iter_chunk_projections(
                 pipeline, source, frames):
-            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            with self.timers.phase("eval_gt_load"):
+                ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            votes = instance_votes_chunk(
-                device_ids(ids_b), vu_c, keep_c, self.tolerance, assignment)
+            with self.timers.phase("eval_dispatch"):
+                votes = instance_votes_chunk(
+                    device_ids(ids_b), vu_c, keep_c, self.tolerance, assignment)
             self._push_votes(pipeline, source, pending, sink,
                              (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
@@ -869,20 +879,23 @@ class MapEvaluator:
         n_evaluated = 0
         for idxs, vu_c, keep_c in self._iter_chunk_projections(
                 pipeline, source, frames):
-            ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
+            with self.timers.phase("eval_gt_load"):
+                ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            p, votes = _metrics_and_votes_chunk(
-                device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
-                self.max_radius, self.tolerance, self.distance, assignment,
-            )
+            with self.timers.phase("eval_dispatch"):
+                p, votes = _metrics_and_votes_chunk(
+                    device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
+                    self.max_radius, self.tolerance, self.distance, assignment,
+                )
             partials.append(p)
             self._push_votes(pipeline, source, pending, sink,
                              (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)
-        out = reduce_metrics(jax.device_get(partials))
+        with self.timers.phase("eval_fetch"):
+            out = reduce_metrics(jax.device_get(partials))
         assoc = self._associate(sink, visible)
         out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
         out["frames_evaluated"] = n_evaluated
@@ -931,7 +944,9 @@ class MapEvaluator:
         def drain():
             if not pending:
                 return
-            for rows, votes, keep_p, slots in jax.device_get(pending):
+            with self.timers.phase("eval_fetch"):
+                fetched = jax.device_get(pending)
+            for rows, votes, keep_p, slots in fetched:
                 keep_np = (None if keep_p is None else
                            np.unpackbits(keep_p, axis=-1)[..., :P].astype(bool))
                 for r, (mi_s, kk) in enumerate(slots):
@@ -954,17 +969,18 @@ class MapEvaluator:
                 jnp.asarray(fv[:, sl]), w, h, lo, hi)
             # rows with complete GT, across all scenes of this chunk
             gt_rows, slots = [], []
-            for mi_s, (fm, F) in enumerate(zip(fms, Fs)):
-                for kk in range(min(K, fv.shape[1] - s)):
-                    fidx = s + kk
-                    if fidx >= F or not fm.frame_valid[fidx]:
-                        continue
-                    ids = self._load_all_cameras(
-                        pipes[mi_s], int(fm.frame_indices[fidx]))
-                    if ids is None:
-                        continue
-                    gt_rows.append(np.asarray(ids, np.uint16))
-                    slots.append((mi_s, kk))
+            with self.timers.phase("eval_gt_load"):
+                for mi_s, (fm, F) in enumerate(zip(fms, Fs)):
+                    for kk in range(min(K, fv.shape[1] - s)):
+                        fidx = s + kk
+                        if fidx >= F or not fm.frame_valid[fidx]:
+                            continue
+                        ids = self._load_all_cameras(
+                            pipes[mi_s], int(fm.frame_indices[fidx]))
+                        if ids is None:
+                            continue
+                        gt_rows.append(np.asarray(ids, np.uint16))
+                        slots.append((mi_s, kk))
             if not gt_rows:
                 continue
             # pad the row batch to a fixed multiple for compile reuse
