@@ -923,8 +923,12 @@ class MapEvaluator:
 
         msp = (pipelines if isinstance(pipelines, MultiScenePipeline)
                else MultiScenePipeline(pipelines, source=source))
-        members, fms, Fs, (ptsj, clsj, validj), (A, B, fv), _k, _2b = \
-            msp._source_state(source)
+        # _stacked, not _source_state: the latter also runs the overlay
+        # COUNTING pass per member (k / 2-bit decisions the metric path
+        # never uses — F/chunk device dispatches per scene wasted)
+        members = msp.members(source)
+        fms, Fs, pts, cls_, valid, A, B, fv = msp._stacked(source)
+        ptsj, validj = jnp.asarray(pts), jnp.asarray(valid)
         pipes = [msp.pipelines[i] for i in members]
         h, w = pipes[0].scene.output_size
         lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
@@ -964,9 +968,10 @@ class MapEvaluator:
 
         for s in range(0, fv.shape[1], K):
             sl = slice(s, s + K)
-            vu, keep = _project_scenes(
-                ptsj, validj, jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]),
-                jnp.asarray(fv[:, sl]), w, h, lo, hi)
+            with self.timers.phase("eval_dispatch"):
+                vu, keep = _project_scenes(
+                    ptsj, validj, jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]),
+                    jnp.asarray(fv[:, sl]), w, h, lo, hi)
             # rows with complete GT, across all scenes of this chunk
             gt_rows, slots = [], []
             with self.timers.phase("eval_gt_load"):
@@ -988,19 +993,21 @@ class MapEvaluator:
             ids_b = np.stack(gt_rows + [np.zeros_like(gt_rows[0])] * pad)
             sel = np.asarray([mi_s * vu.shape[1] + kk for mi_s, kk in slots]
                              + [0] * pad, np.int32)
-            vu_f = vu.reshape((-1,) + vu.shape[2:])[sel]
-            keep_f = keep.reshape((-1,) + keep.shape[2:])[sel]
-            rows = frame_metrics_rows_packed(
-                jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_f, keep_f,
-                w, self.max_radius, self.tolerance, self.distance)
-            votes = keep_p = None
+            with self.timers.phase("eval_dispatch"):
+                vu_f = vu.reshape((-1,) + vu.shape[2:])[sel]
+                keep_f = keep.reshape((-1,) + keep.shape[2:])[sel]
+                rows = frame_metrics_rows_packed(
+                    jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_f,
+                    keep_f, w, self.max_radius, self.tolerance, self.distance)
+                votes = keep_p = None
+                if instances:
+                    votes = instance_votes_chunk(
+                        device_ids(ids_b), vu_f, keep_f, self.tolerance,
+                        assignment)
+                    # keep crosses the link bitpacked (8x fewer bytes);
+                    # skipped when only the scalar partials are needed
+                    keep_p = jnp.packbits(keep_f, axis=-1)
             if instances:
-                votes = instance_votes_chunk(
-                    device_ids(ids_b), vu_f, keep_f, self.tolerance,
-                    assignment)
-                # keep crosses the link bitpacked (8x fewer bytes); skipped
-                # entirely when only the scalar partials are needed
-                keep_p = jnp.packbits(keep_f, axis=-1)
                 for (mi_s, _kk), ids in zip(slots, gt_rows):
                     visible[mi_s].update(np.unique(ids[ids > 0]).tolist())
             pending.append((rows, votes, keep_p, slots))

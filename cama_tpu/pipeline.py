@@ -678,11 +678,12 @@ class ClipPipeline:
         would serve the stale masks.  mtimes are deliberately NOT used: the
         CLI re-extracts the label zip every run, refreshing mtimes of
         identical bytes (same reasoning as io/scene._file_sig), which would
-        rebuild the store on every CLI-then-eval cycle.  Compressed PNG
-        data diverges within the first bytes for any mask change, so an
-        8 KiB head hash + exact size identifies each file at ~microseconds
-        per file; resolved once per pipeline (PNGs swapped mid-lifetime are
-        not re-checked)."""
+        rebuild the store on every CLI-then-eval cycle.  Each file signs by
+        exact size + 8 KiB head + 8 KiB tail hash (the _file_sig recipe):
+        compressed PNG data diverges near the start for top-of-image edits
+        and near the end for bottom-of-image edits, so a same-size rewrite
+        cannot slip through either window; resolved once per pipeline (PNGs
+        swapped mid-lifetime are not re-checked)."""
         import hashlib
 
         scene = self.scene
@@ -694,9 +695,12 @@ class ClipPipeline:
                 try:
                     st = os.stat(path)
                     with open(path, "rb") as f:
-                        head = f.read(8192)
+                        h2 = hashlib.sha256(f.read(8192))
+                        if st.st_size > 16384:
+                            f.seek(-8192, os.SEEK_END)
+                        h2.update(f.read(8192))
                     h.update(f"{cam}:{ms}:{st.st_size}:".encode())
-                    h.update(hashlib.sha256(head).digest())
+                    h.update(h2.digest())
                     h.update(b";")
                 except OSError:
                     h.update(f"{cam}:{ms}:absent;".encode())

@@ -149,7 +149,8 @@ def site_summary(configs, pipes_by_name, entry):
     if missing:
         out["note"] = f"members unavailable (not converted / no cama labels): {missing}"
         return out
-    site = Site(name=name, configs=pipes_by_name[members[0]].configs)
+    # same config hand-off as Site.from_clips, so the two builds agree
+    site = Site(name=name, configs=(configs or {}).get("cama_configs"))
     for m in members:
         pipe = pipes_by_name[m]
         site.add_clip(pipe.scene.clip_path, pipe.scene)
@@ -314,20 +315,32 @@ def main(argv=None):
                                         "report.html")
     summaries = []
     failures = 0
-    pipes = {}  # scene_name -> ClipPipeline (or an error marker dict)
+    # a LIST, not a dict: a scene listed twice in scene_names gets two
+    # report sections (matching the config), sharing one compiled pipeline
+    pipe_list = []  # (scene_name, ClipPipeline | {"error": ...})
+    by_name = {}
     for scene_name in configs["scene_names"]:
+        if scene_name in by_name:
+            pipe_list.append((scene_name, by_name[scene_name]))
+            continue
         clip = os.path.join(configs["converted_dataroot"], scene_name)
         if not os.path.exists(os.path.join(clip, "attribute.json")):
-            pipes[scene_name] = {"error": "clip not converted"}
-            continue
-        try:
-            pipes[scene_name] = ClipPipeline(configs.get("cama_configs"), clip)
-        except Exception as e:
-            pipes[scene_name] = {"error": repr(e)}
+            item = {"error": "clip not converted"}
+        else:
+            try:
+                item = ClipPipeline(configs.get("cama_configs"), clip)
+            except Exception as e:
+                import traceback
+
+                traceback.print_exc()
+                item = {"error": repr(e)}
+        by_name[scene_name] = item
+        pipe_list.append((scene_name, item))
+    pipes = by_name
 
     precomputed = _batch_metrics(pipes, args)
 
-    for scene_name, pipe in pipes.items():
+    for scene_name, pipe in pipe_list:
         if isinstance(pipe, dict):
             summaries.append({"scene": scene_name, **pipe})
             failures += 1
