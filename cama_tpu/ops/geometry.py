@@ -27,7 +27,6 @@ import jax.numpy as jnp
 from functools import partial
 
 from cama_tpu.ops.lift import CROP_BOX
-from cama_tpu.se3.core import inv_se3
 from cama_tpu.se3.trajectory import apply_seek, seek_indices
 
 _P = jax.lax.Precision.HIGHEST

@@ -13,8 +13,6 @@ through K_orig.
 """
 from __future__ import annotations
 
-from functools import partial
-
 import numpy as np
 
 import jax
