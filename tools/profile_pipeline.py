@@ -24,6 +24,9 @@ def main(argv=None):
     parser.add_argument("--trace-dir", default=None)
     parser.add_argument("--with-images", action="store_true",
                         help="run the full composite path (requires camera JPEGs)")
+    parser.add_argument("--eval", action="store_true",
+                        help="also profile map evaluation (requires lane_ins "
+                             "GT masks; prints the evaluator's phase report)")
     args = parser.parse_args(argv)
 
     from cama_tpu.pipeline import ClipPipeline
@@ -57,6 +60,23 @@ def main(argv=None):
     print(pipe.timers.report())
     if args.trace_dir:
         print("trace written to", args.trace_dir)
+
+    if args.eval:
+        from cama_tpu.eval.map_metrics import MapEvaluator
+
+        ev = MapEvaluator()
+        r = ev.evaluate_scene(pipe, args.source)  # cold (compiles + GT store)
+        if not r["frames_evaluated"]:
+            print("eval: no GT instance masks in clip — skipped")
+            return 0
+        ev.timers = type(ev.timers)()
+        t0 = time.perf_counter()
+        r = ev.evaluate_scene(pipe, args.source)
+        dt = time.perf_counter() - t0
+        print(f"warm eval: {r['frames_evaluated']} frames in {dt:.2f}s "
+              f"({r['frames_evaluated'] / dt:.1f} fps)  "
+              f"SRE={r['SRE']:.3f} P={r['precision']:.3f} R={r['recall']:.3f}")
+        print(ev.timers.report())
 
 
 if __name__ == "__main__":
