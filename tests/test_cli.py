@@ -226,3 +226,23 @@ def test_report_sites_section(tmp_path, capsys):
     assert "site: overlap" in body
     assert "duplicates_removed" in body and "instances_merged" in body
     assert "merged map elements per class" in body
+
+
+def test_report_duplicate_scene_names(workspace, tmp_path, capsys):
+    """A scene listed twice in scene_names yields two report sections (one
+    compiled pipeline shared underneath), matching the config's shape."""
+    import yaml as _yaml
+
+    from cama_tpu.report import main as report_main
+
+    cfg = _yaml.safe_load(open(workspace["config"]))
+    cfg["scene_names"] = ["scene-cli", "scene-cli"]
+    cfg_path = tmp_path / "dup.yaml"
+    cfg_path.write_text(_yaml.safe_dump(cfg))
+    out = tmp_path / "report.html"
+    rc = report_main(["-c", str(cfg_path), "-o", str(out),
+                      "--thumbnails", "0", "--max-frames", "1"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["scenes"] == 2
+    assert out.read_text().count("<h2>scene-cli</h2>") == 2
