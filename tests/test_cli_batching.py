@@ -159,3 +159,39 @@ def test_scene_cache_corrupt_file_recompiles(tmp_path):
     assert not s1.from_cache
     s2 = compile_scene(clip, cache=cache)
     assert s2.from_cache, "recompile should have overwritten the corrupt cache"
+
+
+def test_warmup_map_eval_probes_past_missing_gt(tmp_path):
+    """GT masks that start mid-clip (first frames' PNGs absent) must not
+    silently skip metric warmup — the probe finds the first frame whose
+    full camera set has GT."""
+    import glob
+    import os
+
+    from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline
+    from cama_tpu.warmup import warmup_map_eval
+
+    clip = make_fixture_clip(tmp_path, scene_name="wgt", n_frames=5,
+                             with_images=False, with_lidar=False)
+    add_instance_masks(clip)
+    pipe0 = ClipPipeline(clip_path=str(clip), chunk=2)
+    fm = pipe0.frame_matrices("cama")
+    import numpy as np
+
+    first = int(np.asarray(fm.frame_indices)[np.asarray(fm.frame_valid)][0])
+    # delete EVERY camera's PNG for the first valid frame
+    for cam in pipe0.scene.camera_list:
+        ms = pipe0.scene.sync_ms[cam][first]
+        p = os.path.join(str(clip), f"lane_ins_{cam}", f"{ms}.png")
+        if os.path.exists(p):
+            os.remove(p)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    assert warmup_map_eval(pipe) is not None, \
+        "metric warmup skipped although later frames have full GT"
+
+    # and a clip with NO GT at all returns None (no crash)
+    for p in glob.glob(os.path.join(str(clip), "lane_ins_*", "*.png")):
+        os.remove(p)
+    pipe2 = ClipPipeline(clip_path=str(clip), chunk=2)
+    assert warmup_map_eval(pipe2) is None
