@@ -209,3 +209,16 @@ def test_gt_mask_cache_serves_and_invalidates(tmp_path):
     fresh = ev.instance_loader(pipe3, cam, 1)
     assert not np.array_equal(np.asarray(fresh), np.asarray(cold)), \
         "stale GT served after masks were regenerated"
+
+
+def test_writer_error_latches_readonly_without_deadlock(tmp_path):
+    """A bad put (wrong shape/index) must latch the store read-only and
+    leave flush() returning — an escaping exception used to kill the
+    writer thread and deadlock flush()/the atexit drain in Queue.join()."""
+    fc = FrameCache(str(tmp_path / "fc4"), 2, 1, (4, 6), key="k")
+    fc.put(0, 0, np.zeros((99, 99, 3), np.uint8))  # shape mismatch
+    fc.flush()  # must not hang
+    assert fc.writable is False
+    fc.put(1, 0, np.zeros((4, 6, 3), np.uint8))  # ignored once latched
+    fc.flush()
+    assert fc.get(1, 0) is None
