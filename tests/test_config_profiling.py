@@ -127,3 +127,26 @@ def test_perf_gate_floor_logic(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 1
     assert "end_to_end_video_fps" in r.stdout
+
+
+def test_normalize_site_entry_shapes():
+    """The single sites[] interpreter: string / list / mapping / garbage."""
+    from cama_tpu.config import ConfigError, normalize_site_entry, validate_config
+
+    assert normalize_site_entry("scene-a", 0, 1) == {
+        "name": "site", "scenes": ["scene-a"], "refine": False}
+    assert normalize_site_entry(["a", "b"], 1, 3) == {
+        "name": "site1", "scenes": ["a", "b"], "refine": False}
+    assert normalize_site_entry(
+        {"name": "x", "scenes": ["a"], "refine": 1}, 0, 2) == {
+        "name": "x", "scenes": ["a"], "refine": True}
+    # mapping without explicit name gets the positional default
+    assert normalize_site_entry({"scenes": ["a"]}, 2, 3)["name"] == "site2"
+    # uninterpretable entry -> scenes None -> validate_config rejects it
+    assert normalize_site_entry(7, 0, 1)["scenes"] is None
+    import pytest as _pytest
+
+    with _pytest.raises(ConfigError, match=r"sites\[0\]"):
+        validate_config({
+            "converted_dataroot": "/x", "scene_names": ["a"],
+            "output_video_dir": "/v", "sites": [7]})
