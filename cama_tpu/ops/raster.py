@@ -319,6 +319,36 @@ def composite_overlay(image_bgr, packed, color_table):
     return jnp.where(painted[..., None], colors, image_bgr)
 
 
+@partial(jax.jit, static_argnames=("rows", "cols"))
+def composite_mosaic_device(base, cls_raster, color_table, grid,
+                            rows=2, cols=3):
+    """Fully device-side frame compositing: paint + 3x2 mosaic placement in
+    ONE program, so the host touches a single [rows*h, cols*w, 3] frame.
+
+    base:       [C, h, w, 3] uint8 undistorted camera images
+    cls_raster: [C, h, w] uint8 class rasters (0 = unpainted, else class+1 —
+                the pipeline's link format after packed_to_cls)
+    color_table:[K, 3] uint8 BGR rows (build_color_table)
+    grid:       [C] int32 mosaic slot per camera (row*cols + col)
+
+    Paint semantics are byte-identical to the host compositor
+    (tests/test_raster.py): painted pixels take color_table[(cls-1) % K],
+    the rest keep the base pixel.  Intended for hosts with fast device
+    links (PCIe/local TPU) where uploading base pixels is cheap and the
+    host core is better spent on encode; through a slow tunneled link the
+    upload dominates and the host compositor wins (BENCH.md) — which is
+    why this stays opt-in (`ClipPipeline.mosaic_device`)."""
+    painted = cls_raster > 0
+    colors = color_table[(cls_raster.astype(jnp.int32) - 1) % MAX_CLS]
+    imgs = jnp.where(painted[..., None], colors, base)
+    slots = jnp.zeros((rows * cols,) + imgs.shape[1:], imgs.dtype)
+    slots = slots.at[grid].set(imgs)
+    _C, h, w, _3 = base.shape
+    return (slots.reshape(rows, cols, h, w, 3)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(rows * h, cols * w, 3))
+
+
 def composite_overlay_host(image_bgr, packed, color_table):
     """NumPy composite (for the host video path)."""
     packed = np.asarray(packed)

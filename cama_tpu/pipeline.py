@@ -775,6 +775,35 @@ class ClipPipeline:
         results = pool.map(one, cams) if pool is not None else map(one, cams)
         return dict(results)
 
+    def mosaic_device(self, source, image_idx, cls_raster=None):
+        """One overlay video mosaic composited entirely ON DEVICE: upload
+        the frame's undistorted base images, paint the class raster and
+        place the 3x2 grid in one jitted program, download the single
+        [2h, 3w, 3] frame (ops.raster.composite_mosaic_device).
+
+        Byte-identical to the host compositing path (tests pin it).
+        OPT-IN, for hosts with fast device links (PCIe/local TPU) where
+        base-pixel upload is cheap and the host core should be saved for
+        the encoder; through this environment's tunneled link the ~9 MB/
+        frame upload is a measured loss vs the native host compositor
+        (BENCH.md), so write_videos keeps the host path by default."""
+        from cama_tpu.ops.raster import composite_mosaic_device
+
+        pos = self._grid_positions()
+        if pos is None:
+            raise ValueError(
+                "device mosaic needs the exact reference 3x2 camera set")
+        cams = self.scene.camera_list
+        grid = np.asarray([pos[c][0] * 3 + pos[c][1] for c in cams], np.int32)
+        base = self.base_images(image_idx)
+        base_arr = np.stack([np.asarray(base[c]) for c in cams])
+        if cls_raster is None:
+            cls_raster = self._overlay_single(source, image_idx)
+        mosaic = composite_mosaic_device(
+            jnp.asarray(base_arr), jnp.asarray(cls_raster),
+            jnp.asarray(self._color_tables[source]), jnp.asarray(grid))
+        return np.asarray(mosaic)
+
     def _composite_base(self, camera, image_idx, base, out):
         """Base pixels for painting: into the persistent `out` buffer when
         given (np.copyto into a warm buffer — fresh 1.5 MB allocations cost

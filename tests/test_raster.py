@@ -81,3 +81,51 @@ def test_raster_batch_shapes():
     cls = np.zeros(50, np.int32)
     packed = np.asarray(rasterize_packed(vu, keep, cls, 32, 32))
     assert packed.shape == (2, 6, 32, 32)
+
+
+def test_composite_mosaic_device_matches_host():
+    """The opt-in device compositor (paint + 3x2 mosaic in one program) is
+    byte-identical to the host compositing + grid path."""
+    import jax.numpy as jnp
+
+    from cama_tpu.io.video import CAMERA_GRID, concat_camera_grid
+    from cama_tpu.ops.raster import build_color_table, composite_mosaic_device
+
+    rng = np.random.default_rng(5)
+    cams = [c for row in CAMERA_GRID for c in row]
+    h, w = 24, 40
+    base = rng.integers(0, 255, (6, h, w, 3), dtype=np.uint8)
+    cls_raster = (rng.random((6, h, w)) < 0.2).astype(np.uint8) * rng.integers(
+        1, 4, (6, h, w)).astype(np.uint8)
+    table = build_color_table(["lane_marking", "Road_teeth", "Crosswalk_Line"])
+
+    # host reference: per-camera paint (cls-1 color where painted) + grid
+    painted = {}
+    for i, cam in enumerate(cams):
+        img = base[i].copy()
+        nz = cls_raster[i] > 0
+        img[nz] = table[(cls_raster[i][nz].astype(np.int32) - 1) % len(table)]
+        painted[cam] = img
+    want = concat_camera_grid(painted)
+
+    grid = np.arange(6, dtype=np.int32)  # cams listed in grid order here
+    got = np.asarray(composite_mosaic_device(
+        jnp.asarray(base), jnp.asarray(cls_raster), jnp.asarray(table),
+        jnp.asarray(grid)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pipeline_mosaic_device_matches_host_path(tmp_path):
+    """ClipPipeline.mosaic_device == composite_frame + concat_camera_grid
+    on a real fixture frame (cache-served base images, real rasters)."""
+    from cama_tpu.io.fixture import make_fixture_clip
+    from cama_tpu.io.video import concat_camera_grid
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path, scene_name="dm", n_frames=3,
+                             with_images=True, with_lidar=False)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    raster = pipe._overlay_single("cama", 1)
+    host = concat_camera_grid(pipe.composite_frame("cama", 1, raster))
+    dev = pipe.mosaic_device("cama", 1, cls_raster=raster)
+    np.testing.assert_array_equal(dev, host)
