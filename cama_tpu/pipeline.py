@@ -787,6 +787,14 @@ class ClipPipeline:
         the encoder; through this environment's tunneled link the ~9 MB/
         frame upload is a measured loss vs the native host compositor
         (BENCH.md), so write_videos keeps the host path by default."""
+        return self.mosaics_device([source], image_idx,
+                                   {source: cls_raster})[source]
+
+    def mosaics_device(self, sources, image_idx, cls_rasters=None):
+        """Device mosaics for SEVERAL label sources of one frame with the
+        base pixels uploaded ONCE (the upload is the dominant cost of the
+        device path — a dual-source pass halves it vs two mosaic_device
+        calls).  Returns {source: [2h, 3w, 3] uint8}."""
         from cama_tpu.ops.raster import composite_mosaic_device
 
         pos = self._grid_positions()
@@ -794,15 +802,19 @@ class ClipPipeline:
             raise ValueError(
                 "device mosaic needs the exact reference 3x2 camera set")
         cams = self.scene.camera_list
-        grid = np.asarray([pos[c][0] * 3 + pos[c][1] for c in cams], np.int32)
+        grid = jnp.asarray(
+            [pos[c][0] * 3 + pos[c][1] for c in cams], jnp.int32)
         base = self.base_images(image_idx)
-        base_arr = np.stack([np.asarray(base[c]) for c in cams])
-        if cls_raster is None:
-            cls_raster = self._overlay_single(source, image_idx)
-        mosaic = composite_mosaic_device(
-            jnp.asarray(base_arr), jnp.asarray(cls_raster),
-            jnp.asarray(self._color_tables[source]), jnp.asarray(grid))
-        return np.asarray(mosaic)
+        base_d = jnp.asarray(np.stack([np.asarray(base[c]) for c in cams]))
+        out = {}
+        for source in sources:
+            r = (cls_rasters or {}).get(source)
+            if r is None:
+                r = self._overlay_single(source, image_idx)
+            out[source] = np.asarray(composite_mosaic_device(
+                base_d, jnp.asarray(r),
+                jnp.asarray(self._color_tables[source]), grid))
+        return out
 
     def _composite_base(self, camera, image_idx, base, out):
         """Base pixels for painting: into the persistent `out` buffer when

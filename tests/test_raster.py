@@ -129,3 +129,20 @@ def test_pipeline_mosaic_device_matches_host_path(tmp_path):
     host = concat_camera_grid(pipe.composite_frame("cama", 1, raster))
     dev = pipe.mosaic_device("cama", 1, cls_raster=raster)
     np.testing.assert_array_equal(dev, host)
+
+
+def test_pipeline_mosaics_device_shared_upload(tmp_path):
+    """Multi-source device mosaics (one base upload) equal the per-source
+    host paths for BOTH label sources."""
+    from cama_tpu.io.fixture import make_fixture_clip
+    from cama_tpu.io.video import concat_camera_grid
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path, scene_name="dmm", n_frames=3,
+                             with_images=True, with_lidar=False)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    got = pipe.mosaics_device(["cama", "nuscenes"], 1)
+    for source in ("cama", "nuscenes"):
+        raster = pipe._overlay_single(source, 1)
+        want = concat_camera_grid(pipe.composite_frame(source, 1, raster))
+        np.testing.assert_array_equal(got[source], want, err_msg=source)
