@@ -533,3 +533,35 @@ def test_eval_fuzz_random_gt_patterns(tmp_path, trial):
     assert got["frames_evaluated"] == n
     for k, v in want.items():
         np.testing.assert_allclose(got[k], v, rtol=1e-6, err_msg=k)
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_fleet_batch_fuzz(tmp_path, trial):
+    """Randomized fleets (scene count, frame counts, chunk, missing GT in
+    one scene) — batch results always equal per-scene evaluation."""
+    rng = np.random.default_rng(300 + trial)
+    n_scenes = int(rng.integers(2, 4))
+    pipes = []
+    gt_scenes = set()
+    for i in range(n_scenes):
+        clip = make_fixture_clip(tmp_path, scene_name=f"fb{trial}-{i}",
+                                 n_frames=int(rng.integers(3, 7)),
+                                 with_images=False, with_lidar=False, seed=i)
+        if rng.random() < 0.8 or i == 0:  # at least one scene with GT
+            add_instance_masks(clip)
+            gt_scenes.add(i)
+        pipes.append(ClipPipeline(clip_path=str(clip),
+                                  chunk=int(rng.integers(1, 4))))
+    ev = MapEvaluator(tolerance=3, max_radius=8)
+    instances = bool(rng.random() < 0.5)
+    batch = ev.evaluate_scene_batch(pipes, "cama", instances=instances)
+    for i, (p, got) in enumerate(zip(pipes, batch)):
+        single = (ev.evaluate_scene_all(p, "cama") if instances
+                  else ev.evaluate_scene(p, "cama"))
+        if i not in gt_scenes:
+            assert got is None and single["frames_evaluated"] == 0
+            continue
+        assert got["frames_evaluated"] == single["frames_evaluated"] > 0
+        for k, v in single.items():
+            np.testing.assert_allclose(got[k], v, rtol=1e-6,
+                                       err_msg=f"scene {i}: {k}")
