@@ -92,6 +92,17 @@ def _compute_all():
     out["metric_eucl"] = np.asarray([float(pe[k]) for k in sorted(pe)])
     out["votes"] = np.asarray(instance_votes_chunk(
         device_ids(gt), jnp.asarray(vuM), jnp.asarray(keepM), 3, "nearest"))
+
+    # device-side compositing (paint + 3x2 mosaic, pure integer ops)
+    from cama_tpu.ops.raster import build_color_table, composite_mosaic_device
+
+    base = rng.integers(0, 255, (6, H, W, 3), dtype=np.uint8)
+    cls_r = (rng.random((6, H, W)) < 0.15).astype(np.uint8) * rng.integers(
+        1, 4, (6, H, W)).astype(np.uint8)
+    table = build_color_table(["lane_marking", "Road_teeth", "Crosswalk_Line"])
+    out["mosaic"] = np.asarray(composite_mosaic_device(
+        jnp.asarray(base), jnp.asarray(cls_r), jnp.asarray(table),
+        jnp.asarray(np.arange(6, dtype=np.int32))))
     return out
 
 
@@ -167,3 +178,8 @@ def test_map_metrics_on_chip(chip_outputs, cpu_golden):
 def test_instance_votes_on_chip(chip_outputs, cpu_golden):
     # integer feature-transform ids: exact, including tie-breaks
     np.testing.assert_array_equal(chip_outputs["votes"], cpu_golden["votes"])
+
+
+def test_device_mosaic_on_chip(chip_outputs, cpu_golden):
+    # uint8 select + placement: bit-exact across backends
+    np.testing.assert_array_equal(chip_outputs["mosaic"], cpu_golden["mosaic"])
