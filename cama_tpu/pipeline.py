@@ -801,6 +801,11 @@ class ClipPipeline:
         if pos is None:
             raise ValueError(
                 "device mosaic needs the exact reference 3x2 camera set")
+        missing = [s for s in sources if s not in self.scene.flat]
+        if missing:
+            raise ValueError(
+                f"scene has no labels for source(s) {missing}; "
+                f"available: {sorted(self.scene.flat)}")
         cams = self.scene.camera_list
         grid = jnp.asarray(
             [pos[c][0] * 3 + pos[c][1] for c in cams], jnp.int32)

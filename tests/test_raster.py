@@ -146,3 +146,16 @@ def test_pipeline_mosaics_device_shared_upload(tmp_path):
         raster = pipe._overlay_single(source, 1)
         want = concat_camera_grid(pipe.composite_frame(source, 1, raster))
         np.testing.assert_array_equal(got[source], want, err_msg=source)
+
+
+def test_mosaic_device_unknown_source_raises(tmp_path):
+    from cama_tpu.io.fixture import make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path, scene_name="dmu", n_frames=2,
+                             with_images=True, with_lidar=False)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no labels for source"):
+        pipe.mosaic_device("no-such-source", 1)
