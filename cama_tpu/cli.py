@@ -69,10 +69,20 @@ def _isolated(label, failures, fn, *args, **kwargs):
 
 
 def run(configs):
+    t_run0 = time.perf_counter()
     output_dir = configs["converted_dataroot"]
     os.makedirs(output_dir, exist_ok=True)
     output_video_dir = configs["output_video_dir"]
     os.makedirs(output_video_dir, exist_ok=True)
+
+    def first_frame_cb(label):
+        # one-shot per label: reports time from CLI start to the first video
+        # frame handed to an encoder (the round-3 first-contact compile wall
+        # made this minutes; the adaptive kernel keeps it seconds)
+        def cb():
+            print(f"[{label}] first video frame at "
+                  f"{time.perf_counter() - t_run0:.1f}s", flush=True)
+        return cb
 
     # CAMA label files into the clip dirs: one zip pass for every scene
     zip_file = configs.get("cama_label_file")
@@ -90,11 +100,12 @@ def run(configs):
 
     to_write = [item for item in prepared if item[2]]
     if configs.get("batch_scenes", True) and len(to_write) > 1:
-        failures += _write_batched(configs, to_write)
+        failures += _write_batched(configs, to_write, first_frame_cb)
     else:
         for scene_name, pipe, paths in to_write:
             _isolated(scene_name, failures, _write_scene_videos,
-                      configs, scene_name, pipe, paths)
+                      configs, scene_name, pipe, paths,
+                      first_frame_cb(scene_name))
 
     if configs.get("sites"):
         failures += _run_sites(configs, prepared, output_dir, output_video_dir)
@@ -119,8 +130,15 @@ def _prepare_scene(configs, scene_name, output_dir, output_video_dir, state):
 
     # Step 2 (label extraction) runs once for all scenes in run()
 
-    # Step 3: compile the scene (served from the scene cache on re-runs)
-    pipe = ClipPipeline(configs.get("cama_configs"), clip_path)
+    # Step 3: compile the scene (served from the scene cache on re-runs).
+    # The CLI defaults to the ADAPTIVE kernel: first chunks stream through
+    # the seconds-to-compile scatter program while the production compact
+    # program warms in the background — a fresh process's first video frame
+    # lands in seconds, not behind the minutes-scale sort compile
+    # (configurable via cama_configs.raster_kernel)
+    kern = (configs.get("cama_configs") or {}).get("raster_kernel") or "auto"
+    pipe = ClipPipeline(configs.get("cama_configs"), clip_path,
+                        raster_kernel=kern)
     if pipe.scene.from_cache:
         print(f"[{scene_name}] scene cache hit — lifting skipped")
     paths = {}
@@ -132,14 +150,15 @@ def _prepare_scene(configs, scene_name, output_dir, output_video_dir, state):
     return scene_name, pipe, paths
 
 
-def _write_scene_videos(configs, scene_name, pipe, paths):
+def _write_scene_videos(configs, scene_name, pipe, paths, on_first_frame=None):
     """One pass over the clip writes every source's video (base images
     decoded once; the reference loops the whole pipeline per source,
     /root/reference/main.py:55-70)."""
     print(f"[{scene_name}] generating reprojection videos "
           f"({', '.join(paths)} labels)...")
     t0 = time.perf_counter()
-    counts = pipe.write_videos(paths, preset=configs.get("video_preset"))
+    counts = pipe.write_videos(paths, preset=configs.get("video_preset"),
+                               on_first_frame=on_first_frame)
     dt = time.perf_counter() - t0
     for source, out in paths.items():
         print(f"  {counts[source]} frames -> {out}")
@@ -147,7 +166,7 @@ def _write_scene_videos(configs, scene_name, pipe, paths):
     print(f"  {total} video-frames in {dt:.1f}s ({total / max(dt, 1e-9):.1f} fps)")
 
 
-def _write_batched(configs, items):
+def _write_batched(configs, items, first_frame_cb=None):
     """Scene-batched video writing: groups scenes by output size and drives
     each group's device work through MultiScenePipeline (one batched program
     per chunk for all the group's scenes).  Falls back to per-scene writing
@@ -160,18 +179,21 @@ def _write_batched(configs, items):
         if len(group) == 1:
             scene_name, pipe, paths = group[0]
             _isolated(scene_name, failures, _write_scene_videos,
-                      configs, scene_name, pipe, paths)
+                      configs, scene_name, pipe, paths,
+                      first_frame_cb(scene_name) if first_frame_cb else None)
             continue
         names = [g[0] for g in group]
         print(f"Batching {len(group)} scenes at {size[1]}x{size[0]} through "
               f"one device program per chunk: {', '.join(names)}")
 
-        def write_group(group=group):
+        def write_group(group=group, names=names):
             msp = MultiScenePipeline([g[1] for g in group],
                                      chunk=group[0][1].chunk)
             t0 = time.perf_counter()
-            counts = msp.write_videos([g[2] for g in group],
-                                      preset=configs.get("video_preset"))
+            counts = msp.write_videos(
+                [g[2] for g in group], preset=configs.get("video_preset"),
+                on_first_frame=(first_frame_cb("+".join(names))
+                                if first_frame_cb else None))
             dt = time.perf_counter() - t0
             total = 0
             for (scene_name, _, paths), cnt in zip(group, counts):

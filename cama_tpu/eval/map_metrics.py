@@ -661,7 +661,10 @@ class MapEvaluator:
         )
         ids = cv2.remap(raw, mapx, mapy, interpolation=cv2.INTER_NEAREST)
         if cache is not None:
-            cache.put(image_idx, c, ids.astype(np.uint16, copy=False))
+            # own=True: the freshly-remapped ids are never mutated (metric
+            # consumers stack/copy); skips the store's defensive copy
+            cache.put(image_idx, c, ids.astype(np.uint16, copy=False),
+                      own=True)
         return ids
 
     def mask_loader(self, pipeline, camera, image_idx):

@@ -35,6 +35,7 @@ import json
 import os
 import queue
 import threading
+import time
 import weakref
 
 import numpy as np
@@ -59,9 +60,20 @@ class FrameCache:
 
     # writer backlog bound, in images (~1.5 MB each at 960x540)
     QUEUE_SLOTS = 48
+    # sustained fraction of one core's wall-clock the writer may consume
+    # (measured round 4: unthrottled population costs a cold video pass
+    # ~40-50% of its throughput on a 1-core host — memcpy + first-touch page
+    # faults + GIL churn — while the pass itself is the product; the budget
+    # keeps the first visit fast and lets the store converge over runs, the
+    # documented opportunistic contract)
+    WRITE_BUDGET = 0.3
+    # seconds of writer time granted up-front (covers small clips and tests
+    # outright) and the accrual cap (idle periods bank at most this much)
+    BURST_S, BURST_CAP_S = 1.0, 2.0
 
     def __init__(self, cache_dir, n_frames, n_cameras, output_size, key,
-                 async_writes=True, name="frames", dtype=np.uint8, channels=3):
+                 async_writes=True, name="frames", dtype=np.uint8, channels=3,
+                 write_budget=None):
         """name/dtype/channels generalize the store beyond RGB frames: the
         GT-mask cache stores remapped lane_ins instance ids as
         name='gt_ids', dtype=uint16, channels=0 (no trailing axis) — the
@@ -84,6 +96,11 @@ class FrameCache:
         self._async = bool(async_writes)
         self._q = None
         self._writer = None
+        # token bucket (seconds of writer wall-clock); budget >= 1 disables
+        self._budget = (self.WRITE_BUDGET if write_budget is None
+                        else float(write_budget))
+        self._tokens = self.BURST_S
+        self._t_last = time.perf_counter()
         self._open()
         if self._async:
             # started here, not lazily in put(): the per-camera thread pool
@@ -181,10 +198,16 @@ class FrameCache:
         img.flags.writeable = False
         return img
 
-    def put(self, frame_idx, cam_idx, image):
+    def put(self, frame_idx, cam_idx, image, own=False):
         """Record a decoded image.  Async mode never blocks: if the writer
         backlog is full (disk slower than the producer) the put is dropped —
-        the slot just stays a miss until a later run lands it."""
+        the slot just stays a miss until a later run lands it.
+
+        own=True hands the array over WITHOUT the defensive copy: the caller
+        guarantees nobody mutates it afterwards (the pipeline enforces this
+        by marking handed-over decodes read-only — composite paths detect
+        the flag and copy before painting).  Saves ~1.5 MB of memcpy per
+        image on the cold path."""
         if not self.writable:
             return
         if not self._async:
@@ -194,10 +217,11 @@ class FrameCache:
             self.dropped_writes += 1
             return
         try:
-            # defensive copy: the producer may paint on its array before the
-            # writer lands it (composite overlays would get baked into the
-            # cache); the backlog bound keeps the copies to ~70 MB
-            self._q.put_nowait((frame_idx, cam_idx, np.array(image, copy=True)))
+            # defensive copy (unless owned): the producer may paint on its
+            # array before the writer lands it (composite overlays would get
+            # baked into the cache); the backlog bound keeps copies to ~70 MB
+            self._q.put_nowait((frame_idx, cam_idx,
+                                image if own else np.array(image, copy=True)))
         except queue.Full:  # lost the race with another producer thread
             self.dropped_writes += 1
 
@@ -216,11 +240,29 @@ class FrameCache:
             item = self._q.get()
             try:
                 if item is not None:
-                    self._write(*item)
+                    if self._grant_tokens():
+                        t0 = time.perf_counter()
+                        self._write(*item)
+                        self._tokens -= time.perf_counter() - t0
+                    else:
+                        self.dropped_writes += 1
             finally:
                 self._q.task_done()
             if item is None:
                 return
+
+    def _grant_tokens(self):
+        """Token-bucket rate limit on writer wall-clock: refill at `budget`
+        seconds per wall second (capped), spend actual write time.  Keeps
+        cache population from starving the producing pass on a 1-core host;
+        budget >= 1 disables the limit."""
+        if self._budget >= 1.0:
+            return True
+        now = time.perf_counter()
+        self._tokens = min(self.BURST_CAP_S,
+                           self._tokens + (now - self._t_last) * self._budget)
+        self._t_last = now
+        return self._tokens > 0
 
     def hit_rate(self):
         return float(np.asarray(self._valid).mean())

@@ -41,6 +41,17 @@ DEFAULT_CAMA_CONFIGS = {
     "frame_cache": True,
     "frame_cache_dir": None,
     "fast_decode": False,
+    # writer wall-clock budget for cache population (fraction of one core;
+    # None = FrameCache.WRITE_BUDGET default, 1.0 = unthrottled).  Measured
+    # round 4: unthrottled population costs a cold video pass ~40-50% of its
+    # throughput on a 1-core host; the budget keeps first visits fast and
+    # the store converges over runs
+    "frame_cache_budget": None,
+    # overlay device program: 'auto' (CLI default — first chunks through the
+    # seconds-to-compile scatter program, production compact program warms
+    # in the background), 'compact', 'two_stage' via counting, 'scatter',
+    # 'pallas'; None = the ClipPipeline constructor default ('compact')
+    "raster_kernel": None,
     # extension: persist the compiled scene tensors (lift + densify + pose
     # chains) under {clip}/.cama_tpu — the SURVEY §5 checkpoint artifact —
     # so re-runs skip lifting entirely; scene_cache_dir relocates the file

@@ -222,3 +222,35 @@ def test_writer_error_latches_readonly_without_deadlock(tmp_path):
     fc.put(1, 0, np.zeros((4, 6, 3), np.uint8))  # ignored once latched
     fc.flush()
     assert fc.get(1, 0) is None
+
+
+def test_write_budget_throttles_and_converges(tmp_path):
+    """Token-bucket writer budget: with an exhausted bucket every write
+    drops (the producing pass is never starved); with the default burst the
+    unit-scale write volume lands in full."""
+    fc = FrameCache(tmp_path, 8, 2, (4, 6), "k-budget")
+    img = np.full((4, 6, 3), 3, np.uint8)
+    # exhaust the bucket: zero sustained budget, zero banked burst
+    fc._budget = 0.0
+    fc._tokens = 0.0
+    for f in range(8):
+        fc.put(f, 0, img)
+    fc.flush()
+    assert fc.dropped_writes == 8
+    assert fc.hit_rate() == 0.0
+    # restore the burst: the same puts now land (store converges over runs)
+    fc._tokens = FrameCache.BURST_S
+    for f in range(8):
+        fc.put(f, 0, img)
+    fc.flush()
+    assert fc.hit_rate() == 0.5  # all 8 slots of camera 0
+    np.testing.assert_array_equal(fc.get(3, 0), img)
+
+
+def test_put_own_handover_skips_copy(tmp_path):
+    """own=True hands the array to the writer without a defensive copy; the
+    caller-side contract (pipeline marks it read-only) keeps it safe."""
+    fc = FrameCache(tmp_path, 2, 1, (4, 6), "k-own", async_writes=False)
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    fc.put(0, 0, img, own=True)
+    np.testing.assert_array_equal(fc.get(0, 0), img)
