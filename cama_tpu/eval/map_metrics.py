@@ -630,6 +630,7 @@ class MapEvaluator:
         # pipeline's — print evaluator.timers.report() after a run to see
         # where an evaluation spent its time (GT load vs dispatch vs fetch)
         self.timers = PhaseTimers()
+        self._sharded_steps = {}  # (mesh id, shapes) -> compiled sharded step
 
     def instance_loader(self, pipeline, camera, image_idx):
         """Load + nearest-remap a `lane_ins_{camera}` instance-id PNG to the
@@ -1027,6 +1028,111 @@ class MapEvaluator:
                 assoc = self._associate(sinks[mi_s], visible[mi_s])
                 out.update(assoc if assoc is not None
                            else self._EMPTY_ASSOCIATION)
+            out["frames_evaluated"] = counts[mi_s]
+            results[gi] = out
+        return results
+
+    def evaluate_scene_batch_sharded(self, pipelines, mesh, source="cama"):
+        """Fleet evaluation with the scene batch SHARDED over a
+        ('scenes', 'frames') jax mesh: each device owns whole scenes' point
+        tensors plus a frame shard, per-scene metric partials come back as
+        [S] vectors with a psum over the frames axis only
+        (parallel.sharded_scene_batch_metrics) — SURVEY.md §2.4's 'scenes
+        for multi-scene sites' DP row as a real multi-chip program.
+
+        Binary metrics only (association voting keeps the single-device
+        fleet path); results match evaluate_scene_batch per scene.  The
+        scene axis pads to mesh.shape['scenes'] with all-invalid dummy
+        scenes, frame chunks pad to a multiple of mesh.shape['frames'].
+
+        pipelines: list of ClipPipeline (same output size) or a
+            MultiScenePipeline.
+        Returns: list aligned with the input pipelines — a result dict per
+        scene, or None for scenes lacking the source or GT.
+        """
+        import jax.numpy as jnp
+
+        from cama_tpu.parallel import sharded_scene_batch_metrics
+        from cama_tpu.pipeline import MultiScenePipeline
+
+        msp = (pipelines if isinstance(pipelines, MultiScenePipeline)
+               else MultiScenePipeline(pipelines, source=source))
+        members = msp.members(source)
+        fms, Fs, pts, cls_, valid, A, B, fv = msp._stacked(source)
+        pipes = [msp.pipelines[i] for i in members]
+        h, w = pipes[0].scene.output_size
+        lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
+        S = len(pipes)
+        n_scene_shards = mesh.shape["scenes"]
+        n_frame_shards = mesh.shape["frames"]
+        Sp = -(-S // n_scene_shards) * n_scene_shards
+        # frame-chunk rows per dispatch: the fleet chunk, padded to shard
+        K = max(msp.chunk, n_frame_shards)
+        K = -(-K // n_frame_shards) * n_frame_shards
+
+        def padS(a):
+            return np.pad(a, [(0, Sp - S)] + [(0, 0)] * (a.ndim - 1))
+
+        pts_p, valid_p = padS(pts), padS(valid)
+        A_p, B_p, fv_p = padS(A), padS(B), padS(fv)
+        padF = (-fv_p.shape[1]) % K  # frame axis to a chunk multiple
+        if padF:
+            A_p = np.pad(A_p, [(0, 0), (0, padF)] + [(0, 0)] * (A_p.ndim - 2))
+            A_p[:, -padF:] = np.eye(4)  # keep pad matrices well-formed
+            B_p = np.pad(B_p, [(0, 0), (0, padF)] + [(0, 0)] * (B_p.ndim - 2))
+            fv_p = np.pad(fv_p, [(0, 0), (0, padF)])
+
+        step_key = (id(mesh), w, h, self.max_radius, self.tolerance,
+                    self.distance)
+        step = self._sharded_steps.get(step_key)
+        if step is None:
+            step = self._sharded_steps[step_key] = sharded_scene_batch_metrics(
+                mesh, w, h, self.max_radius, self.tolerance, self.distance)
+
+        sums = [dict() for _ in range(S)]
+        counts = [0] * S
+        C = len(pipes[0].scene.camera_list)
+        for s in range(0, fv_p.shape[1], K):
+            # host GT rows for every (scene, frame-in-chunk); row validity =
+            # frame valid AND complete GT (GT-less rows contribute nothing,
+            # matching evaluate_scene_batch's skip)
+            gt = np.zeros((Sp, K, C, h, w), bool)
+            rv = np.zeros((Sp, K), np.float32)
+            any_gt = False
+            with self.timers.phase("eval_gt_load"):
+                for mi_s, (fm, F) in enumerate(zip(fms, Fs)):
+                    for kk in range(K):
+                        fidx = s + kk
+                        if fidx >= F or not fm.frame_valid[fidx]:
+                            continue
+                        ids = self._load_all_cameras(
+                            pipes[mi_s], int(fm.frame_indices[fidx]))
+                        if ids is None:
+                            continue
+                        gt[mi_s, kk] = ids > 0
+                        rv[mi_s, kk] = 1.0
+                        counts[mi_s] += 1
+                        any_gt = True
+            if not any_gt:
+                continue
+            with self.timers.phase("eval_dispatch"):
+                sl = slice(s, s + K)
+                p = step(jnp.asarray(pts_p), jnp.asarray(valid_p),
+                         jnp.asarray(gt),
+                         jnp.asarray(A_p[:, sl], np.float32),
+                         jnp.asarray(B_p[:, sl], np.float32),
+                         jnp.asarray(rv > 0), lo, hi)
+            with self.timers.phase("eval_fetch"):
+                p = jax.device_get(p)
+            for mi_s in range(S):
+                for k2, v2 in p.items():
+                    sums[mi_s][k2] = sums[mi_s].get(k2, 0.0) + float(v2[mi_s])
+
+        results = [None] * len(msp.pipelines)
+        for mi_s, gi in enumerate(members):
+            if counts[mi_s] == 0:
+                continue
+            out = reduce_metrics([sums[mi_s]])
             out["frames_evaluated"] = counts[mi_s]
             results[gi] = out
         return results

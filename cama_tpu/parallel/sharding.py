@@ -48,6 +48,118 @@ def make_mesh(n_frames_axis=None, n_points_axis=1, devices=None):
     return Mesh(arr, ("frames", "points"))
 
 
+def make_scene_mesh(n_scenes_axis=None, n_frames_axis=1, devices=None):
+    """Build a ('scenes', 'frames') mesh: data parallelism over the SCENE
+    batch axis (SURVEY.md §2.4's DP row names 'scenes for multi-scene sites'
+    as the scale-out shape — exactly where MultiScenePipeline's stacked
+    tensors and the fleet evaluator batch), with optional frame-axis DP
+    inside each scene shard.  Defaults to all devices on the scenes axis."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_scenes_axis is None:
+        n_scenes_axis = len(devices) // n_frames_axis
+    n = n_scenes_axis * n_frames_axis
+    arr = np.array(devices[:n]).reshape(n_scenes_axis, n_frames_axis)
+    return Mesh(arr, ("scenes", "frames"))
+
+
+def sharded_multi_scene_step(mesh, width, height, k, two_bit=False):
+    """Jitted multi-device SCENE-BATCHED overlay step — the sharded form of
+    pipeline._overlay_chunk_batched (the CLI's batch_scenes device program):
+
+        (points [S,P,3], valid [S,P], cls [S,P], A [S,F,4,4],
+         B [S,F,C,3,4], frame_valid [S,F], crop_lo, crop_hi)
+          -> cls rasters [S, F, C, H, W] uint8 (2-bit packed when two_bit)
+
+    The scene axis shards over 'scenes' (each device owns whole scenes'
+    point tensors — no cross-device combine is needed because scenes are
+    independent), and each scene's frame axis shards over 'frames'.  S must
+    divide by mesh.shape['scenes'], F by mesh.shape['frames'].  Every
+    per-scene shard runs the SAME compact kernel as the single-device
+    batched path on its full local point set, so rasters are bit-identical
+    to _overlay_chunk_batched (asserted by __graft_entry__'s 'scenes-dp'
+    dryrun tier and tests/test_parallel.py)."""
+    # deferred: pipeline imports this module (pad_to_multiple) at load time
+    from cama_tpu.pipeline import _overlay_chunk_compact
+
+    def step(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi):
+        def one(p, v, c, a, b, f):
+            return _overlay_chunk_compact(p, v, c, a, b, f, crop_lo, crop_hi,
+                                          width, height, k, two_bit)
+
+        return jax.vmap(one)(points, valid, cls, A, B, frame_valid)
+
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P("scenes", None, None),  # points
+                P("scenes", None),  # valid
+                P("scenes", None),  # cls
+                P("scenes", "frames", None, None),  # A
+                P("scenes", "frames", None, None, None),  # B
+                P("scenes", "frames"),  # frame_valid
+                P(), P(),
+            ),
+            out_specs=P("scenes", "frames", None, None, None),
+        )
+    )
+
+
+def sharded_scene_batch_metrics(mesh, width, height, max_radius, tolerance,
+                                distance="chebyshev"):
+    """Sharded FLEET evaluation step (the multi-device form of
+    eval.map_metrics.evaluate_scene_batch's per-chunk device work): scenes
+    shard over 'scenes', each scene's frame rows over 'frames'; per-scene
+    partial sums reduce over the frames axis only (scene results must stay
+    per-scene — a psum over 'scenes' would fuse unrelated scenes' metrics).
+
+        (points [S,P,3], valid [S,P], gt [S,F,C,H,W] bool, A [S,F,4,4],
+         B [S,F,C,3,4], frame_valid [S,F], crop_lo, crop_hi)
+          -> {metric: [S] float32} per-scene partial sums (replicated on the
+             frames axis)
+    """
+    from cama_tpu.eval.map_metrics import frame_metrics
+
+    def step(points, valid, gt, A, B, frame_valid, crop_lo, crop_hi):
+        def per_scene(p, v, gt_s, A_s, B_s, fv_s):
+            def per_frame(args):
+                gt_f, Af, Bf, fv = args
+                vu, keep = project_frames(
+                    p, v, Af[None], Bf[None], fv[None], width, height,
+                    crop_lo, crop_hi,
+                )
+                m = frame_metrics(gt_f, vu[0], keep[0], max_radius,
+                                  tolerance, distance)
+                z = fv.astype(jnp.float32)  # GT-less rows contribute nothing
+                return {k2: v2 * z for k2, v2 in m.items()}
+
+            partials = jax.lax.map(per_frame, (gt_s, A_s, B_s, fv_s))
+            return {k2: v2.sum() for k2, v2 in partials.items()}
+
+        local = jax.vmap(per_scene)(points, valid, gt, A, B, frame_valid)
+        return {k2: jax.lax.psum(v2, axis_name="frames")
+                for k2, v2 in local.items()}
+
+    keys = ["sre_sum", "n_points", "n_hit", "gt_total", "gt_covered"]
+    return jax.jit(
+        shard_map(
+            step,
+            mesh=mesh,
+            in_specs=(
+                P("scenes", None, None),  # points
+                P("scenes", None),  # valid
+                P("scenes", "frames", None, None, None),  # gt
+                P("scenes", "frames", None, None),  # A
+                P("scenes", "frames", None, None, None),  # B
+                P("scenes", "frames"),  # frame_valid
+                P(), P(),
+            ),
+            out_specs={k2: P("scenes") for k2 in keys},
+        )
+    )
+
+
 def pad_to_multiple(arr, multiple, axis=0, fill=0):
     n = arr.shape[axis]
     pad = (-n) % multiple

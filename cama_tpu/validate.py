@@ -3,11 +3,15 @@ compare overlay output across this framework's paths — and, when the
 reference checkout is mounted, against the reference implementation itself —
 on any clip.
 
-    python -m cama_tpu.validate --clip /path/to/clip [--source cama]
-        [--reference /root/reference] [--frames 5]
+    python -m cama_tpu.validate --clip /path/to/clip [--source both]
+        [--reference /root/reference] [--frames 10] [--out VALIDATE.json]
 
-Reports per-path agreement: the host-exact path must be byte-identical to the
-reference; the device float32 path must agree on >= 99.9 % of pixels.
+Defaults check EVERY label source the clip carries and spread the checked
+frames across the clip head/middle/tail (a head-only, single-source default
+left the nuScenes lifting path and clip tails without driver-visible
+evidence).  Reports per-source per-path agreement: the host-exact path must
+be byte-identical to the reference; every device path must agree on
+>= 99.9 % of pixels.
 """
 from __future__ import annotations
 
@@ -145,40 +149,38 @@ def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
             if i in frame_ids}
 
 
-def main(argv=None):
-    parser = argparse.ArgumentParser(description="Overlay pixel-exactness validation")
-    parser.add_argument("--clip", required=True)
-    parser.add_argument("--source", default="cama", choices=["cama", "nuscenes"])
-    parser.add_argument("--frames", type=int, default=5, help="number of frames to check")
-    parser.add_argument("--reference", default="/root/reference",
-                        help="reference checkout (skipped if absent)")
-    parser.add_argument("--kernel", default="all",
-                        choices=("all",) + DEVICE_PATHS,
-                        help="device path to validate (default: every path)")
-    args = parser.parse_args(argv)
+def spread_frame_ids(valid_ids, n):
+    """n frame ids spread across the clip — head, middle, AND tail (a
+    head-only default let tail-of-clip regressions slip the validation
+    evidence; round-3 weak #6)."""
+    if len(valid_ids) <= n:
+        return set(valid_ids)
+    picks = np.unique(np.linspace(0, len(valid_ids) - 1, n).round().astype(int))
+    return {valid_ids[i] for i in picks}
 
-    paths = DEVICE_PATHS if args.kernel == "all" else (args.kernel,)
-    pipe = ClipPipeline(clip_path=args.clip)
-    fm = pipe.frame_matrices(args.source)
+
+def validate_source(pipe, source, frame_count, paths, reference_root):
+    """Per-source validation report dict (see main)."""
+    fm = pipe.frame_matrices(source)
     valid_ids = [int(i) for i, v in zip(fm.frame_indices, fm.frame_valid) if v]
-    frame_ids = set(valid_ids[: args.frames])
+    frame_ids = spread_frame_ids(valid_ids, frame_count)
 
-    report = {"clip": args.clip, "source": args.source, "frames": sorted(frame_ids)}
+    report = {"source": source, "frames": sorted(frame_ids)}
     if not frame_ids:
         report["error"] = "no valid frames in clip"
-        print(json.dumps(report))
-        return 1
-    exact = host_exact_frames(pipe, args.source, frame_ids)
+        return report
+    exact = host_exact_frames(pipe, source, frame_ids)
 
     ref = None
-    if os.path.isdir(os.path.join(args.reference, "cama")):
-        ref = reference_frames(args.clip, args.source, frame_ids, args.reference)
+    if reference_root and os.path.isdir(os.path.join(reference_root, "cama")):
+        ref = reference_frames(pipe.scene.clip_path, source, frame_ids,
+                               reference_root)
         ex = [int(np.array_equal(exact[i][c], ref[i][c])) for i in ref for c in ref[i]]
         report["host_exact_byte_identical_to_reference"] = bool(all(ex))
 
     report["paths"] = {}
     for path_name in paths:
-        device = device_frames_for_path(pipe.scene, path_name, args.source,
+        device = device_frames_for_path(pipe.scene, path_name, source,
                                         frame_ids)
         entry = {"vs_host_exact_min_agreement": min(
             agreement(device[i][c], exact[i][c])
@@ -193,10 +195,61 @@ def main(argv=None):
     if ref is not None:
         report["device_vs_reference_min_agreement"] = min(
             e["vs_reference_min_agreement"] for e in report["paths"].values())
-    print(json.dumps(report))
-    ok = report["device_vs_host_exact_min_agreement"] > 0.999 and report.get(
-        "host_exact_byte_identical_to_reference", True
-    )
+    return report
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Overlay pixel-exactness validation")
+    parser.add_argument("--clip", required=True)
+    parser.add_argument("--source", default="both",
+                        choices=["cama", "nuscenes", "both"],
+                        help="label source(s) to validate (default: every "
+                             "source the clip carries)")
+    parser.add_argument("--frames", type=int, default=10,
+                        help="frames checked per source, spread across the "
+                             "clip head/middle/tail")
+    parser.add_argument("--reference", default="/root/reference",
+                        help="reference checkout (skipped if absent)")
+    parser.add_argument("--kernel", default="all",
+                        choices=("all",) + DEVICE_PATHS,
+                        help="device path to validate (default: every path)")
+    parser.add_argument("--out", default=None,
+                        help="also write the JSON report to this path "
+                             "(round artifacts: VALIDATE_r*.json)")
+    args = parser.parse_args(argv)
+
+    paths = DEVICE_PATHS if args.kernel == "all" else (args.kernel,)
+    pipe = ClipPipeline(clip_path=args.clip)
+    if args.source == "both":
+        sources = [s for s in ("cama", "nuscenes") if s in pipe.scene.flat]
+    else:
+        sources = [args.source]
+
+    report = {"clip": args.clip, "sources": {}}
+    for source in sources:
+        report["sources"][source] = validate_source(
+            pipe, source, args.frames, paths, args.reference)
+
+    per_src = [r for r in report["sources"].values() if "paths" in r]
+    ok = bool(per_src) and not any("error" in r for r in report["sources"].values())
+    if per_src:
+        report["device_vs_host_exact_min_agreement"] = min(
+            r["device_vs_host_exact_min_agreement"] for r in per_src)
+        ok = ok and report["device_vs_host_exact_min_agreement"] > 0.999
+        with_ref = [r for r in per_src if "device_vs_reference_min_agreement" in r]
+        if with_ref:
+            report["device_vs_reference_min_agreement"] = min(
+                r["device_vs_reference_min_agreement"] for r in with_ref)
+            report["host_exact_byte_identical_to_reference"] = all(
+                r.get("host_exact_byte_identical_to_reference", False)
+                for r in per_src)
+            ok = ok and report["host_exact_byte_identical_to_reference"]
+    report["ok"] = ok
+    out = json.dumps(report)
+    print(out)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(out)
     return 0 if ok else 1
 
 

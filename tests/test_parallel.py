@@ -144,3 +144,42 @@ def test_sharded_two_stage_kernel_matches_single_device(clip, shape):
         jnp.asarray(lo), jnp.asarray(hi), w, h, P, k, False,
     ))
     np.testing.assert_array_equal(np.asarray(rasters), single)
+
+
+def test_scenes_axis_batched_kernel_matches_single_device(clip):
+    """sharded_multi_scene_step over a ('scenes','frames') mesh must be
+    bit-identical to the single-device scene-batched compact program."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cama_tpu.parallel import make_scene_mesh, sharded_multi_scene_step
+    from cama_tpu.pipeline import ClipPipeline, MultiScenePipeline, _overlay_chunk_batched
+
+    assert len(jax.devices()) >= 8
+    # two scenes stacked by MultiScenePipeline (common padding), frame axis
+    # padded to the mesh's frames extent
+    pipes = [ClipPipeline(clip_path=clip, chunk=4)] * 2
+    msp = MultiScenePipeline(pipes, chunk=4)
+    _, _, pts, cls_, valid, A, B, fv = msp._stacked("cama")
+    mesh = make_scene_mesh(n_scenes_axis=2, n_frames_axis=4)
+    nf = mesh.shape["frames"]
+    padF = (-A.shape[1]) % nf
+    if padF:
+        A = np.pad(A, [(0, 0), (0, padF), (0, 0), (0, 0)])
+        A[:, -padF:] = np.eye(4)
+        B = np.pad(B, [(0, 0), (0, padF)] + [(0, 0)] * 3)
+        fv = np.pad(fv, [(0, 0), (0, padF)])
+    lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
+    h, w = pipes[0].scene.output_size
+    k = max(p.overlay_mode("cama")[1] for p in pipes)
+
+    step = sharded_multi_scene_step(mesh, w, h, k=k)
+    got = np.asarray(step(pts.astype(np.float32), valid, cls_,
+                          A.astype(np.float32), B.astype(np.float32), fv,
+                          lo, hi))
+    want = np.asarray(_overlay_chunk_batched(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(cls_),
+        jnp.asarray(A.astype(np.float32)), jnp.asarray(B.astype(np.float32)),
+        jnp.asarray(fv), lo, hi, w, h, k, False))
+    np.testing.assert_array_equal(got, want)

@@ -96,3 +96,37 @@ def test_sharded_metrics_euclidean_matches_single_device():
             totals[k2] = totals.get(k2, 0.0) + float(v)
     for k2, v in totals.items():
         np.testing.assert_allclose(float(got[k2]), v, rtol=1e-5, err_msg=k2)
+
+
+def _mini_fleet(tmp_path_factory, n=3):
+    root = tmp_path_factory.mktemp("fleet_sh")
+    clips = []
+    for i in range(n):
+        c = make_fixture_clip(root, scene_name=f"scene-fl{i}", n_frames=5,
+                              with_images=False, with_lidar=False, seed=i)
+        add_instance_masks(c)
+        clips.append(c)
+    return [ClipPipeline(clip_path=c, chunk=4) for c in clips]
+
+
+def test_scene_sharded_fleet_eval_matches_batch(tmp_path_factory):
+    """evaluate_scene_batch_sharded on a ('scenes','frames') mesh must match
+    the single-device fleet evaluator per scene (binary metrics)."""
+    from cama_tpu.parallel import make_scene_mesh
+
+    assert len(jax.devices()) >= 8
+    pipes = _mini_fleet(tmp_path_factory)
+    ev = MapEvaluator(tolerance=4, max_radius=16)
+    want = ev.evaluate_scene_batch(pipes, "cama")
+    mesh = make_scene_mesh(n_scenes_axis=4, n_frames_axis=2)
+    got = ev.evaluate_scene_batch_sharded(pipes, mesh, "cama")
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert (g is None) == (w_ is None)
+        if g is None:
+            continue
+        assert g["frames_evaluated"] == w_["frames_evaluated"]
+        for key in ("SRE", "precision", "recall", "f1", "n_points",
+                    "gt_pixels"):
+            np.testing.assert_allclose(g[key], w_[key], rtol=1e-5,
+                                       err_msg=key)
