@@ -769,6 +769,7 @@ class MapEvaluator:
         partials are plain sums, so they reduce the same way on one chip or
         psum'd across a frame-sharded mesh (see parallel.sharded_map_metrics).
         """
+        pipeline.refresh_gt_cache()  # pick up regenerated GT masks
         import jax.numpy as jnp
 
         partials = []  # device scalars: fetched once, after every chunk is
@@ -842,6 +843,7 @@ class MapEvaluator:
         default — see instance_votes_chunk); reports precision/recall/purity
         (see instance_association).  One device dispatch per chunk; votes
         fetched in batched transfers every MAX_PENDING_CHUNKS chunks."""
+        pipeline.refresh_gt_cache()  # pick up regenerated GT masks
         pending = []
         sink = {"mi": [], "gi": []}
         visible = set()
@@ -877,6 +879,7 @@ class MapEvaluator:
         the two single-metric methods' outputs."""
         import jax.numpy as jnp
 
+        pipeline.refresh_gt_cache()  # pick up regenerated GT masks
         partials, pending = [], []
         sink = {"mi": [], "gi": []}
         visible = set()
@@ -934,6 +937,8 @@ class MapEvaluator:
         fms, Fs, pts, cls_, valid, A, B, fv = msp._stacked(source)
         ptsj, validj = jnp.asarray(pts), jnp.asarray(valid)
         pipes = [msp.pipelines[i] for i in members]
+        for p in pipes:
+            p.refresh_gt_cache()  # pick up regenerated GT masks
         h, w = pipes[0].scene.output_size
         lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
         S = len(pipes)
@@ -1060,6 +1065,8 @@ class MapEvaluator:
         members = msp.members(source)
         fms, Fs, pts, cls_, valid, A, B, fv = msp._stacked(source)
         pipes = [msp.pipelines[i] for i in members]
+        for p in pipes:
+            p.refresh_gt_cache()  # pick up regenerated GT masks
         h, w = pipes[0].scene.output_size
         lo, hi = pipes[0]._crop_lo, pipes[0]._crop_hi
         S = len(pipes)

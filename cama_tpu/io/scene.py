@@ -47,6 +47,11 @@ DEFAULT_CAMA_CONFIGS = {
     # throughput on a 1-core host; the budget keeps first visits fast and
     # the store converges over runs
     "frame_cache_budget": None,
+    # GT-mask store keying: hash ENTIRE lane_ins PNGs instead of the default
+    # size + 8 KiB head/tail windows — closes the same-size middle-only
+    # rewrite hole for >16 KiB files at the cost of reading every PNG once
+    # per key resolution (pipeline._gt_stat_key / refresh_gt_cache)
+    "gt_cache_full_hash": False,
     # overlay device program: 'auto' (CLI default — first chunks through the
     # seconds-to-compile scatter program, production compact program warms
     # in the background), 'compact', 'two_stage' via counting, 'scatter',

@@ -856,14 +856,17 @@ class ClipPipeline:
         would serve the stale masks.  mtimes are deliberately NOT used: the
         CLI re-extracts the label zip every run, refreshing mtimes of
         identical bytes (same reasoning as io/scene._file_sig), which would
-        rebuild the store on every CLI-then-eval cycle.  Each file signs by
-        exact size + 8 KiB head + 8 KiB tail hash (the _file_sig recipe):
-        compressed PNG data diverges near the start for top-of-image edits
-        and near the end for bottom-of-image edits, so a same-size rewrite
-        cannot slip through either window; resolved once per pipeline (PNGs
-        swapped mid-lifetime are not re-checked)."""
+        rebuild the store on every CLI-then-eval cycle.  By default each
+        file signs by exact size + 8 KiB head + 8 KiB tail hash (the
+        _file_sig recipe): compressed PNG data diverges near the start for
+        top-of-image edits and near the end for bottom-of-image edits, so a
+        same-size rewrite cannot slip through either window — EXCEPT a
+        middle-only rewrite of a >16 KiB file.  configs['gt_cache_full_hash']
+        opts into hashing the ENTIRE file, closing that hole at the cost of
+        reading every PNG once per key resolution."""
         import hashlib
 
+        full = bool(self.configs.get("gt_cache_full_hash"))
         scene = self.scene
         h = hashlib.sha256()
         for cam in scene.camera_list:
@@ -873,10 +876,15 @@ class ClipPipeline:
                 try:
                     st = os.stat(path)
                     with open(path, "rb") as f:
-                        h2 = hashlib.sha256(f.read(8192))
-                        if st.st_size > 16384:
-                            f.seek(-8192, os.SEEK_END)
-                        h2.update(f.read(8192))
+                        if full:
+                            h2 = hashlib.sha256()
+                            for blk in iter(lambda: f.read(1 << 20), b""):
+                                h2.update(blk)
+                        else:
+                            h2 = hashlib.sha256(f.read(8192))
+                            if st.st_size > 16384:
+                                f.seek(-8192, os.SEEK_END)
+                            h2.update(f.read(8192))
                     h.update(f"{cam}:{ms}:{st.st_size}:".encode())
                     h.update(h2.digest())
                     h.update(b";")
@@ -884,17 +892,37 @@ class ClipPipeline:
                     h.update(f"{cam}:{ms}:absent;".encode())
         return h.hexdigest()
 
+    def _gt_cache_key(self):
+        scene = self.scene
+        return f"gt:{self._gt_stat_key()}:" + frame_cache_key(
+            scene.camera_list, scene.output_size, scene.K_orig,
+            scene.d, scene.K_scaled, scene.sync_ms,
+        )
+
+    def refresh_gt_cache(self):
+        """Re-check the GT PNG population signature and drop a stale GT-mask
+        store (the next access re-resolves against the fresh key).  Called by
+        MapEvaluator at every evaluate_scene* entry, so masks regenerated
+        mid-process are picked up at the next evaluation instead of never
+        (the store used to be keyed once per pipeline lifetime).  Cost per
+        call: one stat + two 8 KiB reads per PNG, or a full-content hash
+        under configs['gt_cache_full_hash'] (which also catches same-size
+        middle-only rewrites of large files)."""
+        with self._fcache_lock:
+            cache = self._gtcache
+            if cache in (False, None):
+                return  # unresolved (next access builds fresh) or disabled
+            if self._gt_cache_key() != cache.key:
+                self._gtcache = False  # stale: re-resolve on next access
+
     def _build_gt_cache(self):
         scene = self.scene
         if not self.configs.get("frame_cache", True):
             return None
-        key = f"gt:{self._gt_stat_key()}:" + frame_cache_key(
-            scene.camera_list, scene.output_size, scene.K_orig,
-            scene.d, scene.K_scaled, scene.sync_ms,
-        )
         return FrameCache.open(
             self._cache_dir(), len(scene.frame_times), len(scene.camera_list),
-            scene.output_size, key, name="gt_ids", dtype=np.uint16, channels=0,
+            scene.output_size, self._gt_cache_key(),
+            name="gt_ids", dtype=np.uint16, channels=0,
             write_budget=self.configs.get("frame_cache_budget"),
         )
 

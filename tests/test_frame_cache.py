@@ -254,3 +254,52 @@ def test_put_own_handover_skips_copy(tmp_path):
     img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
     fc.put(0, 0, img, own=True)
     np.testing.assert_array_equal(fc.get(0, 0), img)
+
+
+def test_gt_full_hash_catches_middle_rewrite(tmp_path):
+    """Same-size middle-only rewrite of a >16 KiB GT PNG: invisible to the
+    default head/tail signature (documented hole), caught by the
+    gt_cache_full_hash opt-in — and refresh_gt_cache() drops the stale
+    store so the next evaluation rebuilds."""
+    import cv2
+
+    from cama_tpu.io.fixture import add_instance_masks
+
+    clip = make_fixture_clip(tmp_path, n_frames=3, with_images=False,
+                             with_lidar=False)
+    add_instance_masks(clip)
+    cam = "camera_front"
+    probe = ClipPipeline(clip_path=clip)
+    ms = probe.scene.sync_ms[cam][1]
+    path = os.path.join(clip, f"lane_ins_{cam}", f"{ms}.png")
+    # incompressible noise makes the PNG large enough that neither the 8 KiB
+    # head nor tail window covers its middle
+    rng = np.random.default_rng(0)
+    cv2.imwrite(path, (rng.random((540, 960)) < 0.5).astype(np.uint8))
+    size = os.path.getsize(path)
+    assert size > 16384
+
+    default_pipe = ClipPipeline(clip_path=clip)
+    full_pipe = ClipPipeline(clip_path=clip,
+                             configs={"gt_cache_full_hash": True})
+    k_def0 = default_pipe._gt_cache_key()
+    k_full0 = full_pipe._gt_cache_key()
+    cache0 = full_pipe.gt_mask_cache()
+    assert cache0 is not None
+
+    with open(path, "r+b") as f:  # same-size middle-only rewrite
+        f.seek(size // 2)
+        chunk = f.read(64)
+        f.seek(size // 2)
+        f.write(bytes(b ^ 0xFF for b in chunk))
+    assert os.path.getsize(path) == size
+
+    assert default_pipe._gt_cache_key() == k_def0  # the documented hole
+    assert full_pipe._gt_cache_key() != k_full0  # opt-in sees the rewrite
+    full_pipe.refresh_gt_cache()
+    cache1 = full_pipe.gt_mask_cache()
+    assert cache1 is not None and cache1.key != cache0.key
+    # default pipe: refresh is a cheap no-op when the key is unchanged
+    default_pipe.gt_mask_cache()
+    default_pipe.refresh_gt_cache()
+    assert default_pipe.gt_mask_cache() is not None
