@@ -51,6 +51,43 @@ def warmup_pipeline(pipe, sources=None):
     return out
 
 
+def warmup_batched(pipelines, sources=None):
+    """Compile the SCENE-BATCHED programs (MultiScenePipeline's per-chunk
+    device work — a different XLA shape from every solo kernel, the round-3
+    first-contact wall on the CLI's default batch_scenes path) for each
+    group of scenes sharing an output size.  Returns {source: seconds} per
+    group label.  The CLI no longer needs this to start fast (the adaptive
+    kernel serves scatter until the batched program lands), but a warmed
+    deployment skips the scatter phase entirely."""
+    import time as _time
+
+    from cama_tpu.pipeline import MultiScenePipeline
+
+    out = {}
+    groups = {}
+    for p in pipelines:
+        groups.setdefault(p.scene.output_size, []).append(p)
+    for size, group in groups.items():
+        if len(group) < 2:
+            continue
+        msp = MultiScenePipeline(group, chunk=group[0].chunk, adaptive=False)
+        label = f"{size[1]}x{size[0]}x{len(group)}"
+        entry = {}
+        for source in (sources or ("cama", "nuscenes")):
+            if not msp.members(source):
+                continue
+            t0 = _time.perf_counter()
+            state = msp._source_state(source)  # counting passes
+            r = msp._dispatch_chunk(state, 0)  # compiles the batched program
+            if r is not None:
+                import numpy as _np
+
+                _np.asarray(r)
+            entry[source] = round(_time.perf_counter() - t0, 2)
+        out[label] = entry
+    return out
+
+
 def warmup_map_eval(pipe, sources=None):
     """Compile the chunk-batched metric programs (the report tool's hot
     kernels — minutes cold through a remote-compile runtime): BOTH the
@@ -110,6 +147,7 @@ def main(argv=None):
     names = [args.scene] if args.scene else configs["scene_names"]
     report = {"scenes": {}, "native_compositor": native.available()}
     first_pipe = None
+    warmed_pipes = []
     for name in names:
         clip = os.path.join(configs["converted_dataroot"], name)
         if not os.path.exists(os.path.join(clip, "attribute.json")):
@@ -128,11 +166,16 @@ def main(argv=None):
             report["scenes"][name] = {"error": repr(e)}
             continue
         report["scenes"][name] = entry
+        warmed_pipes.append(pipe)
         if first_pipe is None:
             usable = [s for s in (sources or pipe.scene.sources)
                       if s in pipe.scene.flat]
             if usable:
                 first_pipe = (pipe, usable[0])
+
+    if len(warmed_pipes) > 1:  # the CLI's default batch_scenes shapes
+        report["batched"] = warmup_batched(
+            warmed_pipes, [args.source] if args.source else None)
 
     if first_pipe is not None:
         pipe, source = first_pipe

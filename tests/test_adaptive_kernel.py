@@ -1,8 +1,11 @@
 """The adaptive ('auto') raster kernel: first chunks serve through the
-cheap-to-compile scatter program while the production compact/two-stage
-program (and the scene-batched program in MultiScenePipeline) warms on a
-background thread — output must be bit-identical in every phase, and the
-switch must actually happen once the warm lands."""
+NumPy host lane (no device compile anywhere on the serving path) while the
+production compact/two-stage program (and the scene-batched program in
+MultiScenePipeline) warms on a background thread.  Cold-phase frames must be
+either host-lane rasters or production rasters (the switch chunk depends on
+compile latency), the host lane must closely agree with the device lane, and
+after the warm lands the stream must serve the production program
+bit-identically to an explicit 'compact' pipeline."""
 import os
 
 import numpy as np
@@ -39,15 +42,34 @@ def _collect(pipe, source):
             for idx, raster in pipe.iter_overlay_rasters(source)}
 
 
-def test_auto_solo_bit_identical_and_switches(clip):
+def _agreement(a, b):
+    return float((a == b).mean())
+
+
+def test_host_lane_matches_device_lane(clip):
+    """The pure-host stream (the adaptive lane's cold phase) must agree with
+    the device compact lane at the validate standard on every frame."""
+    compact = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="compact")
+    want = _collect(compact, "cama")
+    host = dict(compact.iter_overlay_rasters_host("cama"))
+    assert set(host) == set(want)
+    for idx in want:
+        assert _agreement(host[idx], want[idx]) > 0.999, idx
+
+
+def test_auto_solo_serves_then_switches(clip):
     compact = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="compact")
     want = _collect(compact, "cama")
 
     auto = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="auto")
-    got_cold = _collect(auto, "cama")  # may serve scatter and/or switch
+    host = dict(auto.iter_overlay_rasters_host("cama"))
+    got_cold = _collect(auto, "cama")  # host lane and/or production
     assert set(got_cold) == set(want)
     for idx in want:
-        np.testing.assert_array_equal(got_cold[idx], want[idx])
+        # deterministic acceptance: every cold frame is exactly one of the
+        # two lanes' outputs
+        assert (np.array_equal(got_cold[idx], want[idx])
+                or np.array_equal(got_cold[idx], host[idx])), idx
 
     wait_for_warm()
     key = auto._production_warm_key("cama", auto._use_2bit("cama"))
@@ -71,13 +93,17 @@ def test_auto_serving_mode_defers_then_resolves(clip):
     assert compact.serving_mode("cama") == compact.overlay_mode("cama")
 
 
-def test_auto_multi_scene_bit_identical(clips2):
+def test_auto_multi_scene_serves_then_switches(clips2):
     pipes_c = [ClipPipeline(clip_path=c, chunk=4, raster_kernel="compact")
                for c in clips2]
     msp_c = MultiScenePipeline(pipes_c, chunk=4)
     assert not msp_c.adaptive
     want = {(si, idx): r.copy()
             for si, idx, r in msp_c.iter_overlay_rasters(source="cama")}
+    host = {}
+    for si, p in enumerate(pipes_c):
+        for idx, r in p.iter_overlay_rasters_host("cama"):
+            host[(si, idx)] = r
 
     pipes_a = [ClipPipeline(clip_path=c, chunk=4, raster_kernel="auto")
                for c in clips2]
@@ -87,7 +113,8 @@ def test_auto_multi_scene_bit_identical(clips2):
            for si, idx, r in msp_a.iter_overlay_rasters(source="cama")}
     assert set(got) == set(want)
     for key in want:
-        np.testing.assert_array_equal(got[key], want[key])
+        assert (np.array_equal(got[key], want[key])
+                or np.array_equal(got[key], host[key])), key
 
     wait_for_warm()
     st = msp_a._source_state("cama")

@@ -71,6 +71,8 @@ def main(argv=None):
     # sections bench can legitimately skip (CAMA_BENCH_EVAL=0 /
     # CAMA_BENCH_MULTI=0): gated when present, informational when absent
     optional = set(floors.pop("_optional", ()))
+    # lower-is-better metrics (latencies: cli_time_to_first_video_s)
+    ceilings = floors.pop("_ceilings", {})
     metrics = flatten(bench)
 
     failures = []
@@ -84,8 +86,18 @@ def main(argv=None):
                 failures.append(f"{key}: missing from bench output (floor {floor})")
         elif got < floor:
             failures.append(f"{key}: {got} < floor {floor}")
+    for key, ceiling in ceilings.items():
+        got = metrics.get(key)
+        if got is None:
+            if key in optional:
+                skipped.append(key)
+            else:
+                failures.append(
+                    f"{key}: missing from bench output (ceiling {ceiling})")
+        elif got > ceiling:
+            failures.append(f"{key}: {got} > ceiling {ceiling}")
     report = {"backend": backend, "metrics": metrics,
-              "floors": floors, "failures": failures}
+              "floors": floors, "ceilings": ceilings, "failures": failures}
     if skipped:
         report["skipped_optional"] = skipped
     print(json.dumps(report))
