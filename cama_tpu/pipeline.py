@@ -450,12 +450,14 @@ class MultiScenePipeline:
         members = self.members(source)
         fms, Fs, pts, cls, valid, A, B, fv = self._stacked(source)
         use_2bit = all(self.pipelines[i]._use_2bit(source) for i in members)
-        dev = (jnp.asarray(pts), jnp.asarray(cls), jnp.asarray(valid))
-        st = {"members": members, "fms": fms, "Fs": Fs, "dev": dev,
+        st = {"members": members, "fms": fms, "Fs": Fs, "dev": None,
               "host_pts": (pts, cls, valid),  # numpy, for the host lane
               "host_AB": (A, B, fv), "use_2bit": use_2bit, "k": None,
               "key": None}
         if self.adaptive:
+            # device transfers DEFERRED until a device program actually
+            # serves — a transfer hard-blocks behind an in-flight background
+            # compile on the tunneled runtime (see the module rationale)
             h, w = self.pipelines[0].scene.output_size
             key = ("batched",
                    tuple(self.pipelines[i].scene.clip_path for i in members),
@@ -465,17 +467,21 @@ class MultiScenePipeline:
                 _warm_in_background(
                     key, self._build_batched_kernel(source, st))
         else:
+            st["dev"] = (jnp.asarray(pts), jnp.asarray(cls),
+                         jnp.asarray(valid))
             st["k"] = max(self.pipelines[i].overlay_mode(source)[1]
                           for i in members)
         return st
 
     def _build_batched_kernel(self, source, st):
         """Background-warm thunk for the scene-batched compact program: runs
-        every member's counting pass (sizes the shared k), compiles + executes
-        the batched program once on the first chunk, returns it ready."""
+        every member's counting pass (sizes the shared k), uploads the
+        stacked tensors, compiles + executes the batched program once on the
+        first chunk, returns it ready.  All device transfers happen HERE, on
+        the warm thread — the serving thread stays host-only until the
+        program lands."""
         h, w = self.pipelines[0].scene.output_size
         lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
-        ptsj, clsj, validj = st["dev"]
         A, B, fv = st["host_AB"]
         members, use_2bit = st["members"], st["use_2bit"]
 
@@ -487,6 +493,10 @@ class MultiScenePipeline:
                 return _overlay_chunk_batched(pts_, valid_, cls_, A_, B_, fv_,
                                               lo, hi, w, h, k, use_2bit)
 
+            pts, cls, valid = st["host_pts"]
+            st["dev"] = (jnp.asarray(pts), jnp.asarray(cls),
+                         jnp.asarray(valid))
+            ptsj, clsj, validj = st["dev"]
             sl = slice(0, self.chunk)
             np.asarray(fn(ptsj, validj, clsj, jnp.asarray(A[:, sl]),
                           jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl])))
@@ -500,7 +510,6 @@ class MultiScenePipeline:
         shared across scenes — the tensors are padded to a common P) until
         the batched program lands, then switches; rasters are bit-identical
         either way."""
-        ptsj, clsj, validj = state["dev"]
         A, B, fv = state["host_AB"]
         if s >= fv.shape[1]:
             return None
@@ -509,14 +518,20 @@ class MultiScenePipeline:
         sl = slice(s, s + self.chunk)
         fn = _warm_fn(state["key"]) if state["key"] is not None else None
         if fn is None and state["key"] is not None:
-            # adaptive cold: per-scene HOST-LANE chunks (no device compile
-            # anywhere on the serving path — see the module-level rationale)
+            # adaptive cold: per-scene HOST-LANE chunks with ZERO device
+            # interaction (even a transfer hard-blocks behind the in-flight
+            # background compile — see the module-level rationale)
             pts_np, cls_np, valid_np = state["host_pts"]
             return [
                 _host_overlay_chunk(pts_np[i], valid_np[i], cls_np[i],
                                     A[i, sl], B[i, sl], fv[i, sl],
                                     lo, hi, w, h)
                 for i in range(pts_np.shape[0])]
+        if state["dev"] is None:  # adaptive: first post-warm dispatch
+            pts_np, cls_np, valid_np = state["host_pts"]
+            state["dev"] = (jnp.asarray(pts_np), jnp.asarray(cls_np),
+                            jnp.asarray(valid_np))
+        ptsj, clsj, validj = state["dev"]
         Aj = jnp.asarray(A[:, sl])
         Bj = jnp.asarray(B[:, sl])
         fvj = jnp.asarray(fv[:, sl])
@@ -777,52 +792,62 @@ class ClipPipeline:
         compositor decodes it during the paint pass, so the host never
         materializes the unpacked raster."""
         fm, A, B, fv, F = self._chunked_AB(source)
-        points, cls, valid = self.device_points(source)
         use_2bit = self._use_2bit(source)
         h, w = self.scene.output_size
+        lo, hi = self._crop_lo, self._crop_hi
         if self.raster_kernel == "auto":
             key = self._production_warm_key(source, use_2bit)
             if _warm_fn(key) is None:
-                first = (points, valid, cls, jnp.asarray(A[:self.chunk]),
-                         jnp.asarray(B[:self.chunk]),
-                         jnp.asarray(fv[:self.chunk]))
                 _warm_in_background(
-                    key, self._build_production_kernel(source, use_2bit, first))
-            host_pts = np.asarray(self.scene.flat[source].points)
-            host_valid = np.asarray(self.scene.flat[source].valid)
-            host_cls = np.asarray(self.scene.flat[source].cls)
+                    key, self._build_production_kernel(
+                        source, use_2bit,
+                        (A[:self.chunk], B[:self.chunk], fv[:self.chunk])))
+            fp = self.scene.flat[source]
 
-            def kernel(points, valid, cls, A_j, B_j, fv_j, lo, hi, w_, h_):
+            def dispatch(A_np, B_np, fv_np):
                 fn = _warm_fn(key)  # per-chunk: switch the moment it lands
                 if fn is not None:
-                    return fn(points, valid, cls, A_j, B_j, fv_j)
-                # host lane: no device compile anywhere on the serving path
-                return _host_overlay_chunk(
-                    host_pts, host_valid, host_cls, np.asarray(A_j),
-                    np.asarray(B_j), np.asarray(fv_j), lo, hi, w_, h_)
-        elif self.raster_kernel == "pallas":
-            _, k_compact = self.overlay_mode(source)
+                    points, cls, valid = self.device_points(source)
+                    return fn(points, valid, cls, jnp.asarray(A_np),
+                              jnp.asarray(B_np), jnp.asarray(fv_np))
+                # host lane: ZERO device interaction — even an array
+                # transfer hard-blocks behind an in-flight background
+                # compile on the tunneled runtime (measured 248 s to the
+                # first frame when the matrices were uploaded per chunk)
+                return _host_overlay_chunk(fp.points, fp.valid, fp.cls,
+                                           A_np, B_np, fv_np, lo, hi, w, h)
+        else:
+            points, cls, valid = self.device_points(source)
+            if self.raster_kernel == "pallas":
+                _, k_compact = self.overlay_mode(source)
 
-            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                return _overlay_chunk_pallas(points, valid, cls, A, B, fv,
-                                             lo, hi, w_, h_, k_compact, use_2bit)
-        elif self.raster_kernel == "compact":
-            _, k_compact = self.overlay_mode(source)
-            k1 = self._two_stage.get(source)
-            if k1 is not None:
-                def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                    return _overlay_chunk_two_stage(points, valid, cls, A, B, fv,
-                                                    lo, hi, w_, h_, k1,
-                                                    min(k_compact, k1), use_2bit)
-            else:
-                def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                    return _overlay_chunk_compact(points, valid, cls, A, B, fv, lo, hi,
-                                                  w_, h_, k_compact, use_2bit)
-        else:  # 'scatter': sort-free, cheap to compile
+                def kernel(A_j, B_j, fv_j):
+                    return _overlay_chunk_pallas(points, valid, cls,
+                                                 A_j, B_j, fv_j, lo, hi, w, h,
+                                                 k_compact, use_2bit)
+            elif self.raster_kernel == "compact":
+                _, k_compact = self.overlay_mode(source)
+                k1 = self._two_stage.get(source)
+                if k1 is not None:
+                    def kernel(A_j, B_j, fv_j):
+                        return _overlay_chunk_two_stage(
+                            points, valid, cls, A_j, B_j, fv_j, lo, hi, w, h,
+                            k1, min(k_compact, k1), use_2bit)
+                else:
+                    def kernel(A_j, B_j, fv_j):
+                        return _overlay_chunk_compact(
+                            points, valid, cls, A_j, B_j, fv_j, lo, hi, w, h,
+                            k_compact, use_2bit)
+            else:  # 'scatter': sort-free
 
-            def kernel(points, valid, cls, A, B, fv, lo, hi, w_, h_):
-                r = _overlay_chunk(points, valid, cls, A, B, fv, lo, hi, w_, h_)
-                return pack_cls_2bit(r) if use_2bit else r
+                def kernel(A_j, B_j, fv_j):
+                    r = _overlay_chunk(points, valid, cls, A_j, B_j, fv_j,
+                                       lo, hi, w, h)
+                    return pack_cls_2bit(r) if use_2bit else r
+
+            def dispatch(A_np, B_np, fv_np):
+                return kernel(jnp.asarray(A_np), jnp.asarray(B_np),
+                              jnp.asarray(fv_np))
 
         def drain(entry):
             s, rasters = entry
@@ -844,11 +869,7 @@ class ClipPipeline:
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
             with self.timers.phase("device_dispatch"):
-                rasters = kernel(
-                    points, valid, cls,
-                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                    self._crop_lo, self._crop_hi, w, h,
-                )
+                rasters = dispatch(A[sl], B[sl], fv[sl])
                 try:
                     rasters.copy_to_host_async()
                 except Exception:
@@ -1305,12 +1326,14 @@ class ClipPipeline:
         return ("solo", self.scene.clip_path, source, P, self.chunk, w, h,
                 use_2bit)
 
-    def _build_production_kernel(self, source, use_2bit, first_args):
+    def _build_production_kernel(self, source, use_2bit, first_np):
         """Background-warm thunk: run the counting pass (sizes k / the
         two-stage split), build the compact or two-stage closure, compile AND
         execute it once on the first chunk's real arrays, return it ready to
-        serve.  Runs on a daemon thread; the stream keeps serving scatter
-        chunks meanwhile."""
+        serve.  Runs on a daemon thread; the stream keeps serving host-lane
+        chunks meanwhile.  ALL device transfers (points upload, matrix
+        slices) happen inside this thunk — the serving thread must never
+        touch the device while this compile is in flight."""
         lo, hi = self._crop_lo, self._crop_hi
         h, w = self.scene.output_size
 
@@ -1331,7 +1354,10 @@ class ClipPipeline:
                         points, valid, cls, A, B, fv, lo, hi, w, h, k,
                         use_2bit)
 
-            np.asarray(fn(*first_args))  # compile + one real execution
+            points, cls, valid = self.device_points(source)
+            np.asarray(fn(points, valid, cls,
+                          jnp.asarray(first_np[0]), jnp.asarray(first_np[1]),
+                          jnp.asarray(first_np[2])))  # compile + one real run
             return fn
 
         return build
@@ -1355,18 +1381,19 @@ class ClipPipeline:
         if _warm_fn(skey) is not None:
             return mode, k
         fm, A, B, fv, F = self._chunked_AB(source)
-        points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
         lo, hi = self._crop_lo, self._crop_hi
-        first = (points, valid, cls, jnp.asarray(A[:self.chunk]),
-                 jnp.asarray(B[:self.chunk]), jnp.asarray(fv[:self.chunk]))
+        first_np = (A[:self.chunk], B[:self.chunk], fv[:self.chunk])
 
-        def build():
-            def fn(points, valid, cls, A, B, fv):
-                return _project_compact_chunk(points, valid, cls, A, B, fv,
-                                              lo, hi, w, h, k)
+        def build():  # device transfers stay inside the warm thread
+            def fn(points, valid, cls, A_j, B_j, fv_j):
+                return _project_compact_chunk(points, valid, cls,
+                                              A_j, B_j, fv_j, lo, hi, w, h, k)
 
-            jax.block_until_ready(fn(*first))
+            points, cls, valid = self.device_points(source)
+            jax.block_until_ready(fn(
+                points, valid, cls, jnp.asarray(first_np[0]),
+                jnp.asarray(first_np[1]), jnp.asarray(first_np[2])))
             return fn
 
         _warm_in_background(skey, build)
