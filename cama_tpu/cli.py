@@ -132,10 +132,11 @@ def _prepare_scene(configs, scene_name, output_dir, output_video_dir, state):
 
     # Step 3: compile the scene (served from the scene cache on re-runs).
     # The CLI defaults to the ADAPTIVE kernel: first chunks stream through
-    # the seconds-to-compile scatter program while the production compact
-    # program warms in the background — a fresh process's first video frame
-    # lands in seconds, not behind the minutes-scale sort compile
-    # (configurable via cama_configs.raster_kernel)
+    # the NumPy host lane (zero device compiles on the serving path) while
+    # the production compact program warms in the background — a fresh
+    # process's first video frame lands in seconds, not behind the
+    # minutes-scale remote compile (configurable via
+    # cama_configs.raster_kernel)
     kern = (configs.get("cama_configs") or {}).get("raster_kernel") or "auto"
     pipe = ClipPipeline(configs.get("cama_configs"), clip_path,
                         raster_kernel=kern)
@@ -274,5 +275,28 @@ def main(argv=None):
     return 1 if failures else 0
 
 
+def exit_after(rc):
+    """Process-entrypoint exit (main.py / the cama-tpu console script —
+    NEVER library callers): when a background kernel warm is still compiling
+    on the remote service (short run: the host lane served every frame
+    before the switchover), interpreter teardown racing that RPC can abort
+    the process (C++ terminate in the PJRT client, observed rc=134).  Run
+    the registered exit work (write-behind cache drains), then leave without
+    teardown."""
+    from cama_tpu.pipeline import warms_in_flight
+
+    if warms_in_flight():
+        import atexit
+
+        atexit._run_exitfuncs()
+        os._exit(rc)
+    raise SystemExit(rc)
+
+
+def main_entry(argv=None):
+    """Console-script / python -m entrypoint: main() + crash-safe exit."""
+    exit_after(main(argv))
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main_entry()

@@ -140,6 +140,16 @@ def wait_for_warm(timeout=None):
         ev.wait(timeout)
 
 
+def warms_in_flight():
+    """True while any background kernel warm is still compiling.  Short-lived
+    processes (the CLI) must not let interpreter teardown race an in-flight
+    remote compile — the PJRT client can C++-terminate the process (observed
+    as rc=134 'terminate called ... FATAL: exception not rethrown'); see
+    cli.main's hard-exit path."""
+    with _WARM_LOCK:
+        return bool(_WARMING)
+
+
 def _host_project_chunk(points, valid, A, B, fv, width, height, lo, hi):
     """NumPy float64 mirror of ops.geometry.project_frames (same formulas,
     same mask ordering incl. the reference's vacuous post-division z-test
@@ -416,7 +426,11 @@ class MultiScenePipeline:
         if not pipelines:
             raise ValueError(f"no member scene carries source {source!r}")
         mats = [p._chunked_AB(source) for p in pipelines]
-        devs = [p.device_points(source) for p in pipelines]
+        # host flat tensors, NOT device_points: a device round-trip here
+        # would block behind any in-flight background compile (found as a
+        # 3-minute stall before the CLI's first frame)
+        devs = [(p.scene.flat[source].points, p.scene.flat[source].cls,
+                 p.scene.flat[source].valid) for p in pipelines]
         P = max(d[0].shape[0] for d in devs)
         Fp = max(len(m[2]) for m in mats)  # padded frame counts
         Fp = -(-Fp // self.chunk) * self.chunk
