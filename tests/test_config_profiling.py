@@ -92,10 +92,11 @@ def test_perf_gate_floor_logic(tmp_path):
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     line = {"metric": "m", "value": 700.0,
-            "details": {"overlay_stream_fps": 30.0, "end_to_end_video_fps": 190.0,
+            "details": {"overlay_stream_fps": 30.0, "frame_stream_fps": 190.0,
                         "dual_video_write_fps": 25.0,
-                        "dual_video_write_cold_fps": 5.0,
+                        "dual_video_write_cold_fps": 8.0,
                         "multi_scene_stream_fps_batched": 500.0,
+                        "cli_time_to_first_video_s": 9.0,
                         "backend": "tpu"}}
     p = tmp_path / "bench.json"
     p.write_text(json.dumps(line))
@@ -114,7 +115,7 @@ def test_perf_gate_floor_logic(tmp_path):
     # host-path floors relax when the native compositor is unavailable
     # (NumPy-fallback e2e ~115 must pass via _no_native_overrides)
     line["value"] = 700.0
-    line["details"]["end_to_end_video_fps"] = 115.0
+    line["details"]["frame_stream_fps"] = 115.0
     line["details"]["native_compositor"] = False
     p.write_text(json.dumps(line))
     r = subprocess.run([sys.executable, gate, "--from", str(p)],
@@ -126,7 +127,16 @@ def test_perf_gate_floor_logic(tmp_path):
     r = subprocess.run([sys.executable, gate, "--from", str(p)],
                        capture_output=True, text=True)
     assert r.returncode == 1
-    assert "end_to_end_video_fps" in r.stdout
+    assert "frame_stream_fps" in r.stdout
+
+    # ceilings: a lower-is-better metric over its bound must trip the gate
+    line["details"]["frame_stream_fps"] = 190.0
+    line["details"]["cli_time_to_first_video_s"] = 45.0
+    p.write_text(json.dumps(line))
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 1
+    assert "ceiling" in r.stdout
 
 
 def test_normalize_site_entry_shapes():
