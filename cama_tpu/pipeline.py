@@ -1275,17 +1275,83 @@ class ClipPipeline:
                 one(it)
         return True
 
+    def _counts_sidecar_key(self, source):
+        """Everything that determines the counting pass's maxima: the point
+        tensors, the frame matrices (trajectory + calibration + sync), the
+        crop box, and the output size."""
+        import hashlib
+
+        fm = self.frame_matrices(source)
+        fp = self.scene.flat[source]
+        h = hashlib.sha256()
+        for arr in (fp.points, fp.valid, fp.cls, fm.A, fm.B, fm.frame_valid,
+                    self._crop_lo, self._crop_hi):
+            h.update(np.ascontiguousarray(arr).tobytes())
+        h.update(repr((source, tuple(self.scene.output_size))).encode())
+        return h.hexdigest()
+
+    def _counts_sidecar_load(self, path, key):
+        try:
+            import json
+
+            with open(path) as f:
+                data = json.load(f)
+            entry = data.get(key)
+            return (int(entry[0]), int(entry[1])) if entry else None
+        except (OSError, ValueError, TypeError, IndexError):
+            return None
+
+    def _counts_sidecar_store(self, path, key, mc_crop, mc):
+        try:
+            import json
+
+            data = {}
+            if os.path.exists(path):
+                try:
+                    with open(path) as f:
+                        data = json.load(f)
+                except (OSError, ValueError):
+                    data = {}
+            data[key] = [int(mc_crop), int(mc)]
+            # bound the sidecar: keep the most recent entries only
+            if len(data) > 32:
+                data = dict(list(data.items())[-32:])
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            tmp = f"{path}.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(data, f)
+            os.replace(tmp, path)
+        except OSError:
+            pass  # unwritable clip dir: counts just re-measure next run
+
     def overlay_mode(self, source):
         """Pick 'sparse' vs 'raster' from measured effective (deduped)
         kept-point counts: one cheap device counting pass, then sparse only if
         its per-frame bytes beat the 2-bit dense raster.  The count also sizes
-        the dense path's compact scatter (it cannot overflow, same inputs)."""
+        the dense path's compact scatter (it cannot overflow, same inputs).
+
+        The measured maxima persist in a per-clip sidecar
+        (.cama_tpu/overlay_counts.json, keyed by a content hash of every
+        counting input), so later processes skip the counting dispatches
+        entirely — the adaptive kernel's background warm then only pays the
+        production compile, and cold CLI/bench runs skip ~F/chunk device
+        round-trips."""
         if source in self._mode:
             return self._mode[source]
         fm, A, B, fv, F = self._chunked_AB(source)
-        points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
+        fp = self.scene.flat[source]
+        P = int(fp.points.shape[0])
 
+        sidecar = key = None
+        if self.configs.get("scene_cache", True):
+            sidecar = os.path.join(self._cache_dir(), "overlay_counts.json")
+            key = self._counts_sidecar_key(source)
+            cached = self._counts_sidecar_load(sidecar, key)
+            if cached is not None:
+                return self._finish_overlay_mode(source, *cached, P)
+
+        points, cls, valid = self.device_points(source)
         # chunked so the compiled program is shared with other scenes of the
         # same chunk size and point padding
         crop_maxes, eff_maxes = [], []
@@ -1302,7 +1368,15 @@ class ClipPipeline:
             eff_maxes.append(c2)
         mc_crop = max(int(m) for m in crop_maxes)
         mc = max(int(m) for m in eff_maxes)
-        P = int(points.shape[0])
+        if sidecar is not None:
+            self._counts_sidecar_store(sidecar, key, mc_crop, mc)
+        return self._finish_overlay_mode(source, mc_crop, mc, P)
+
+    def _finish_overlay_mode(self, source, mc_crop, mc, P):
+        """Turn measured counting maxima into the (mode, k) decision + the
+        two-stage split (shared by the live counting pass and the persisted
+        sidecar path)."""
+        h, w = self.scene.output_size
 
         def pow2(n):
             # static compile args: coarse rounding means far more

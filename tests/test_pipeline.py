@@ -167,3 +167,40 @@ def test_multi_scene_pipeline_matches_per_scene(tmp_path):
         for idx, r in singles.items():
             np.testing.assert_array_equal(got[(si, idx)], r,
                                           err_msg=f"scene {si} frame {idx}")
+
+
+def test_overlay_counts_sidecar_round_trip(clip):
+    """The counting maxima persist per clip: a second pipeline must resolve
+    overlay_mode WITHOUT any counting dispatch, and a changed input (crop)
+    must miss the sidecar key."""
+    import cama_tpu.pipeline as pl
+
+    p1 = ClipPipeline(clip_path=clip, chunk=4)
+    want = p1.overlay_mode("cama")
+    want_two_stage = p1._two_stage.get("cama")
+    sidecar = os.path.join(p1._cache_dir(), "overlay_counts.json")
+    assert os.path.exists(sidecar)
+
+    calls = {"n": 0}
+    real = pl._count_chunk
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    import pytest
+
+    mp = pytest.MonkeyPatch()
+    try:
+        mp.setattr(pl, "_count_chunk", spy)
+        p2 = ClipPipeline(clip_path=clip, chunk=4)
+        assert p2.overlay_mode("cama") == want
+        assert p2._two_stage.get("cama") == want_two_stage
+        assert calls["n"] == 0, "sidecar hit must skip the counting pass"
+        # different counting inputs -> different key -> counting runs
+        p3 = ClipPipeline(clip_path=clip, chunk=4)
+        p3._crop_hi = p3._crop_hi + 1.0
+        p3.overlay_mode("cama")
+        assert calls["n"] > 0
+    finally:
+        mp.undo()
