@@ -241,9 +241,14 @@ def _run_sites(configs, prepared, output_dir, output_video_dir):
             print(f"[{name}] aggregating {len(members)} scenes"
                   + (" (+refine)" if refine else ""))
             # reuse the scenes the pipelines above already compiled — a site
-            # member is never re-lifted
+            # member is never re-lifted.  Member-video pipelines inherit the
+            # adaptive kernel so a fresh process's site videos also start on
+            # the host lane instead of a synchronous compile
+            site_cfgs = dict(configs.get("cama_configs") or {})
+            if not site_cfgs.get("raster_kernel"):
+                site_cfgs["raster_kernel"] = "auto"
             site = Site.from_clips(
-                clips, configs=configs.get("cama_configs"), refine=refine,
+                clips, configs=site_cfgs, refine=refine,
                 scenes=[by_name[m].scene for m in members])
             out_json = os.path.join(output_video_dir, f"{name}_labels.json")
             site.save_labels_json(out_json)
