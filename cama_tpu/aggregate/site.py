@@ -113,6 +113,31 @@ def _chamfer_pairs(pts, w, ii, jj):
     return 0.5 * (jnp.sum(d_ab * wa, axis=1) + jnp.sum(d_ba * wb, axis=1))
 
 
+# below this many candidate pairs the NumPy chamfer runs the whole dedupe in
+# well under a second — using it avoids the minutes-scale remote compile of
+# _chamfer_pairs in fresh processes (the same rationale as the pipeline's
+# adaptive host lane); larger sites amortize the one-time device compile
+HOST_CHAMFER_MAX_PAIRS = 4096
+
+
+def _chamfer_pairs_host(pts, w, ii, jj):
+    """NumPy float32 mirror of _chamfer_pairs (same formula, same masking);
+    blocked so the [B, S, S] distance tensor stays ~33 MB."""
+    out = np.empty(len(ii), np.float32)
+    for s in range(0, len(ii), PAIR_BLOCK):
+        bi, bj = ii[s:s + PAIR_BLOCK], jj[s:s + PAIR_BLOCK]
+        a, b = pts[bi], pts[bj]
+        wa, wb = w[bi], w[bj]
+        d2 = np.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2,
+                    axis=-1, dtype=np.float32)
+        inf = np.float32(1e30)
+        d_ab = np.sqrt(np.min(np.where(wb[:, None, :] > 0, d2, inf), axis=2))
+        d_ba = np.sqrt(np.min(np.where(wa[:, :, None] > 0, d2, inf), axis=1))
+        out[s:s + PAIR_BLOCK] = 0.5 * (np.sum(d_ab * wa, axis=1)
+                                       + np.sum(d_ba * wb, axis=1))
+    return out
+
+
 def _candidate_pairs(instances, subsample, tol):
     """Shared prefilter for dedupe and refinement: subsample every instance
     once (fresh rng(0) per instance — same draw chamfer_distance makes) into
@@ -220,7 +245,11 @@ class Site:
             return 0
         pts, w, ii, jj, _, _ = _candidate_pairs(self.instances, subsample, tol)
         close = np.zeros((I, I), bool)
-        if len(ii):
+        if 0 < len(ii) <= HOST_CHAMFER_MAX_PAIRS:
+            # small sites: the NumPy chamfer finishes in well under a second
+            # — never pay a fresh-process device compile for it
+            close[jj, ii] = _chamfer_pairs_host(pts, w, ii, jj) < tol
+        elif len(ii):
             pts_d, w_d = jnp.asarray(pts), jnp.asarray(w)
             dists = []
             for s in range(0, len(ii), PAIR_BLOCK):

@@ -291,3 +291,25 @@ def test_voxel_downsample_utm_scale():
     pts = offset + np.array([[0.0, 0, 0], [0.05, 0, 0], [0.31, 0, 0]])
     out = voxel_downsample(pts, 0.2)
     assert len(out) == 2  # first two share a voxel; third is its own
+
+
+def test_host_chamfer_matches_device():
+    """The NumPy chamfer fallback (small-site dedupe without a device
+    compile) must match the jitted _chamfer_pairs."""
+    import numpy as np
+
+    from cama_tpu.aggregate.site import _chamfer_pairs, _chamfer_pairs_host
+
+    rng = np.random.default_rng(7)
+    I, S = 6, 32
+    pts = rng.normal(size=(I, S, 3)).astype(np.float32)
+    w = np.zeros((I, S), np.float32)
+    for k in range(I):
+        n = rng.integers(5, S)
+        w[k, :n] = 1.0 / n
+        pts[k, n:] = 0
+    ii = np.asarray([0, 1, 2, 3], np.int32)
+    jj = np.asarray([1, 2, 3, 4], np.int32)
+    host = _chamfer_pairs_host(pts, w, ii, jj)
+    dev = np.asarray(_chamfer_pairs(pts, w, ii, jj))
+    np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
