@@ -476,31 +476,58 @@ def _stage(name):
     print(f"bench: {name}...", file=sys.stderr, flush=True)
 
 
+# soft wall-clock budget: the remote compile service's latency varies from
+# seconds to minutes per program; when a run lands in a slow phase, optional
+# stages are SKIPPED past this budget so the round still gets its JSON line
+# (a missing optional metric reads as skipped in perf_gate, not a failure)
+BENCH_BUDGET_S = float(os.environ.get("CAMA_BENCH_BUDGET_S", "1800"))
+_T_START = time.perf_counter()
+
+
+def _optional_stage(name, env, thunk, default):
+    """Run an optional bench stage with budget + failure isolation."""
+    if os.environ.get(env, "1") == "0":
+        return default
+    elapsed = time.perf_counter() - _T_START
+    if elapsed > BENCH_BUDGET_S:
+        print(f"bench: SKIPPING {name} (over {BENCH_BUDGET_S:.0f}s budget "
+              f"at {elapsed:.0f}s — slow compile-service phase)",
+              file=sys.stderr, flush=True)
+        return default
+    _stage(name)
+    try:
+        return thunk()
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        return default
+
+
 def main():
     clip = get_fixture()
     _stage("core pipeline")
     e2e_fps, stream_fps, dev_fps, dual_fps, dual_cold_fps, n = bench_ours(clip)
-    ms_batched = ms_seq = None
-    if os.environ.get("CAMA_BENCH_MULTI", "1") != "0":
-        _stage("multi-scene batching")
-        ms_batched, ms_seq = bench_multi_scene()
-    map_eval_fps = None
-    if os.environ.get("CAMA_BENCH_EVAL", "1") != "0":
-        _stage("map evaluation")
-        map_eval_fps = bench_map_eval(clip)
-    wide_fps = wide_points = wide_eval_fps = None
-    if os.environ.get("CAMA_BENCH_WIDE", "1") != "0":
-        _stage("wide scene (compute-bound regime)")
-        wide_fps, wide_points, wide_clip = bench_wide_scene()
-        wide_eval_fps = bench_wide_eval(wide_clip)
-    cli_first = cli_wall = None
-    if os.environ.get("CAMA_BENCH_CLI", "1") != "0":
-        _stage("CLI fresh-process first frame")
-        cli_first, cli_wall = bench_cli_first_frame()
-    val_info = {}
-    if os.environ.get("CAMA_BENCH_VALIDATE", "1") != "0":
-        _stage("pixel-parity validation")
-        val_info = run_validate(clip)
+    ms_batched, ms_seq = _optional_stage(
+        "multi-scene batching", "CAMA_BENCH_MULTI",
+        bench_multi_scene, (None, None))
+    map_eval_fps = _optional_stage(
+        "map evaluation", "CAMA_BENCH_EVAL", lambda: bench_map_eval(clip),
+        None)
+
+    def wide():
+        fps, pts, wclip = bench_wide_scene()
+        return fps, pts, bench_wide_eval(wclip)
+
+    wide_fps, wide_points, wide_eval_fps = _optional_stage(
+        "wide scene (compute-bound regime)", "CAMA_BENCH_WIDE", wide,
+        (None, None, None))
+    cli_first, cli_wall = _optional_stage(
+        "CLI fresh-process first frame", "CAMA_BENCH_CLI",
+        bench_cli_first_frame, (None, None))
+    val_info = _optional_stage(
+        "pixel-parity validation", "CAMA_BENCH_VALIDATE",
+        lambda: run_validate(clip), {})
     _stage("reference loop")
     ref_runs = bench_reference(clip, REF_FRAME_BUDGET)
     ref_fps = float(np.mean(ref_runs)) if ref_runs else None
