@@ -103,10 +103,38 @@ def _warm_fn(key):
         return _WARM_FNS.get(key)
 
 
+_WARM_QUEUE = None  # feeds ONE shared daemon worker: warms run sequentially
+
+
+def _warm_submit(fn):
+    """Queue a warm job on the single shared DAEMON worker.  One at a time:
+    concurrent compiles contend on the remote compile service, so queued
+    warms land strictly in request order and the first stream switches to
+    its production program as early as possible.  A daemon thread (not a
+    ThreadPoolExecutor, whose workers are joined at interpreter exit) keeps
+    process exit from blocking minutes on an in-flight compile — the CLI's
+    exit_after handles the teardown race instead."""
+    global _WARM_QUEUE
+    with _WARM_LOCK:
+        if _WARM_QUEUE is None:
+            import queue as _q
+
+            _WARM_QUEUE = _q.SimpleQueue()
+
+            def loop():
+                while True:
+                    job = _WARM_QUEUE.get()
+                    job()
+
+            _threading.Thread(target=loop, daemon=True,
+                              name="kernel-warm").start()
+    _WARM_QUEUE.put(fn)
+
+
 def _warm_in_background(key, build_and_run):
-    """Run build_and_run() (returns the ready callable) on a daemon thread,
-    once per key; on success later _warm_fn(key) calls serve it.  A failed
-    warm leaves the fallback kernel serving — never the stream."""
+    """Queue build_and_run() (returns the ready callable) on the shared warm
+    worker, once per key; on success later _warm_fn(key) calls serve it.  A
+    failed warm leaves the fallback lane serving — never the stream."""
     with _WARM_LOCK:
         if key in _WARM_FNS or key in _WARMING:
             return _WARMING.get(key)
@@ -118,7 +146,7 @@ def _warm_in_background(key, build_and_run):
             fn = build_and_run()
             with _WARM_LOCK:
                 _WARM_FNS[key] = fn
-        except Exception:  # pragma: no cover - degrade to the fallback kernel
+        except Exception:  # pragma: no cover - degrade to the fallback lane
             import traceback
 
             traceback.print_exc()
@@ -127,7 +155,7 @@ def _warm_in_background(key, build_and_run):
             with _WARM_LOCK:
                 _WARMING.pop(key, None)
 
-    _threading.Thread(target=run, daemon=True, name="kernel-warm").start()
+    _warm_submit(run)
     return ev
 
 

@@ -195,3 +195,24 @@ def test_warmup_map_eval_probes_past_missing_gt(tmp_path):
         os.remove(p)
     pipe2 = ClipPipeline(clip_path=str(clip), chunk=2)
     assert warmup_map_eval(pipe2) is None
+
+
+def test_main_entry_subprocess_exits_cleanly(two_scene_ws):
+    """The real process entrypoint (main.py -> cli.main_entry): a fresh
+    subprocess must finish rc=0 and write every video even when a background
+    kernel warm is still compiling at exit (cli.exit_after's crash-safe
+    path — teardown racing an in-flight remote compile used to abort the
+    process with rc=134)."""
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "main.py"),
+         "--config", two_scene_ws["config"]],
+        capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stdout[-1500:] + r.stderr[-1500:]
+    assert "first video frame at" in r.stdout
+    videos = os.listdir(two_scene_ws["root"] / "videos")
+    for name in ("scene-a", "scene-b"):
+        assert f"{name}_cama.mp4" in videos
