@@ -559,6 +559,8 @@ class MultiScenePipeline:
         lo, hi = self.pipelines[0]._crop_lo, self.pipelines[0]._crop_hi
         sl = slice(s, s + self.chunk)
         fn = _warm_fn(state["key"]) if state["key"] is not None else None
+        if fn is not None and warms_in_flight():
+            fn = None  # another compile in flight: host lane outruns stalls
         if fn is None and state["key"] is not None:
             # adaptive cold: per-scene HOST-LANE chunks with ZERO device
             # interaction (even a transfer hard-blocks behind the in-flight
@@ -848,14 +850,15 @@ class ClipPipeline:
 
             def dispatch(A_np, B_np, fv_np):
                 fn = _warm_fn(key)  # per-chunk: switch the moment it lands
-                if fn is not None:
+                # serve device ONLY when no warm is in flight anywhere:
+                # even an array transfer hard-blocks behind an in-flight
+                # background compile on the tunneled runtime (248 s to the
+                # first frame measured), and dispatches of already-compiled
+                # programs degrade ~40x — the host lane outruns both
+                if fn is not None and not warms_in_flight():
                     points, cls, valid = self.device_points(source)
                     return fn(points, valid, cls, jnp.asarray(A_np),
                               jnp.asarray(B_np), jnp.asarray(fv_np))
-                # host lane: ZERO device interaction — even an array
-                # transfer hard-blocks behind an in-flight background
-                # compile on the tunneled runtime (measured 248 s to the
-                # first frame when the matrices were uploaded per chunk)
                 return _host_overlay_chunk(fp.points, fp.valid, fp.cls,
                                            A_np, B_np, fv_np, lo, hi, w, h)
         else:
@@ -1494,7 +1497,9 @@ class ClipPipeline:
         if mode != "sparse":
             return mode, k
         skey = self._production_warm_key(source, False) + ("sparse", k)
-        if _warm_fn(skey) is not None:
+        # sparse only serves when its program is warm AND nothing else is
+        # compiling (its device transfers would hard-block otherwise)
+        if _warm_fn(skey) is not None and not warms_in_flight():
             return mode, k
         fm, A, B, fv, F = self._chunked_AB(source)
         h, w = self.scene.output_size
