@@ -328,7 +328,13 @@ def main(argv=None):
             item = {"error": "clip not converted"}
         else:
             try:
-                item = ClipPipeline(configs.get("cama_configs"), clip)
+                # adaptive kernel like the CLI: a fresh report process's
+                # thumbnails stream from the host lane instead of waiting
+                # on device compiles (cama_configs.raster_kernel overrides)
+                kern = (configs.get("cama_configs") or {}).get(
+                    "raster_kernel") or "auto"
+                item = ClipPipeline(configs.get("cama_configs"), clip,
+                                    raster_kernel=kern)
             except Exception as e:
                 import traceback
 
@@ -384,5 +390,13 @@ def main(argv=None):
     return 1 if failures else 0
 
 
+def main_entry(argv=None):
+    """Console-script entrypoint: main() + crash-safe exit while a
+    background kernel warm is still compiling (see cli.exit_after)."""
+    from cama_tpu.cli import exit_after
+
+    exit_after(main(argv))
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main_entry()
