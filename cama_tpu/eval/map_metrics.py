@@ -355,6 +355,74 @@ def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
     }
 
 
+def frame_metrics_host(gt_mask, vu, keep, max_radius, tolerance,
+                       distance="chebyshev"):
+    """NumPy/SciPy mirror of frame_metrics — the evaluation host backend.
+
+    Same semantics as the device implementation: 'chebyshev' uses the exact
+    chessboard distance transform (scipy distance_transform_cdt == the
+    device's iterated 8-neighborhood dilation count, integer-exact) capped
+    at rounds=max(max_radius, tolerance+1); 'euclidean' uses the exact EDT.
+    Exists so evaluation runs on accelerator-less hosts and in fresh
+    processes without waiting on the minutes-scale remote compile of the
+    metric programs (MapEvaluator(backend='host'))."""
+    from scipy import ndimage
+
+    gt_mask = np.asarray(gt_mask, bool)
+    C, H, W = gt_mask.shape
+    vi = np.clip(np.asarray(vu)[..., 0].astype(np.int32), 0, H - 1)
+    ui = np.clip(np.asarray(vu)[..., 1].astype(np.int32), 0, W - 1)
+    keep = np.asarray(keep, bool)
+    kf = keep.astype(np.float32)
+
+    # projected-point raster per camera (for recall)
+    pr = np.zeros((C, H, W), bool)
+    for c in range(C):
+        pr[c, vi[c][keep[c]], ui[c][keep[c]]] = True
+
+    if distance == "euclidean":
+        def dist_to(mask_c):  # float distance to nearest True, inf if none
+            if not mask_c.any():
+                return np.full((H, W), np.inf, np.float32)
+            return ndimage.distance_transform_edt(~mask_c).astype(np.float32)
+
+        sre_sum = n_hit = 0.0
+        gt_covered = 0.0
+        for c in range(C):
+            d = dist_to(gt_mask[c])
+            d_pts = d[vi[c], ui[c]]
+            sre_sum += float(np.sum(np.minimum(d_pts, float(max_radius)) * kf[c]))
+            n_hit += float(np.sum((d_pts <= float(tolerance)) * kf[c]))
+            dp = dist_to(pr[c])
+            gt_covered += float(np.sum(gt_mask[c] & (dp <= float(tolerance))))
+    else:
+        rounds = max(max_radius, tolerance + 1)
+
+        def cheb_to(mask_c, cap):  # capped chessboard distance to True
+            if not mask_c.any():
+                return np.full((H, W), cap, np.int32)
+            d = ndimage.distance_transform_cdt(~mask_c, metric="chessboard")
+            return np.minimum(d, cap).astype(np.int32)
+
+        sre_sum = n_hit = 0.0
+        gt_covered = 0.0
+        for c in range(C):
+            d = cheb_to(gt_mask[c], rounds)
+            d_pts = d[vi[c], ui[c]]
+            sre_sum += float(np.sum(np.minimum(d_pts, max_radius) * kf[c]))
+            n_hit += float(np.sum((d_pts <= tolerance) * kf[c]))
+            dp = cheb_to(pr[c], tolerance + 1)
+            gt_covered += float(np.sum(gt_mask[c] & (dp <= tolerance)))
+
+    return {
+        "sre_sum": sre_sum,
+        "n_points": float(kf.sum()),
+        "n_hit": n_hit,
+        "gt_total": float(gt_mask.sum()),
+        "gt_covered": gt_covered,
+    }
+
+
 # ---------------------------------------------------------------------------
 # instance-level association metrics (lane_ins ids, not just binary masks)
 # ---------------------------------------------------------------------------
@@ -620,7 +688,8 @@ def reduce_metrics(partials):
 class MapEvaluator:
     """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
 
-    def __init__(self, tolerance=5, max_radius=20, distance="chebyshev"):
+    def __init__(self, tolerance=5, max_radius=20, distance="chebyshev",
+                 backend="device"):
         from cama_tpu.profiling import PhaseTimers
 
         self.tolerance = int(tolerance)
@@ -631,6 +700,13 @@ class MapEvaluator:
         # where an evaluation spent its time (GT load vs dispatch vs fetch)
         self.timers = PhaseTimers()
         self._sharded_steps = {}  # (mesh id, shapes) -> compiled sharded step
+        if backend not in ("device", "host"):
+            raise ValueError(f"unknown backend {backend!r}")
+        # 'host': NumPy/SciPy projections + metrics (frame_metrics_host) —
+        # accelerator-less evaluation, and fresh processes skip the
+        # minutes-scale remote compile of the metric programs.  Binary scene
+        # metrics only; association voting stays on the device backend.
+        self.backend = backend
 
     def instance_loader(self, pipeline, camera, image_idx):
         """Load + nearest-remap a `lane_ins_{camera}` instance-id PNG to the
@@ -685,7 +761,8 @@ class MapEvaluator:
         from cama_tpu.ops.geometry import project_frames
 
         fm, A, B, fv, F = pipeline._chunked_AB(source)
-        points, cls, valid = pipeline.device_points(source)
+        if self.backend == "device":
+            points, cls, valid = pipeline.device_points(source)
         h, w = pipeline.scene.output_size
         pending = None if frames is None else set(frames)
         for s in range(0, len(fv), pipeline.chunk):
@@ -708,11 +785,19 @@ class MapEvaluator:
                 if not any(i is not None for i in idxs):
                     continue
                 pending.difference_update(i for i in idxs if i is not None)
-            vu_c, keep_c = project_frames(
-                points, valid,
-                jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                w, h, pipeline._crop_lo, pipeline._crop_hi,
-            )
+            if self.backend == "host":
+                from cama_tpu.pipeline import _host_project_chunk
+
+                fp = pipeline.scene.flat[source]
+                vu_c, keep_c = _host_project_chunk(
+                    fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
+                    pipeline._crop_lo, pipeline._crop_hi)
+            else:
+                vu_c, keep_c = project_frames(
+                    points, valid,
+                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                    w, h, pipeline._crop_lo, pipeline._crop_hi,
+                )
             idxs += [None] * (vu_c.shape[0] - len(idxs))
             yield idxs, vu_c, keep_c
 
@@ -781,15 +866,21 @@ class MapEvaluator:
             if ids_b is None:
                 continue
             with self.timers.phase("eval_dispatch"):
-                p = frame_metrics_chunk_packed(
-                    jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c, keep_c,
-                    jnp.asarray(fv), ids_b.shape[-1],
-                    self.max_radius, self.tolerance, self.distance,
-                )
-            partials.append(p)
+                if self.backend == "host":
+                    for kk, _image_idx in evaluated:
+                        partials.append(frame_metrics_host(
+                            ids_b[kk] > 0, vu_c[kk], keep_c[kk],
+                            self.max_radius, self.tolerance, self.distance))
+                else:
+                    partials.append(frame_metrics_chunk_packed(
+                        jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c,
+                        keep_c, jnp.asarray(fv), ids_b.shape[-1],
+                        self.max_radius, self.tolerance, self.distance,
+                    ))
             n_evaluated += len(evaluated)
         with self.timers.phase("eval_fetch"):
-            out = reduce_metrics(jax.device_get(partials))
+            out = reduce_metrics(partials if self.backend == "host"
+                                 else jax.device_get(partials))
         out["frames_evaluated"] = n_evaluated
         return out
 
@@ -1164,11 +1255,19 @@ def main(argv=None):
                              "cheapest) or euclidean (exact EDT)")
     parser.add_argument("--instances", action="store_true",
                         help="also report instance-level association metrics")
+    parser.add_argument("--backend", default="device",
+                        choices=["device", "host"],
+                        help="'host' = NumPy/SciPy evaluation (no "
+                             "accelerator, no compile wait); binary scene "
+                             "metrics only — --instances needs 'device'")
     args = parser.parse_args(argv)
 
+    if args.backend == "host" and args.instances:
+        parser.error("--instances requires --backend device "
+                     "(association voting is a device program)")
     pipe = ClipPipeline(clip_path=args.clip)
     ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
-                      distance=args.distance)
+                      distance=args.distance, backend=args.backend)
     if args.instances:  # one pass computes both metric families
         result = ev.evaluate_scene_all(pipe, args.source)
     else:

@@ -30,8 +30,9 @@ def main(root="/tmp/cama_demo"):
                           world_sim3={"yaw_deg": 5.0, "tx": 10.0, "ty": -4.0})
     add_instance_masks(a)
 
-    print("== overlay videos (one pass, shared base-image decode) ==")
-    pipe = ClipPipeline(clip_path=a)
+    print("== overlay videos (one pass, shared base-image decode; adaptive "
+          "kernel: host lane serves while device programs compile) ==")
+    pipe = ClipPipeline(clip_path=a, raster_kernel="auto")
     counts = pipe.write_videos({
         source: os.path.join(root, f"scene-a_{source}.mp4")
         for source in pipe.scene.sources

@@ -565,3 +565,46 @@ def test_fleet_batch_fuzz(tmp_path, trial):
         for k, v in single.items():
             np.testing.assert_allclose(got[k], v, rtol=1e-6,
                                        err_msg=f"scene {i}: {k}")
+
+
+def test_frame_metrics_host_matches_device():
+    """The NumPy/SciPy host backend's per-frame metrics must match the
+    jitted implementation on identical inputs, both distance modes
+    (chebyshev integer-exact; euclidean to float tolerance)."""
+    from cama_tpu.eval.map_metrics import frame_metrics, frame_metrics_host
+
+    rng = np.random.default_rng(11)
+    C, H, W, P = 3, 48, 64, 500
+    gt = rng.random((C, H, W)) < 0.03
+    gt[2] = False  # one empty-mask camera exercises the empty guard
+    vu = np.stack([rng.uniform(-4, H + 4, (C, P)),
+                   rng.uniform(-4, W + 4, (C, P))], axis=-1).astype(np.float32)
+    keep = rng.random((C, P)) < 0.7
+    keep &= ((vu[..., 0] >= 0) & (vu[..., 0] < H)
+             & (vu[..., 1] >= 0) & (vu[..., 1] < W))
+    for distance in ("chebyshev", "euclidean"):
+        want = {k: float(v) for k, v in frame_metrics(
+            jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep), 12, 4,
+            distance).items()}
+        got = frame_metrics_host(gt, vu, keep, 12, 4, distance)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], rtol=1e-5, atol=1e-4,
+                                       err_msg=f"{distance}:{k}")
+
+
+def test_evaluate_scene_host_backend(clip):
+    """End-to-end host-backend scene evaluation: no device metric programs,
+    results agree with the device backend (host projections are f64, device
+    f32 — mask-edge points may differ by a few, hence the loose rtol)."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.pipeline import ClipPipeline
+
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    dev = MapEvaluator(tolerance=4, max_radius=16).evaluate_scene(pipe, "cama")
+    host = MapEvaluator(tolerance=4, max_radius=16,
+                        backend="host").evaluate_scene(pipe, "cama")
+    assert host["frames_evaluated"] == dev["frames_evaluated"]
+    for k in ("SRE", "precision", "recall", "f1"):
+        np.testing.assert_allclose(host[k], dev[k], rtol=0.02, atol=1e-3,
+                                   err_msg=k)
+    np.testing.assert_allclose(host["n_points"], dev["n_points"], rtol=0.01)
