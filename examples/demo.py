@@ -41,9 +41,10 @@ def main(root="/tmp/cama_demo"):
         print(f"  {source}: {n} frames")
     print(pipe.timers.report())
 
-    print("== map quality (SRE / precision / recall / F1; Chebyshev + exact-EDT) ==")
+    print("== map quality (SRE / precision / recall / F1; Chebyshev + "
+          "exact-EDT; host backend — no compile wait) ==")
     for distance in ("chebyshev", "euclidean"):
-        ev = MapEvaluator(distance=distance)
+        ev = MapEvaluator(distance=distance, backend="host")
         out = ev.evaluate_scene(pipe, "cama")
         print(distance, json.dumps({k: round(v, 4) if isinstance(v, float) else v
                                     for k, v in out.items()}))
