@@ -423,6 +423,32 @@ def frame_metrics_host(gt_mask, vu, keep, max_radius, tolerance,
     }
 
 
+def instance_votes_host(gt_ids, vu, keep, tolerance):
+    """Host mirror of instance_votes_chunk for ONE frame with the 'nearest'
+    assignment: [C, H, W] instance ids -> [C, P] vote ids (0 = no instance
+    within tolerance).  scipy's exact Euclidean feature transform
+    (return_indices) IS the nearest-instance assignment; tie-breaking
+    between exactly equidistant instances may pick a different (still
+    deterministic) winner than the device kernel on the tie set itself —
+    association is a majority vote per map instance, so aggregate metrics
+    agree."""
+    from scipy import ndimage
+
+    ids = np.asarray(gt_ids)
+    C, H, W = ids.shape
+    vi = np.clip(np.asarray(vu)[..., 0].astype(np.int32), 0, H - 1)
+    ui = np.clip(np.asarray(vu)[..., 1].astype(np.int32), 0, W - 1)
+    votes = np.zeros(vi.shape, np.int32)
+    for c in range(C):
+        if not (ids[c] > 0).any():
+            continue
+        d, (iy, ix) = ndimage.distance_transform_edt(
+            ids[c] == 0, return_indices=True)
+        vote_map = np.where(d <= float(tolerance), ids[c][iy, ix], 0)
+        votes[c] = vote_map[vi[c], ui[c]].astype(np.int32)
+    return votes
+
+
 # ---------------------------------------------------------------------------
 # instance-level association metrics (lane_ins ids, not just binary masks)
 # ---------------------------------------------------------------------------
@@ -702,10 +728,11 @@ class MapEvaluator:
         self._sharded_steps = {}  # (mesh id, shapes) -> compiled sharded step
         if backend not in ("device", "host"):
             raise ValueError(f"unknown backend {backend!r}")
-        # 'host': NumPy/SciPy projections + metrics (frame_metrics_host) —
-        # accelerator-less evaluation, and fresh processes skip the
-        # minutes-scale remote compile of the metric programs.  Binary scene
-        # metrics only; association voting stays on the device backend.
+        # 'host': NumPy/SciPy projections + metrics (frame_metrics_host,
+        # instance_votes_host) — accelerator-less evaluation, and fresh
+        # processes skip the minutes-scale remote compile of the metric
+        # programs.  Covers the full scene surface with the default
+        # 'nearest' assignment; the 'dilate' assignment stays device-only.
         self.backend = backend
 
     def instance_loader(self, pipeline, camera, image_idx):
@@ -926,6 +953,19 @@ class MapEvaluator:
                           "mean_purity": 0.0, "n_map_instances": 0,
                           "n_gt_instances": 0}
 
+    def _host_fold_votes(self, pipeline, source, sink, ids_b, vu_c, keep_c,
+                         evaluated):
+        """Host-backend voting for one chunk's evaluated rows, folded
+        straight into the association sink (no device transport)."""
+        point_inst = np.asarray(pipeline.scene.flat[source].inst)
+        for kk, _image_idx in evaluated:
+            votes_row = instance_votes_host(ids_b[kk], vu_c[kk], keep_c[kk],
+                                            self.tolerance)
+            k_row = np.asarray(keep_c[kk], bool)
+            mi = np.broadcast_to(point_inst[None, :], k_row.shape)[k_row]
+            sink["mi"].append(mi.astype(np.int64))
+            sink["gi"].append(votes_row[k_row].astype(np.int64))
+
     def evaluate_scene_instances(self, pipeline, source="cama", frames=None,
                                  assignment="nearest"):
         """Instance-level association quality over all valid frames with GT
@@ -946,10 +986,18 @@ class MapEvaluator:
             if ids_b is None:
                 continue
             with self.timers.phase("eval_dispatch"):
-                votes = instance_votes_chunk(
-                    device_ids(ids_b), vu_c, keep_c, self.tolerance, assignment)
-            self._push_votes(pipeline, source, pending, sink,
-                             (votes, keep_c, evaluated))
+                if self.backend == "host":
+                    if assignment != "nearest":
+                        raise ValueError(
+                            "backend='host' supports assignment='nearest'")
+                    self._host_fold_votes(pipeline, source, sink, ids_b,
+                                          vu_c, keep_c, evaluated)
+                else:
+                    votes = instance_votes_chunk(
+                        device_ids(ids_b), vu_c, keep_c, self.tolerance,
+                        assignment)
+                    self._push_votes(pipeline, source, pending, sink,
+                                     (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)
@@ -982,18 +1030,31 @@ class MapEvaluator:
             if ids_b is None:
                 continue
             with self.timers.phase("eval_dispatch"):
-                p, votes = _metrics_and_votes_chunk(
-                    device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
-                    self.max_radius, self.tolerance, self.distance, assignment,
-                )
-            partials.append(p)
-            self._push_votes(pipeline, source, pending, sink,
-                             (votes, keep_c, evaluated))
+                if self.backend == "host":
+                    if assignment != "nearest":
+                        raise ValueError(
+                            "backend='host' supports assignment='nearest'")
+                    for kk, _image_idx in evaluated:
+                        partials.append(frame_metrics_host(
+                            ids_b[kk] > 0, vu_c[kk], keep_c[kk],
+                            self.max_radius, self.tolerance, self.distance))
+                    self._host_fold_votes(pipeline, source, sink, ids_b,
+                                          vu_c, keep_c, evaluated)
+                else:
+                    p, votes = _metrics_and_votes_chunk(
+                        device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
+                        self.max_radius, self.tolerance, self.distance,
+                        assignment,
+                    )
+                    partials.append(p)
+                    self._push_votes(pipeline, source, pending, sink,
+                                     (votes, keep_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)
         with self.timers.phase("eval_fetch"):
-            out = reduce_metrics(jax.device_get(partials))
+            out = reduce_metrics(partials if self.backend == "host"
+                                 else jax.device_get(partials))
         assoc = self._associate(sink, visible)
         out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
         out["frames_evaluated"] = n_evaluated
@@ -1258,13 +1319,11 @@ def main(argv=None):
     parser.add_argument("--backend", default="device",
                         choices=["device", "host"],
                         help="'host' = NumPy/SciPy evaluation (no "
-                             "accelerator, no compile wait); binary scene "
-                             "metrics only — --instances needs 'device'")
+                             "accelerator, no compile wait); full surface "
+                             "incl. --instances with the default 'nearest' "
+                             "assignment")
     args = parser.parse_args(argv)
 
-    if args.backend == "host" and args.instances:
-        parser.error("--instances requires --backend device "
-                     "(association voting is a device program)")
     pipe = ClipPipeline(clip_path=args.clip)
     ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
                       distance=args.distance, backend=args.backend)

@@ -608,3 +608,27 @@ def test_evaluate_scene_host_backend(clip):
         np.testing.assert_allclose(host[k], dev[k], rtol=0.02, atol=1e-3,
                                    err_msg=k)
     np.testing.assert_allclose(host["n_points"], dev["n_points"], rtol=0.01)
+
+
+def test_evaluate_scene_all_host_backend(clip):
+    """Host backend covers the FULL scene surface: metrics + association
+    voting in one pass, matching the device backend (nearest assignment;
+    tie pixels between equidistant instances may flip a vote, association
+    is a per-instance majority — aggregates agree on the fixture)."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.pipeline import ClipPipeline
+
+    pipe = ClipPipeline(clip_path=clip, chunk=4)
+    dev = MapEvaluator(tolerance=4, max_radius=16).evaluate_scene_all(
+        pipe, "cama")
+    host = MapEvaluator(tolerance=4, max_radius=16,
+                        backend="host").evaluate_scene_all(pipe, "cama")
+    assert host["frames_evaluated"] == dev["frames_evaluated"]
+    for k in ("SRE", "precision", "recall", "f1"):
+        np.testing.assert_allclose(host[k], dev[k], rtol=0.02, atol=1e-3,
+                                   err_msg=k)
+    assert host["n_map_instances"] == dev["n_map_instances"]
+    assert host["n_gt_instances"] == dev["n_gt_instances"]
+    for k in ("instance_precision", "instance_recall", "mean_purity"):
+        np.testing.assert_allclose(host[k], dev[k], rtol=0.05, atol=0.02,
+                                   err_msg=k)
