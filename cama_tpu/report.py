@@ -59,7 +59,8 @@ def _pose_metrics(clip_path, configs):
 
 
 def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
-                  instances=True, max_frames=None, precomputed=None):
+                  instances=True, max_frames=None, precomputed=None,
+                  eval_backend="device"):
     """All QA evidence for one compiled scene, as a plain dict.
     max_frames: evaluate/thumbnail only the first N valid frames (quick-look
     reports on long clips).
@@ -94,7 +95,7 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
                  "points": int(scene.flat[source].valid.sum()),
                  "instances": int(len(np.unique(
                      scene.flat[source].inst[scene.flat[source].valid])))}
-        ev = MapEvaluator(tolerance=tolerance)
+        ev = MapEvaluator(tolerance=tolerance, backend=eval_backend)
         try:
             if precomputed and source in precomputed:
                 metrics = precomputed[source]
@@ -258,6 +259,8 @@ def _batch_metrics(pipes, args):
     Returns {scene_name: {source: metric dict}}."""
     if args.max_frames is not None:
         return {}
+    if getattr(args, "eval_backend", "device") == "host":
+        return {}  # host backend evaluates per scene (no device batch wave)
     real = [(n, p) for n, p in pipes.items() if not isinstance(p, dict)]
     groups = {}
     for n, p in real:
@@ -306,6 +309,11 @@ def main(argv=None):
     parser.add_argument("--no-instances", action="store_true")
     parser.add_argument("--max-frames", type=int, default=None,
                         help="quick-look: evaluate only the first N frames")
+    parser.add_argument("--eval-backend", default="device",
+                        choices=["device", "host"],
+                        help="'host' evaluates with NumPy/SciPy — no "
+                             "accelerator, no compile wait (fresh-process "
+                             "quick looks)")
     args = parser.parse_args(argv)
     if args.max_frames is not None and args.max_frames < 1:
         parser.error("--max-frames must be >= 1")
@@ -357,7 +365,8 @@ def main(argv=None):
                 thumbnails=args.thumbnails, tolerance=args.tolerance,
                 instances=not args.no_instances,
                 max_frames=args.max_frames,
-                precomputed=precomputed.get(scene_name)))
+                precomputed=precomputed.get(scene_name),
+                eval_backend=args.eval_backend))
         except Exception as e:
             import traceback
 
