@@ -111,9 +111,12 @@ def agreement(a, b):
     return float(same.mean())
 
 
-# every device path the pipeline can serve overlays through; 'sparse' is the
-# scatter-free host-paint stream, the rest are raster kernels
-DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "sparse")
+# every path the pipeline can serve overlays through: 'sparse' is the
+# scatter-free host-paint stream, 'host_lane' is the adaptive kernel's
+# NumPy cold lane (the CLI default's first frames — validated here as a
+# first-class path), the rest are device raster kernels
+DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "sparse",
+                "host_lane")
 
 
 def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
@@ -121,8 +124,18 @@ def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
     routed around by the sparse/dense auto mode or the two-stage heuristic
     (the round-2 hole: '--kernel compact' could validate the sparse host
     paint instead of _overlay_chunk_compact)."""
-    kernel = {"sparse": "compact", "two_stage": "compact"}.get(path_name, path_name)
+    kernel = {"sparse": "compact", "two_stage": "compact",
+              "host_lane": "compact"}.get(path_name, path_name)
     pipe = ClipPipeline(scene=scene, raster_kernel=kernel, chunk=chunk)
+    if path_name == "host_lane":
+        # the adaptive cold lane, forced: pure-NumPy rasters composited
+        # through the same host paint as the raster stream
+        out = {}
+        for idx, raster in pipe.iter_overlay_rasters_host(source):
+            if idx not in frame_ids:
+                continue
+            out[idx] = pipe.composite_frame(source, idx, raster)
+        return out
     if path_name == "sparse":
         # k = P: the deduped kept count can never exceed the point count, so
         # the per-frame dense-raster overflow fallback (which would validate
