@@ -200,16 +200,23 @@ def bench_ours(clip):
     # mmap reads — every later run, metric pass, or extra label source). ----
     import tempfile
 
-    with tempfile.TemporaryDirectory() as td:
-        cold_pipe = ClipPipeline(
-            clip_path=clip, chunk=8,
-            configs={"frame_cache_dir": os.path.join(td, "fc")})
-        t0 = time.perf_counter()
-        counts = cold_pipe.write_videos({
-            "cama": os.path.join(td, "c.mp4"),
-            "nuscenes": os.path.join(td, "n.mp4"),
-        })
-        dual_cold_fps = sum(counts.values()) / (time.perf_counter() - t0)
+    # best-of-2 fresh cache dirs: the shared 1-core host swings single cold
+    # samples +-30% (same convergence reasoning as the warm best-of-3 below;
+    # each run is genuinely cold — its own empty store)
+    dual_cold_fps = 0.0
+    for _ in range(2):
+        with tempfile.TemporaryDirectory() as td:
+            cold_pipe = ClipPipeline(
+                clip_path=clip, chunk=8,
+                configs={"frame_cache_dir": os.path.join(td, "fc")})
+            t0 = time.perf_counter()
+            counts = cold_pipe.write_videos({
+                "cama": os.path.join(td, "c.mp4"),
+                "nuscenes": os.path.join(td, "n.mp4"),
+            })
+            dual_cold_fps = max(
+                dual_cold_fps,
+                sum(counts.values()) / (time.perf_counter() - t0))
 
     # ---- end-to-end frames (no encode): warm the frame cache fully, then
     # measure the steady-state iter_frames stream ----
