@@ -138,6 +138,18 @@ def _chamfer_pairs_host(pts, w, ii, jj):
     return out
 
 
+def _rotvec_to_matrix_np(v):
+    """NumPy f64 mirror of the traced unnormalized Rodrigues used by
+    refine_alignment — the Sim(3) fold-in step runs entirely on host so a
+    host-backend refinement never touches the accelerator."""
+    v = np.asarray(v, np.float64)
+    K = np.array([[0.0, -v[2], v[1]], [v[2], 0.0, -v[0]], [-v[1], v[0], 0.0]])
+    theta2 = float(v @ v) + 1e-16
+    theta = np.sqrt(theta2)
+    return (np.eye(3) + (np.sin(theta) / theta) * K
+            + ((1.0 - np.cos(theta)) / theta2) * (K @ K))
+
+
 def _candidate_pairs(instances, subsample, tol):
     """Shared prefilter for dedupe and refinement: subsample every instance
     once (fresh rng(0) per instance — same draw chamfer_distance makes) into
@@ -275,7 +287,8 @@ class Site:
 
     # ---------------- joint alignment refinement ----------------
 
-    def refine_alignment(self, iters=600, lr=2e-2, tol=2.0, subsample=128):
+    def refine_alignment(self, iters=600, lr=2e-2, tol=2.0, subsample=128,
+                         backend="auto"):
         """Joint Sim(3) bundle refinement across clips (ROADMAP: 'jointly
         re-optimize per-clip Sim(3) against map-element correspondences').
 
@@ -286,6 +299,16 @@ class Site:
         differentiable end-to-end under jax.grad.  Parameters are (so(3)
         rotation vector, translation, log-scale); deltas compose onto the
         stored Sim(3)s and instance points afterwards.
+
+        `backend`: 'device' jits for the default accelerator; 'host' pins
+        every tensor to the in-process CPU device so the SAME programs (same
+        autodiff, same Adam) compile LOCALLY in seconds — a fresh process
+        never pays the remote compile service's minutes-scale RTT for a
+        `refine: true` site (the dedupe/pipeline host lanes' rationale).
+        'auto' (default) picks 'host' for small sites
+        (pairs <= HOST_CHAMFER_MAX_PAIRS) where the one-core chamfer is
+        sub-second per step anyway, and 'device' for large ones that
+        amortize the compile.
 
         Returns (chamfer_before, chamfer_after) mean pair distances; no-op
         (returns (0, 0)) when no cross-clip pairs exist within `tol`.
@@ -310,18 +333,35 @@ class Site:
         jj_p = np.pad(jj, (0, pad))
         pair_mask = np.pad(np.ones(n_pairs, np.float32), (0, pad))
 
+        if backend not in ("auto", "host", "device"):
+            raise ValueError(f"refine_alignment backend {backend!r} "
+                             "(expected auto|host|device)")
+        if backend == "auto":
+            backend = "host" if n_pairs <= HOST_CHAMFER_MAX_PAIRS else "device"
+        cpu_dev = None
+        if backend == "host":
+            try:
+                cpu_dev = jax.local_devices(backend="cpu")[0]
+            except RuntimeError:
+                cpu_dev = None  # CPU platform compiled out: device it is
+        # committed-input placement drives jit: with every argument pinned to
+        # the CPU device, step/pair_chamfer compile for (and run on) the
+        # local CPU backend — no remote compile, no accelerator dispatch
+        put = ((lambda x: jax.device_put(jnp.asarray(x), cpu_dev))
+               if cpu_dev is not None else jnp.asarray)
+
         # all tensors travel as ARGUMENTS to the jitted functions: a closure
         # capture would embed them as program constants, which forces a
         # device->host fetch at trace time (the tunneled TPU backend rejects
         # that path) and bloats the compiled program
         data = {
-            "pts": jnp.asarray(pts),
-            "w": jnp.asarray(w),
-            "ii": jnp.asarray(ii_p.astype(np.int32)).reshape(-1, PAIR_BLOCK),
-            "jj": jnp.asarray(jj_p.astype(np.int32)).reshape(-1, PAIR_BLOCK),
-            "mask": jnp.asarray(pair_mask).reshape(-1, PAIR_BLOCK),
-            "clip": jnp.asarray(clip),
-            "center": jnp.asarray(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0)),
+            "pts": put(pts),
+            "w": put(w),
+            "ii": put(ii_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
+            "jj": put(jj_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
+            "mask": put(pair_mask.reshape(-1, PAIR_BLOCK)),
+            "clip": put(clip),
+            "center": put(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0)),
         }
         center_np = np.asarray(data["center"], np.float64)
         # the MXU defaults to bfloat16 passes; sub-meter residuals need f32
@@ -365,15 +405,22 @@ class Site:
             return sums.sum() / n_pairs
 
         params = {
-            "rot": jnp.zeros((n_clips, 3)),
-            "t": jnp.zeros((n_clips, 3)),
-            "log_s": jnp.zeros((n_clips,)),
+            "rot": put(np.zeros((n_clips, 3), np.float32)),
+            "t": put(np.zeros((n_clips, 3), np.float32)),
+            "log_s": put(np.zeros((n_clips,), np.float32)),
         }
-        anchor = jnp.asarray(
+        anchor = put(
             (np.arange(n_clips) != 0).astype(np.float32))  # clip 0 frozen
 
         opt = optax.adam(lr)
-        state = opt.init(params)
+        if cpu_dev is not None:
+            # optax.adam's init creates its count scalar eagerly on the
+            # DEFAULT device; pin it to CPU so host-mode refinement never
+            # dispatches to the accelerator at all
+            with jax.default_device(cpu_dev):
+                state = opt.init(params)
+        else:
+            state = opt.init(params)
 
         @jax.jit
         def step(params, state, d, anchor):
@@ -403,7 +450,7 @@ class Site:
         cen = np.asarray(world_center, np.float64) + center_np
         deltas = []
         for c in range(n_clips):
-            Rd = np.asarray(rotvec_to_matrix(jnp.asarray(rot[c])), np.float64)
+            Rd = _rotvec_to_matrix_np(rot[c])
             sd = float(np.exp(lgs[c]))
             td = tns[c].astype(np.float64)
             deltas.append((Rd, td, sd))

@@ -243,6 +243,61 @@ def test_refine_alignment_recovers_perturbation(site_clips):
     assert removed > 0  # refined overlaps now dedupe like the clean site
 
 
+def test_refine_alignment_host_backend_matches_device(site_clips, monkeypatch):
+    """backend='host' pins the SAME refinement programs to the in-process
+    CPU device so a fresh `refine: true` process never waits on the remote
+    compile service (ROADMAP 'site refinement cold start').  The math is the
+    identical jitted code, so results must equal the default-backend path
+    exactly; every tensor placement in host mode must be the CPU device.
+    'auto' (the production default) routes small sites to host."""
+    import jax
+
+    def perturbed_site():
+        a, b = site_clips
+        site = Site(name="ref")
+        for path in (a, b):
+            site.add_clip(path, compile_scene(path, sources=("cama",)))
+        ang = np.deg2rad(1.5)
+        Rp = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        tp = np.array([0.8, -0.5, 0.1])
+        path1, scene1, (r1, t1, s1) = site.clips[1]
+        site.clips[1] = (path1, scene1, (Rp @ r1, Rp @ t1 + tp, s1))
+        site.instances = [
+            (c, (p @ Rp.T + tp).astype(np.float32) if ci == 1 else p, ci)
+            for c, p, ci in site.instances
+        ]
+        return site
+
+    placements = []
+    orig_put = jax.device_put
+
+    def spy_put(x, device=None, **kw):
+        placements.append(device)
+        return orig_put(x, device, **kw)
+
+    monkeypatch.setattr(jax, "device_put", spy_put)
+    s_host = perturbed_site()
+    r_host = s_host.refine_alignment(iters=150, tol=4.0, backend="host")
+    assert placements and all(
+        d is not None and d.platform == "cpu" for d in placements)
+    monkeypatch.setattr(jax, "device_put", orig_put)
+
+    s_dev = perturbed_site()
+    r_dev = s_dev.refine_alignment(iters=150, tol=4.0, backend="device")
+
+    assert r_host == r_dev  # identical programs, identical floats
+    for (c_h, p_h, i_h), (c_d, p_d, i_d) in zip(s_host.instances,
+                                                s_dev.instances):
+        assert (c_h, i_h) == (c_d, i_d)
+        np.testing.assert_array_equal(p_h, p_d)
+    for (_, _, (r_h, t_h, sc_h)), (_, _, (r_d, t_d, sc_d)) in zip(
+            s_host.clips, s_dev.clips):
+        np.testing.assert_array_equal(r_h, r_d)
+        np.testing.assert_array_equal(t_h, t_d)
+        assert sc_h == sc_d
+
+
 def test_site_member_overlays_batched_matches_per_clip(site_clips):
     """Batched site-map reprojection into all member clips must equal each
     member's own pipeline reprojection of the 'site' source."""

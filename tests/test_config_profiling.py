@@ -139,6 +139,53 @@ def test_perf_gate_floor_logic(tmp_path):
     assert "ceiling" in r.stdout
 
 
+def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
+    """--attribute attaches the phase profiler's stage report to a FAILING
+    gate run (and only then) — the profiler itself is stubbed here."""
+    import importlib.util
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "perf_gate_mod", os.path.join(repo, "tools", "perf_gate.py"))
+    pg = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(pg)
+    calls = []
+    monkeypatch.setattr(pg, "attribute",
+                        lambda failures, **kw: calls.append(list(failures))
+                        or "stage-report-stub")
+
+    line = {"metric": "m", "value": 100.0, "details": {"backend": "tpu"}}
+    p = tmp_path / "bench.json"
+    p.write_text(json.dumps(line))
+
+    assert pg.main(["--from", str(p)]) == 1
+    assert "attribution" not in json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1])
+    assert not calls
+
+    assert pg.main(["--from", str(p), "--attribute"]) == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["attribution"] == "stage-report-stub"
+    assert calls and any("headline" in f for f in calls[0])
+
+    # a passing run never pays for attribution
+    line["value"] = 900.0
+    line["details"].update({"overlay_stream_fps": 30.0,
+                            "frame_stream_fps": 190.0,
+                            "dual_video_write_fps": 25.0,
+                            "dual_video_write_cold_fps": 8.0,
+                            "multi_scene_stream_fps_batched": 500.0,
+                            "map_eval_fps": 60.0, "wide_scene_fps": 200.0,
+                            "wide_scene_eval_fps": 18.0,
+                            "cli_time_to_first_video_s": 9.0})
+    p.write_text(json.dumps(line))
+    rc = pg.main(["--from", str(p), "--attribute"])
+    assert rc == 0, capsys.readouterr().out
+    assert len(calls) == 1
+
+
 def test_normalize_site_entry_shapes():
     """The single sites[] interpreter: string / list / mapping / garbage."""
     from cama_tpu.config import ConfigError, normalize_site_entry, validate_config

@@ -35,6 +35,33 @@ def run_bench():
     return None
 
 
+# failing metrics -> which profiler lane explains them
+_EVAL_METRICS = {"map_eval_fps", "wide_scene_eval_fps"}
+
+
+def attribute(failures, timeout=1800):
+    """Stage-level attribution (ROADMAP): when a floor trips, run the phase
+    profiler on the bench fixture so the gate log names the STAGE that
+    regressed (decode/remap, device dispatch, compositing, encode, eval
+    phases), not just the headline number.  Returns the profiler's report
+    text, or a diagnostic string if profiling itself failed."""
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import bench; print(bench.get_fixture())"],
+            cwd=REPO, capture_output=True, text=True, timeout=600)
+        clip = r.stdout.strip().splitlines()[-1]
+        if r.returncode != 0 or not os.path.isdir(clip):
+            return f"attribution: fixture unavailable: {r.stderr[-500:]}"
+        cmd = [sys.executable, os.path.join(REPO, "tools", "profile_pipeline.py"),
+               "--clip", clip, "--with-images"]
+        if any(f.split(":")[0] in _EVAL_METRICS for f in failures):
+            cmd.append("--eval")
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
+        return (r.stdout + ("\n" + r.stderr if r.returncode else ""))[-4000:]
+    except Exception as e:  # attribution is best-effort; never mask the gate
+        return f"attribution failed: {e!r}"
+
+
 def flatten(bench):
     out = {"headline": bench.get("value")}
     out.update({k: v for k, v in bench.get("details", {}).items()
@@ -47,6 +74,11 @@ def main(argv=None):
     p.add_argument("--from", dest="from_file", default=None,
                    help="check a stored bench JSON line instead of running")
     p.add_argument("--floors", default=FLOORS_PATH)
+    p.add_argument("--attribute", action="store_true",
+                   help="on a tripped floor, run the phase profiler on the "
+                        "bench fixture and attach per-stage timings to the "
+                        "report (names the regressed stage, not just the "
+                        "metric)")
     args = p.parse_args(argv)
 
     if args.from_file:
@@ -100,6 +132,9 @@ def main(argv=None):
               "floors": floors, "ceilings": ceilings, "failures": failures}
     if skipped:
         report["skipped_optional"] = skipped
+    if failures and args.attribute:
+        report["attribution"] = attribute(failures)
+        print(report["attribution"], file=sys.stderr)
     print(json.dumps(report))
     return 1 if failures else 0
 
