@@ -286,6 +286,21 @@ def bench_map_eval(clip):
     return best
 
 
+def get_wide_fixture(n_frames=17):
+    """The compute-bound fixture clip (built on first use) — shared by
+    bench_wide_scene and perf_gate's --attribute profiling of wide-regime
+    floor trips."""
+    from cama_tpu.io.fixture import make_fixture_clip
+
+    name = f"scene-wide-{n_frames}"
+    clip = os.path.join(FIXTURE_ROOT, name)
+    if not os.path.exists(os.path.join(clip, "attribute.json")):
+        make_fixture_clip(FIXTURE_ROOT, scene_name=name, n_frames=n_frames,
+                          with_images=False, with_lidar=False,
+                          label_span=(-290.0, 210.0))
+    return clip
+
+
 def bench_wide_scene(n_frames=17):
     """Compute-bound regime: a >=250k-point, 500 m-span scene, device-
     resident with the PRODUCTION kernel (the counting pass engages the
@@ -294,15 +309,9 @@ def bench_wide_scene(n_frames=17):
     ~0.1-0.3 ms inside a ~26 ms dispatch — so kernel regressions are
     invisible there; THIS metric is where the chip actually works and what
     real hardware scales (round-3 weak #3, now floor-gated)."""
-    from cama_tpu.io.fixture import make_fixture_clip
     from cama_tpu.pipeline import ClipPipeline
 
-    name = f"scene-wide-{n_frames}"
-    clip = os.path.join(FIXTURE_ROOT, name)
-    if not os.path.exists(os.path.join(clip, "attribute.json")):
-        make_fixture_clip(FIXTURE_ROOT, scene_name=name, n_frames=n_frames,
-                          with_images=False, with_lidar=False,
-                          label_span=(-290.0, 210.0))
+    clip = get_wide_fixture(n_frames)
     pipe = ClipPipeline(clip_path=clip, chunk=8, raster_kernel="compact")
     n_points = int(np.asarray(pipe.scene.flat["cama"].valid).sum())
     fps = device_resident_fps(pipe, "cama", bench_chunk=16,

@@ -185,6 +185,15 @@ def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
     assert rc == 0, capsys.readouterr().out
     assert len(calls) == 1
 
+    # failing-metric -> fixture routing (pure logic)
+    assert [j[0] for j in pg._attribution_jobs({"headline"})] == ["core fixture"]
+    wide_only = pg._attribution_jobs({"wide_scene_fps"})
+    assert [j[0] for j in wide_only] == ["wide fixture (compute-bound)"]
+    assert wide_only[0][2] == []
+    both = pg._attribution_jobs({"map_eval_fps", "wide_scene_eval_fps"})
+    assert len(both) == 2
+    assert "--eval" in both[0][2] and "--eval" in both[1][2]
+
 
 def test_normalize_site_entry_shapes():
     """The single sites[] interpreter: string / list / mapping / garbage."""

@@ -36,30 +36,53 @@ def run_bench():
 
 
 # failing metrics -> which profiler lane explains them
-_EVAL_METRICS = {"map_eval_fps", "wide_scene_eval_fps"}
+_WIDE_METRICS = {"wide_scene_fps", "wide_scene_eval_fps", "wide_scene_points"}
+
+
+def _attribution_jobs(keys):
+    """Map a set of failing metric names to (label, fixture expression,
+    extra profiler flags) profile jobs — pure, unit-tested."""
+    jobs = []
+    if keys - _WIDE_METRICS:
+        flags = ["--with-images"]
+        if "map_eval_fps" in keys:
+            flags.append("--eval")
+        jobs.append(("core fixture", "bench.get_fixture()", flags))
+    if keys & _WIDE_METRICS:
+        jobs.append(("wide fixture (compute-bound)", "bench.get_wide_fixture()",
+                     ["--eval"] if "wide_scene_eval_fps" in keys else []))
+    return jobs
 
 
 def attribute(failures, timeout=1800):
     """Stage-level attribution (ROADMAP): when a floor trips, run the phase
-    profiler on the bench fixture so the gate log names the STAGE that
-    regressed (decode/remap, device dispatch, compositing, encode, eval
-    phases), not just the headline number.  Returns the profiler's report
-    text, or a diagnostic string if profiling itself failed."""
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import bench; print(bench.get_fixture())"],
-            cwd=REPO, capture_output=True, text=True, timeout=600)
-        clip = r.stdout.strip().splitlines()[-1]
-        if r.returncode != 0 or not os.path.isdir(clip):
-            return f"attribution: fixture unavailable: {r.stderr[-500:]}"
-        cmd = [sys.executable, os.path.join(REPO, "tools", "profile_pipeline.py"),
-               "--clip", clip, "--with-images"]
-        if any(f.split(":")[0] in _EVAL_METRICS for f in failures):
-            cmd.append("--eval")
-        r = subprocess.run(cmd, capture_output=True, text=True, timeout=timeout)
-        return (r.stdout + ("\n" + r.stderr if r.returncode else ""))[-4000:]
-    except Exception as e:  # attribution is best-effort; never mask the gate
-        return f"attribution failed: {e!r}"
+    profiler on the matching bench fixture so the gate log names the STAGE
+    that regressed (decode/remap, device dispatch, compositing, encode, eval
+    phases), not just the headline number.  Core-regime trips profile the
+    standard (with-images) fixture; wide-regime trips profile the
+    compute-bound 250k-point fixture.  Returns the profiler report text(s),
+    or a diagnostic string if profiling itself failed."""
+    profiler = os.path.join(REPO, "tools", "profile_pipeline.py")
+    jobs = _attribution_jobs({f.split(":")[0] for f in failures})
+    texts = []
+    for label, expr, flags in jobs:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", f"import bench; print({expr})"],
+                cwd=REPO, capture_output=True, text=True, timeout=600)
+            clip = r.stdout.strip().splitlines()[-1] if r.stdout.strip() else ""
+            if r.returncode != 0 or not os.path.isdir(clip):
+                texts.append(f"== {label}: unavailable: {r.stderr[-500:]}")
+                continue
+            r = subprocess.run(
+                [sys.executable, profiler, "--clip", clip] + flags,
+                capture_output=True, text=True, timeout=timeout)
+            texts.append(f"== {label} ==\n"
+                         + (r.stdout
+                            + ("\n" + r.stderr if r.returncode else ""))[-4000:])
+        except Exception as e:  # attribution is best-effort; never mask the gate
+            texts.append(f"== {label}: attribution failed: {e!r}")
+    return "\n".join(texts)
 
 
 def flatten(bench):
