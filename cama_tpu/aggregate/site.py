@@ -347,7 +347,11 @@ class Site:
         # committed-input placement drives jit: with every argument pinned to
         # the CPU device, step/pair_chamfer compile for (and run on) the
         # local CPU backend — no remote compile, no accelerator dispatch
-        put = ((lambda x: jax.device_put(jnp.asarray(x), cpu_dev))
+        # device_put on the raw host array: jnp.asarray first would
+        # materialize on the DEFAULT device (the tunneled TPU) before the
+        # copy to CPU — and a TPU transfer hard-blocks behind any in-flight
+        # background warm compile, exactly the stall this backend removes
+        put = ((lambda x: jax.device_put(np.asarray(x), cpu_dev))
                if cpu_dev is not None else jnp.asarray)
 
         # all tensors travel as ARGUMENTS to the jitted functions: a closure

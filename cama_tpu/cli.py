@@ -292,8 +292,14 @@ def exit_after(rc):
 
     if warms_in_flight():
         import atexit
+        import sys
 
         atexit._run_exitfuncs()
+        # os._exit skips interpreter finalization, which would otherwise
+        # flush block-buffered stdio: without this, a piped run loses its
+        # last ~8 KiB of output (e.g. the report tool's single JSON line)
+        sys.stdout.flush()
+        sys.stderr.flush()
         os._exit(rc)
     raise SystemExit(rc)
 

@@ -1080,6 +1080,24 @@ class MapEvaluator:
 
         from cama_tpu.pipeline import MultiScenePipeline
 
+        if self.backend == "host":
+            # the fleet path exists to batch DEVICE dispatch waves; the host
+            # backend has no dispatch latency to amortize, so route per
+            # scene through the host evaluators (same full surface, no
+            # compile wait) instead of silently dispatching device programs
+            pipes_list = (pipelines.pipelines
+                          if isinstance(pipelines, MultiScenePipeline)
+                          else list(pipelines))
+            results = []
+            for p in pipes_list:
+                if source not in p.scene.flat:
+                    results.append(None)
+                    continue
+                r = (self.evaluate_scene_all(p, source, assignment=assignment)
+                     if instances else self.evaluate_scene(p, source))
+                results.append(r if r.get("frames_evaluated") else None)
+            return results
+
         msp = (pipelines if isinstance(pipelines, MultiScenePipeline)
                else MultiScenePipeline(pipelines, source=source))
         # _stacked, not _source_state: the latter also runs the overlay
@@ -1210,6 +1228,13 @@ class MapEvaluator:
         import jax.numpy as jnp
 
         from cama_tpu.parallel import sharded_scene_batch_metrics
+
+        if self.backend == "host":
+            raise ValueError(
+                "evaluate_scene_batch_sharded is a multi-device program; "
+                "backend='host' has no mesh to shard over — use "
+                "evaluate_scene_batch (which routes host per scene) or "
+                "backend='device'")
         from cama_tpu.pipeline import MultiScenePipeline
 
         msp = (pipelines if isinstance(pipelines, MultiScenePipeline)
@@ -1241,7 +1266,13 @@ class MapEvaluator:
             B_p = np.pad(B_p, [(0, 0), (0, padF)] + [(0, 0)] * (B_p.ndim - 2))
             fv_p = np.pad(fv_p, [(0, 0), (0, padF)])
 
-        step_key = (id(mesh), w, h, self.max_radius, self.tolerance,
+        # key the compiled step by the mesh's SHAPE + device ids, not id():
+        # a garbage-collected mesh's id can be reused by a differently-laid-
+        # out successor, which would silently serve a step compiled for the
+        # old axis extents
+        mesh_key = (tuple(mesh.shape.items()),
+                    tuple(d.id for d in mesh.devices.flat))
+        step_key = (mesh_key, w, h, self.max_radius, self.tolerance,
                     self.distance)
         step = self._sharded_steps.get(step_key)
         if step is None:
@@ -1251,6 +1282,10 @@ class MapEvaluator:
         sums = [dict() for _ in range(S)]
         counts = [0] * S
         C = len(pipes[0].scene.camera_list)
+        # upload the fleet point tensors ONCE — they are identical for every
+        # chunk, and re-transferring ~S x 3 MB per chunk through the ~30 ms
+        # tunneled link would dominate the dispatch wave
+        ptsj, validj = jnp.asarray(pts_p), jnp.asarray(valid_p)
         for s in range(0, fv_p.shape[1], K):
             # host GT rows for every (scene, frame-in-chunk); row validity =
             # frame valid AND complete GT (GT-less rows contribute nothing,
@@ -1276,7 +1311,7 @@ class MapEvaluator:
                 continue
             with self.timers.phase("eval_dispatch"):
                 sl = slice(s, s + K)
-                p = step(jnp.asarray(pts_p), jnp.asarray(valid_p),
+                p = step(ptsj, validj,
                          jnp.asarray(gt),
                          jnp.asarray(A_p[:, sl], np.float32),
                          jnp.asarray(B_p[:, sl], np.float32),

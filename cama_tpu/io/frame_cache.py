@@ -203,13 +203,18 @@ class FrameCache:
         backlog is full (disk slower than the producer) the put is dropped —
         the slot just stays a miss until a later run lands it.
 
-        own=True hands the array over WITHOUT the defensive copy: the caller
-        guarantees nobody mutates it afterwards (the pipeline enforces this
-        by marking handed-over decodes read-only — composite paths detect
-        the flag and copy before painting).  Saves ~1.5 MB of memcpy per
-        image on the cold path."""
+        own=True hands the array over WITHOUT the defensive copy: nobody may
+        mutate it afterwards, and put enforces that by marking the array
+        read-only (composite paths detect the flag and copy before
+        painting).  Saves ~1.5 MB of memcpy per image on the cold path."""
         if not self.writable:
             return
+        if own:
+            # enforce the handover contract centrally: the producer keeps a
+            # reference, so freeze the array here — a later mutation would
+            # otherwise bake into the persistent store (or race the async
+            # writer) no matter which caller forgot the flag
+            image.flags.writeable = False
         if not self._async:
             self._write(frame_idx, cam_idx, image)
             return

@@ -423,12 +423,14 @@ class MultiScenePipeline:
     many clips' overlays are produced together (see aggregate.site)."""
 
     def __init__(self, pipelines, source="cama", chunk=8, adaptive=None):
-        """adaptive: serve the first chunks through per-scene dispatches of
-        the cheap-to-compile scatter program while the scene-batched compact
-        program (a DIFFERENT XLA shape from the solo kernels — the round-3
-        first-contact compile wall, 204 s measured through the tunnel) warms
-        on a background thread; later chunks switch to it.  Defaults to
-        following the member pipelines' raster_kernel ('auto' => adaptive)."""
+        """adaptive: serve the first chunks through per-scene NumPy host-
+        lane chunks (no device interaction at all) while the scene-batched
+        compact program (a DIFFERENT XLA shape from the solo kernels — the
+        round-3 first-contact compile wall, 204 s measured through the
+        tunnel) warms on a background thread; later chunks switch to it
+        (host-lane frames are >=99.9 % pixel-identical, not bit-identical —
+        see _dispatch_chunk).  Defaults to following the member pipelines'
+        raster_kernel ('auto' => adaptive)."""
         self.pipelines = list(pipelines)
         self.source = source
         self.chunk = int(chunk)
@@ -548,10 +550,12 @@ class MultiScenePipeline:
 
     def _dispatch_chunk(self, state, s):
         """Dispatch one scene-batched chunk for a source; None past its end.
-        Adaptive mode serves per-scene scatter dispatches (one cheap compile,
-        shared across scenes — the tensors are padded to a common P) until
-        the batched program lands, then switches; rasters are bit-identical
-        either way."""
+        Adaptive mode serves per-scene NumPy host-lane chunks (zero device
+        interaction) until the batched program lands, then switches.  Host-
+        lane rasters agree with the device lane to >=99.9 % of pixels but
+        are NOT bit-identical (f64 host math vs f32 device math at mask
+        edges — see the module-level rationale), so batched output is byte-
+        deterministic only once the switchover has happened."""
         A, B, fv = state["host_AB"]
         if s >= fv.shape[1]:
             return None

@@ -273,14 +273,20 @@ def test_refine_alignment_host_backend_matches_device(site_clips, monkeypatch):
     orig_put = jax.device_put
 
     def spy_put(x, device=None, **kw):
-        placements.append(device)
+        # record the INPUT kind too: a jax.Array arriving here means the
+        # tensor was materialized on the DEFAULT device first (the round-4
+        # jnp.asarray-before-device_put bug — on a tunneled TPU that upload
+        # hard-blocks behind any in-flight background warm compile)
+        placements.append((device, isinstance(x, jax.Array)))
         return orig_put(x, device, **kw)
 
     monkeypatch.setattr(jax, "device_put", spy_put)
     s_host = perturbed_site()
     r_host = s_host.refine_alignment(iters=150, tol=4.0, backend="host")
     assert placements and all(
-        d is not None and d.platform == "cpu" for d in placements)
+        d is not None and d.platform == "cpu" for d, _ in placements)
+    assert not any(was_jax for _, was_jax in placements), \
+        "host backend routed a tensor through the default device"
     monkeypatch.setattr(jax, "device_put", orig_put)
 
     s_dev = perturbed_site()

@@ -130,3 +130,10 @@ def test_scene_sharded_fleet_eval_matches_batch(tmp_path_factory):
                     "gt_pixels"):
             np.testing.assert_allclose(g[key], w_[key], rtol=1e-5,
                                        err_msg=key)
+    # the compiled-step cache must key by mesh LAYOUT, never id(mesh): a
+    # garbage-collected mesh's id can be recycled by a differently-shaped
+    # successor, silently serving a step compiled for the wrong axis extents
+    mesh_key = (tuple(mesh.shape.items()),
+                tuple(d.id for d in mesh.devices.flat))
+    assert any(k[0] == mesh_key for k in ev._sharded_steps)
+    assert not any(isinstance(k[0], int) for k in ev._sharded_steps)
