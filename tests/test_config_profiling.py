@@ -138,6 +138,16 @@ def test_perf_gate_floor_logic(tmp_path):
     assert r.returncode == 1
     assert "ceiling" in r.stdout
 
+    # raw bench stdout capture: the pixel-parity validation doc precedes
+    # the metric line (two JSON lines) — --from must scan for the metric
+    # line, not choke on the multi-doc file
+    line["details"]["cli_time_to_first_video_s"] = 9.0
+    p.write_text(json.dumps({"ok": True, "sources": {}}) + "\n"
+                 + json.dumps(line) + "\n")
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stdout + r.stderr
+
 
 def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
     """--attribute attaches the phase profiler's stage report to a FAILING

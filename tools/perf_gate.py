@@ -106,8 +106,23 @@ def main(argv=None):
 
     if args.from_file:
         with open(args.from_file) as f:
-            bench = json.load(f)  # one JSON doc (bench line or driver wrapper)
-        if "parsed" in bench:  # driver BENCH_r*.json wrapper
+            text = f.read()
+        try:
+            bench = json.loads(text)  # one doc: bench line or driver wrapper
+        except json.JSONDecodeError:
+            # raw bench stdout capture: the pixel-parity validation doc
+            # precedes the metric line — take the LAST parseable line with
+            # a "metric" key (same scan run_bench applies)
+            bench = None
+            for line in reversed(text.strip().splitlines()):
+                try:
+                    doc = json.loads(line)
+                except json.JSONDecodeError:
+                    continue
+                if isinstance(doc, dict) and "metric" in doc:
+                    bench = doc
+                    break
+        if bench is not None and "parsed" in bench:  # driver BENCH_r*.json
             bench = bench["parsed"]
     else:
         bench = run_bench()
