@@ -104,6 +104,12 @@ def crop_bounds(crop=None):
 def project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, crop_hi):
     """Project all points into all frames x cameras in one device pass.
 
+    NOTE: pipeline._host_project_chunk is the NumPy f64 mirror of this exact
+    formula-and-mask chain (the adaptive host lane), and validate's
+    host-exact harness pins both against the reference — any change to the
+    crop test, mask ordering, or division here must be mirrored there or the
+    >=99.9 % host/device pixel-agreement contract silently erodes.
+
     Args:
         points:      [P, 3] float32 world-frame points
         valid:       [P] bool padding mask

@@ -271,6 +271,44 @@ def rasterize_from_compact(vals, width, height, prio_offset=0):
     return out.reshape(batch + (height, width))
 
 
+def compact_points_host(vu, keep, cls, width, height, k):
+    """NumPy mirror of compact_points — same encoding, consecutive-duplicate
+    suppression, and paint order (kept points in original point order), so
+    paint_sparse_host draws identical overlays from either producer.  The
+    adaptive sparse lane serves chunks through this while a background warm
+    is in flight (a device dispatch would hard-block behind the compile).
+
+    vu [..., P, 2] float32, keep [..., P] bool, cls [P] ->
+    (vals [..., k] int32 with -1 padding, counts [...] int32; counts > k
+    signals overflow exactly like the device kernel)."""
+    vu = np.asarray(vu)
+    keep = np.asarray(keep, bool)
+    cls = np.asarray(cls)
+    vi = vu[..., 0].astype(np.int32)
+    ui = vu[..., 1].astype(np.int32)
+    enc = (vi * width + ui) * MAX_CLS + cls
+    enc = np.where(keep, enc, -1)
+    pix = enc // MAX_CLS
+    dup = np.concatenate(
+        [keep[..., 1:] & keep[..., :-1] & (pix[..., 1:] == pix[..., :-1]),
+         np.zeros_like(keep[..., :1])],
+        axis=-1,
+    )
+    eff = keep & ~dup
+    counts = eff.sum(axis=-1).astype(np.int32)
+    batch = keep.shape[:-1]
+    P = keep.shape[-1]
+    vals = np.full(batch + (k,), -1, np.int32)
+    flat_eff = eff.reshape(-1, P)
+    flat_enc = enc.reshape(-1, P)
+    flat_vals = vals.reshape(-1, k)
+    for r in range(flat_eff.shape[0]):
+        kept = flat_enc[r][flat_eff[r]]
+        n = min(len(kept), k)
+        flat_vals[r, :n] = kept[:n]
+    return vals, counts
+
+
 def paint_sparse_host(image_bgr, vals, count, color_table, width):
     """Paint compacted points onto a host image with exact cv2.circle paint
     order: stencil indices are laid out point-major, so NumPy's sequential

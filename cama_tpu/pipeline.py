@@ -54,6 +54,7 @@ from cama_tpu.ops.raster import (
     MAX_CLS,
     build_color_table,
     compact_points,
+    compact_points_host,
     effective_counts,
     pack_cls_2bit,
     packed_to_cls,
@@ -124,7 +125,17 @@ def _warm_submit(fn):
             def loop():
                 while True:
                     job = _WARM_QUEUE.get()
-                    job()
+                    try:
+                        job()
+                    except BaseException:  # pragma: no cover — the worker
+                        # is a process-lifetime singleton: anything escaping
+                        # a job (SystemExit from a build, a PJRT fatal
+                        # callback) must not kill it, or every queued warm's
+                        # event stays unset and warms_in_flight() pins the
+                        # auto streams to the host lane forever
+                        import traceback
+
+                        traceback.print_exc()
 
             _threading.Thread(target=loop, daemon=True,
                               name="kernel-warm").start()
@@ -161,11 +172,26 @@ def _warm_in_background(key, build_and_run):
 
 def wait_for_warm(timeout=None):
     """Block until every in-flight background kernel warm has finished
-    (used by warmup tooling and tests; production streams never wait)."""
-    with _WARM_LOCK:
-        evs = list(_WARMING.values())
-    for ev in evs:
-        ev.wait(timeout)
+    (used by warmup tooling and tests; production streams never wait).
+
+    `timeout` bounds the TOTAL wait (a shared deadline, not per warm —
+    three queued warms under timeout=180 wait at most 180 s combined).
+    Returns True when no warms remain in flight, False on deadline."""
+    import time as _time
+
+    deadline = None if timeout is None else _time.monotonic() + timeout
+    while True:
+        with _WARM_LOCK:
+            evs = list(_WARMING.values())
+        if not evs:
+            return True
+        for ev in evs:
+            remaining = (None if deadline is None
+                         else deadline - _time.monotonic())
+            if remaining is not None and remaining <= 0:
+                return False
+            if not ev.wait(remaining):
+                return False
 
 
 def warms_in_flight():
@@ -570,11 +596,20 @@ class MultiScenePipeline:
             # interaction (even a transfer hard-blocks behind the in-flight
             # background compile — see the module-level rationale)
             pts_np, cls_np, valid_np = state["host_pts"]
-            return [
-                _host_overlay_chunk(pts_np[i], valid_np[i], cls_np[i],
-                                    A[i, sl], B[i, sl], fv[i, sl],
-                                    lo, hi, w, h)
-                for i in range(pts_np.shape[0])]
+            out = []
+            for i in range(pts_np.shape[0]):
+                fvi = np.asarray(fv[i, sl], bool)
+                if not fvi.any():
+                    # scene exhausted (members pad to the batch's max frame
+                    # count): all-padding chunks can only produce empty
+                    # rasters — skip the full f64 projection for them
+                    out.append(np.zeros(
+                        (fvi.shape[0], B.shape[2], h, w), np.uint8))
+                    continue
+                out.append(_host_overlay_chunk(
+                    pts_np[i], valid_np[i], cls_np[i],
+                    A[i, sl], B[i, sl], fv[i, sl], lo, hi, w, h))
+            return out
         if state["dev"] is None:  # adaptive: first post-warm dispatch
             pts_np, cls_np, valid_np = state["host_pts"]
             state["dev"] = (jnp.asarray(pts_np), jnp.asarray(cls_np),
@@ -860,11 +895,17 @@ class ClipPipeline:
                 # first frame measured), and dispatches of already-compiled
                 # programs degrade ~40x — the host lane outruns both
                 if fn is not None and not warms_in_flight():
-                    points, cls, valid = self.device_points(source)
-                    return fn(points, valid, cls, jnp.asarray(A_np),
-                              jnp.asarray(B_np), jnp.asarray(fv_np))
-                return _host_overlay_chunk(fp.points, fp.valid, fp.cls,
-                                           A_np, B_np, fv_np, lo, hi, w, h)
+                    with self.timers.phase("device_dispatch"):
+                        points, cls, valid = self.device_points(source)
+                        return fn(points, valid, cls, jnp.asarray(A_np),
+                                  jnp.asarray(B_np), jnp.asarray(fv_np))
+                # its own phase label: this is synchronous host NumPy work —
+                # billing it to 'device_dispatch' would send perf-gate
+                # --attribute's stage report to the wrong place
+                with self.timers.phase("host_lane"):
+                    return _host_overlay_chunk(fp.points, fp.valid, fp.cls,
+                                               A_np, B_np, fv_np,
+                                               lo, hi, w, h)
         else:
             points, cls, valid = self.device_points(source)
             if self.raster_kernel == "pallas":
@@ -895,8 +936,9 @@ class ClipPipeline:
                     return pack_cls_2bit(r) if use_2bit else r
 
             def dispatch(A_np, B_np, fv_np):
-                return kernel(jnp.asarray(A_np), jnp.asarray(B_np),
-                              jnp.asarray(fv_np))
+                with self.timers.phase("device_dispatch"):
+                    return kernel(jnp.asarray(A_np), jnp.asarray(B_np),
+                                  jnp.asarray(fv_np))
 
         def drain(entry):
             s, rasters = entry
@@ -917,13 +959,12 @@ class ClipPipeline:
         pending = []
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
-            with self.timers.phase("device_dispatch"):
-                rasters = dispatch(A[sl], B[sl], fv[sl])
-                try:
-                    rasters.copy_to_host_async()
-                except Exception:
-                    pass
-                pending.append((s, rasters))  # dispatched async; fetched below
+            rasters = dispatch(A[sl], B[sl], fv[sl])  # phases labelled inside
+            try:
+                rasters.copy_to_host_async()
+            except Exception:
+                pass
+            pending.append((s, rasters))  # dispatched async; fetched below
             if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
@@ -1501,9 +1542,11 @@ class ClipPipeline:
         if mode != "sparse":
             return mode, k
         skey = self._production_warm_key(source, False) + ("sparse", k)
-        # sparse only serves when its program is warm AND nothing else is
-        # compiling (its device transfers would hard-block otherwise)
-        if _warm_fn(skey) is not None and not warms_in_flight():
+        # sparse serves once its program is warm; while any warm is in
+        # flight iter_sparse_points falls back per chunk to its NumPy
+        # mirror (compact_points_host), so the stream never touches the
+        # device behind an in-flight compile
+        if _warm_fn(skey) is not None:
             return mode, k
         fm, A, B, fv, F = self._chunked_AB(source)
         h, w = self.scene.output_size
@@ -1530,11 +1573,15 @@ class ClipPipeline:
         must fall back to the dense raster for that frame).  At most
         `max_in_flight` chunks stay pending on device."""
         fm, A, B, fv, F = self._chunked_AB(source)
-        points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
+        fp = self.scene.flat[source]
         if k is None:
-            P = points.shape[0]
+            P = fp.points.shape[0]
             k = min(P, max(4096, -(-(P // 3) // 1024) * 1024))
+        # device tensors upload LAZILY: in 'auto' mode a chunk that falls to
+        # the host lane (background warm in flight — even a transfer would
+        # hard-block behind the compile) must not touch the device at all
+        dev = None
 
         def drain(entry):
             s, (vals, counts) = entry
@@ -1552,18 +1599,33 @@ class ClipPipeline:
         pending = []
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
-            with self.timers.phase("device_dispatch"):
-                out = _project_compact_chunk(
-                    points, valid, cls,
-                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
-                    self._crop_lo, self._crop_hi, w, h, k,
-                )
-                for o in out:
-                    try:
-                        o.copy_to_host_async()
-                    except Exception:
-                        pass
+            if self.raster_kernel == "auto" and warms_in_flight():
+                # adaptive sparse host lane: same ZERO-device-interaction
+                # rule as the raster lane (module-level rationale) — the
+                # NumPy mirror produces the same (vals, counts) contract
+                with self.timers.phase("host_lane"):
+                    vu, keep = _host_project_chunk(
+                        fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
+                        self._crop_lo, self._crop_hi)
+                    out = compact_points_host(vu, keep, fp.cls, w, h, k)
                 pending.append((s, out))
+            else:
+                with self.timers.phase("device_dispatch"):
+                    if dev is None:
+                        dev = self.device_points(source)
+                    points, cls, valid = dev
+                    out = _project_compact_chunk(
+                        points, valid, cls,
+                        jnp.asarray(A[sl]), jnp.asarray(B[sl]),
+                        jnp.asarray(fv[sl]),
+                        self._crop_lo, self._crop_hi, w, h, k,
+                    )
+                    for o in out:
+                        try:
+                            o.copy_to_host_async()
+                        except Exception:
+                            pass
+                    pending.append((s, out))
             if len(pending) >= max_in_flight:
                 yield from drain(pending.pop(0))
         for entry in pending:
@@ -1625,11 +1687,25 @@ class ClipPipeline:
                 yield image_idx, frame
 
     def _overlay_single(self, source, image_idx):
-        """Dense class raster for one frame (sparse-overflow fallback)."""
+        """Dense class raster for one frame (sparse-overflow fallback).
+
+        'auto' serves this from the host lane unconditionally: the [1]-frame
+        A/B shapes differ from every chunked program, so the device path
+        costs a fresh cache-missing compile (minutes through a remote-
+        compile tunnel) for a fallback that only fires when a frame's kept
+        count overflows the sparse budget — and would hard-block anyway
+        whenever a background warm is in flight."""
         fm = self.frame_matrices(source)
         k = int(np.flatnonzero(fm.frame_indices == image_idx)[0])
-        points, cls, valid = self.device_points(source)
         h, w = self.scene.output_size
+        if self.raster_kernel == "auto":
+            fp = self.scene.flat[source]
+            with self.timers.phase("host_lane"):
+                return _host_overlay_chunk(
+                    fp.points, fp.valid, fp.cls,
+                    fm.A[k:k + 1], fm.B[k:k + 1], fm.frame_valid[k:k + 1],
+                    self._crop_lo, self._crop_hi, w, h)[0]
+        points, cls, valid = self.device_points(source)
         raster = _overlay_chunk(
             points, valid, cls,
             jnp.asarray(fm.A[k:k + 1].astype(np.float32)),

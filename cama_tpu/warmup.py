@@ -43,6 +43,13 @@ def warmup_pipeline(pipe, sources=None):
             it = pipe.iter_sparse_points(source, k=k, max_in_flight=1)
         next(it, None)  # compiles + runs the first chunk
         it.close()
+        # 'auto' pipelines serve that first chunk from the host lane and
+        # kick the production compile on a BACKGROUND thread — warmup's
+        # entire job is to pay that compile now, so block until it lands
+        # (no-op for non-adaptive kernels, which compiled synchronously)
+        from cama_tpu.pipeline import wait_for_warm
+
+        wait_for_warm()
         out[source] = {"mode": mode, "k": k,
                        "seconds": round(time.perf_counter() - t0, 2)}
     eval_s = warmup_map_eval(pipe, sources)
@@ -185,9 +192,24 @@ def main(argv=None):
         it.close()
         report["first_frame_latency_seconds"] = round(
             time.perf_counter() - t0, 2)
+    # serving_mode can have kicked one more background warm (e.g. the sparse
+    # program's registry entry) during the first-frame measurement: a warmed
+    # process must leave NOTHING compiling
+    from cama_tpu.pipeline import wait_for_warm
+
+    wait_for_warm()
     print(json.dumps(report))
     return 0
 
 
+def main_entry(argv=None):
+    """Console-script entrypoint: main() + crash-safe exit.  A warm kicked
+    by a scene that later errored can still be in flight here; interpreter
+    teardown racing that compile RPC can C++-abort (see cli.exit_after)."""
+    from cama_tpu.cli import exit_after
+
+    exit_after(main(argv))
+
+
 if __name__ == "__main__":
-    raise SystemExit(main())
+    main_entry()

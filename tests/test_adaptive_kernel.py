@@ -135,3 +135,78 @@ def test_auto_write_videos_and_first_frame_callback(clip, tmp_path):
     assert counts["cama"] > 0 and counts["nuscenes"] > 0
     assert calls == [1], "on_first_frame must fire exactly once"
     assert os.path.getsize(tmp_path / "c.mp4") > 0
+
+
+def test_sparse_host_lane_serves_during_warm(clip, monkeypatch):
+    """While ANY background warm is in flight, the adaptive sparse stream
+    must serve chunks from the NumPy mirror with ZERO device interaction
+    (a transfer would hard-block behind the compile), closely agreeing with
+    the device sparse lane."""
+    import cama_tpu.pipeline as pl
+
+    compact = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="compact")
+    dev = {i: (np.asarray(v), np.asarray(c))
+           for i, v, c in compact.iter_sparse_points("cama", k=4096)}
+
+    auto = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="auto")
+    monkeypatch.setattr(pl, "warms_in_flight", lambda: True)
+
+    def boom(source):
+        raise AssertionError("device touched while a warm is in flight")
+
+    monkeypatch.setattr(auto, "device_points", boom)
+    host = {i: (v, c) for i, v, c in auto.iter_sparse_points("cama", k=4096)}
+    assert set(host) == set(dev)
+    for idx in dev:
+        vd, cd = dev[idx]
+        vh, ch = host[idx]
+        sd = set(vd[vd >= 0].tolist())
+        sh = set(vh[vh >= 0].tolist())
+        jacc = len(sd & sh) / max(1, len(sd | sh))
+        assert jacc > 0.99, (idx, jacc)  # f64 host vs f32 device edges
+        assert abs(int(ch.sum()) - int(cd.sum())) <= max(2, 0.01 * cd.sum())
+    assert auto.timers.count.get("host_lane", 0) > 0
+    assert auto.timers.count.get("device_dispatch", 0) == 0
+
+
+def test_overlay_single_auto_uses_host_lane(clip, monkeypatch):
+    """'auto' serves the sparse-overflow single-frame fallback from the host
+    lane: the [1]-frame device program would be a fresh cache-missing compile
+    (minutes through a remote-compile tunnel) mid-stream."""
+    compact = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="compact")
+    idx = next(iter(dict(compact.iter_overlay_rasters("cama"))))
+    want = compact._overlay_single("cama", idx)
+
+    auto = ClipPipeline(clip_path=clip, chunk=4, raster_kernel="auto")
+
+    def boom(source):
+        raise AssertionError("auto _overlay_single touched the device")
+
+    monkeypatch.setattr(auto, "device_points", boom)
+    got = auto._overlay_single("cama", idx)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    assert _agreement(got, want) > 0.999
+
+
+def test_wait_for_warm_total_deadline():
+    """timeout bounds the TOTAL wait (shared deadline, not per warm) and the
+    return value reports whether the warms actually finished."""
+    import threading
+    import time
+
+    import cama_tpu.pipeline as pl
+
+    evs = [threading.Event() for _ in range(3)]
+    with pl._WARM_LOCK:
+        for i, ev in enumerate(evs):
+            pl._WARMING[("fake-warm", i)] = ev
+    try:
+        t0 = time.perf_counter()
+        assert wait_for_warm(timeout=0.3) is False
+        assert time.perf_counter() - t0 < 1.5  # 3 events, ONE shared budget
+    finally:
+        with pl._WARM_LOCK:
+            for i, ev in enumerate(evs):
+                ev.set()
+                pl._WARMING.pop(("fake-warm", i), None)
+    assert wait_for_warm(timeout=1.0) is True

@@ -109,3 +109,31 @@ def test_pipeline_sparse_overflow_fallback(clip):
     for idx, frame in out:
         for cam in frame:
             np.testing.assert_array_equal(frame[cam], dense[idx][cam])
+
+
+def test_compact_points_host_matches_device():
+    """The NumPy mirror (the adaptive sparse lane's host fallback) must be
+    BIT-identical to the device kernel on identical projected inputs — same
+    encoding, dedup, paint order, padding, and overflow counts."""
+    from cama_tpu.ops.raster import compact_points, compact_points_host
+
+    rng = np.random.default_rng(7)
+    C, P, w, h, k = 3, 257, 64, 48, 96
+    vu = np.stack([rng.uniform(0, h, (C, P)), rng.uniform(0, w, (C, P))],
+                  axis=-1).astype(np.float32)
+    # runs of consecutive same-pixel points exercise the dedup mask
+    vu[:, 40:80] = vu[:, 40:41]
+    keep = rng.random((C, P)) < 0.7
+    cls = rng.integers(0, 4, P).astype(np.int32)
+    want_vals, want_counts = compact_points(
+        jnp.asarray(vu), jnp.asarray(keep), jnp.asarray(cls), w, h, k)
+    got_vals, got_counts = compact_points_host(vu, keep, cls, w, h, k)
+    np.testing.assert_array_equal(got_vals, np.asarray(want_vals))
+    np.testing.assert_array_equal(got_counts, np.asarray(want_counts))
+    # overflow: a tiny budget must preserve the first-k paint order and
+    # report the uncapped effective count, exactly like the device kernel
+    want_vals, want_counts = compact_points(
+        jnp.asarray(vu), jnp.asarray(keep), jnp.asarray(cls), w, h, 8)
+    got_vals, got_counts = compact_points_host(vu, keep, cls, w, h, 8)
+    np.testing.assert_array_equal(got_vals, np.asarray(want_vals))
+    np.testing.assert_array_equal(got_counts, np.asarray(want_counts))
