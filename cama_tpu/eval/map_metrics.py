@@ -725,7 +725,10 @@ class MapEvaluator:
         # pipeline's — print evaluator.timers.report() after a run to see
         # where an evaluation spent its time (GT load vs dispatch vs fetch)
         self.timers = PhaseTimers()
-        self._sharded_steps = {}  # (mesh id, shapes) -> compiled sharded step
+        # compiled sharded steps keyed by (mesh layout + device ids, shapes)
+        # — never id(mesh): a GC'd mesh's id can be recycled by a
+        # differently-shaped successor
+        self._sharded_steps = {}
         if backend not in ("device", "host"):
             raise ValueError(f"unknown backend {backend!r}")
         # 'host': NumPy/SciPy projections + metrics (frame_metrics_host,
@@ -734,6 +737,20 @@ class MapEvaluator:
         # programs.  Covers the full scene surface with the default
         # 'nearest' assignment; the 'dilate' assignment stays device-only.
         self.backend = backend
+
+    def _chunk_has_gt(self, pipeline, idxs):
+        """Any lane_ins PNG present for any (frame, camera) in this chunk —
+        the same existence gate instance_loader applies per mask."""
+        scene = pipeline.scene
+        for idx in idxs:
+            if idx is None:
+                continue
+            for cam in scene.camera_list:
+                ms = scene.sync_ms[cam][idx]
+                if os.path.exists(os.path.join(
+                        scene.clip_path, f"lane_ins_{cam}", f"{ms}.png")):
+                    return True
+        return False
 
     def instance_loader(self, pipeline, camera, image_idx):
         """Load + nearest-remap a `lane_ins_{camera}` instance-id PNG to the
@@ -813,12 +830,20 @@ class MapEvaluator:
                     continue
                 pending.difference_update(i for i in idxs if i is not None)
             if self.backend == "host":
+                # skip GT-less chunks BEFORE the synchronous f64 projection:
+                # absent masks are routine, and unlike the async device
+                # dispatch this einsum is real blocking host work whose
+                # output _chunk_gt would discard (cheap existence checks,
+                # the same gate instance_loader applies)
+                if not self._chunk_has_gt(pipeline, idxs):
+                    continue
                 from cama_tpu.pipeline import _host_project_chunk
 
                 fp = pipeline.scene.flat[source]
-                vu_c, keep_c = _host_project_chunk(
-                    fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
-                    pipeline._crop_lo, pipeline._crop_hi)
+                with self.timers.phase("eval_host"):
+                    vu_c, keep_c = _host_project_chunk(
+                        fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
+                        pipeline._crop_lo, pipeline._crop_hi)
             else:
                 vu_c, keep_c = project_frames(
                     points, valid,
@@ -892,20 +917,20 @@ class MapEvaluator:
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            with self.timers.phase("eval_dispatch"):
-                if self.backend == "host":
-                    for kk, _image_idx in evaluated:
-                        partials.append(frame_metrics_host(
-                            ids_b[kk] > 0, vu_c[kk], keep_c[kk],
-                            self.max_radius, self.tolerance, self.distance))
-                else:
+            if self.backend == "host":
+                with self.timers.phase("eval_host"):
+                    self._host_fold_metrics(partials, ids_b, vu_c, keep_c,
+                                            evaluated)
+            else:
+                with self.timers.phase("eval_dispatch"):
                     partials.append(frame_metrics_chunk_packed(
                         jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_c,
                         keep_c, jnp.asarray(fv), ids_b.shape[-1],
                         self.max_radius, self.tolerance, self.distance,
                     ))
             n_evaluated += len(evaluated)
-        with self.timers.phase("eval_fetch"):
+        with self.timers.phase("eval_host" if self.backend == "host"
+                               else "eval_fetch"):
             out = reduce_metrics(partials if self.backend == "host"
                                  else jax.device_get(partials))
         out["frames_evaluated"] = n_evaluated
@@ -953,6 +978,22 @@ class MapEvaluator:
                           "mean_purity": 0.0, "n_map_instances": 0,
                           "n_gt_instances": 0}
 
+    def _check_assignment(self, assignment):
+        """Validate at method ENTRY: the in-loop location this replaces only
+        fired when a GT-bearing chunk existed, so an unsupported assignment
+        on a GT-less clip returned empty results silently."""
+        if self.backend == "host" and assignment != "nearest":
+            raise ValueError("backend='host' supports assignment='nearest'")
+
+    def _host_fold_metrics(self, partials, ids_b, vu_c, keep_c, evaluated):
+        """Host-backend per-row metric fold shared by evaluate_scene and
+        evaluate_scene_all (one definition, or a future cap/distance change
+        silently diverges them)."""
+        for kk, _image_idx in evaluated:
+            partials.append(frame_metrics_host(
+                ids_b[kk] > 0, vu_c[kk], keep_c[kk],
+                self.max_radius, self.tolerance, self.distance))
+
     def _host_fold_votes(self, pipeline, source, sink, ids_b, vu_c, keep_c,
                          evaluated):
         """Host-backend voting for one chunk's evaluated rows, folded
@@ -974,6 +1015,7 @@ class MapEvaluator:
         default — see instance_votes_chunk); reports precision/recall/purity
         (see instance_association).  One device dispatch per chunk; votes
         fetched in batched transfers every MAX_PENDING_CHUNKS chunks."""
+        self._check_assignment(assignment)
         pipeline.refresh_gt_cache()  # pick up regenerated GT masks
         pending = []
         sink = {"mi": [], "gi": []}
@@ -985,14 +1027,12 @@ class MapEvaluator:
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            with self.timers.phase("eval_dispatch"):
-                if self.backend == "host":
-                    if assignment != "nearest":
-                        raise ValueError(
-                            "backend='host' supports assignment='nearest'")
+            if self.backend == "host":
+                with self.timers.phase("eval_host"):
                     self._host_fold_votes(pipeline, source, sink, ids_b,
                                           vu_c, keep_c, evaluated)
-                else:
+            else:
+                with self.timers.phase("eval_dispatch"):
                     votes = instance_votes_chunk(
                         device_ids(ids_b), vu_c, keep_c, self.tolerance,
                         assignment)
@@ -1018,6 +1058,7 @@ class MapEvaluator:
         the two single-metric methods' outputs."""
         import jax.numpy as jnp
 
+        self._check_assignment(assignment)
         pipeline.refresh_gt_cache()  # pick up regenerated GT masks
         partials, pending = [], []
         sink = {"mi": [], "gi": []}
@@ -1029,18 +1070,14 @@ class MapEvaluator:
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
             if ids_b is None:
                 continue
-            with self.timers.phase("eval_dispatch"):
-                if self.backend == "host":
-                    if assignment != "nearest":
-                        raise ValueError(
-                            "backend='host' supports assignment='nearest'")
-                    for kk, _image_idx in evaluated:
-                        partials.append(frame_metrics_host(
-                            ids_b[kk] > 0, vu_c[kk], keep_c[kk],
-                            self.max_radius, self.tolerance, self.distance))
+            if self.backend == "host":
+                with self.timers.phase("eval_host"):
+                    self._host_fold_metrics(partials, ids_b, vu_c, keep_c,
+                                            evaluated)
                     self._host_fold_votes(pipeline, source, sink, ids_b,
                                           vu_c, keep_c, evaluated)
-                else:
+            else:
+                with self.timers.phase("eval_dispatch"):
                     p, votes = _metrics_and_votes_chunk(
                         device_ids(ids_b), vu_c, keep_c, jnp.asarray(fv),
                         self.max_radius, self.tolerance, self.distance,
@@ -1052,7 +1089,8 @@ class MapEvaluator:
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)
-        with self.timers.phase("eval_fetch"):
+        with self.timers.phase("eval_host" if self.backend == "host"
+                               else "eval_fetch"):
             out = reduce_metrics(partials if self.backend == "host"
                                  else jax.device_get(partials))
         assoc = self._associate(sink, visible)
@@ -1088,6 +1126,10 @@ class MapEvaluator:
             pipes_list = (pipelines.pipelines
                           if isinstance(pipelines, MultiScenePipeline)
                           else list(pipelines))
+            if not any(source in p.scene.flat for p in pipes_list):
+                # same failure mode as the device route (which raises via
+                # MultiScenePipeline._stacked) — not a silent all-None list
+                raise ValueError(f"no member scene carries source {source!r}")
             results = []
             for p in pipes_list:
                 if source not in p.scene.flat:

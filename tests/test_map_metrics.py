@@ -632,3 +632,28 @@ def test_evaluate_scene_all_host_backend(clip):
     for k in ("instance_precision", "instance_recall", "mean_purity"):
         np.testing.assert_allclose(host[k], dev[k], rtol=0.05, atol=0.02,
                                    err_msg=k)
+
+
+def test_host_backend_assignment_validated_at_entry(tmp_path):
+    """An unsupported assignment must raise even on a clip with NO GT masks
+    — the old in-loop check only fired when a GT-bearing chunk existed, so
+    GT-less clips returned empty results silently."""
+    clip = make_fixture_clip(tmp_path, scene_name="nogt-assign", n_frames=3,
+                             with_images=False, with_lidar=False)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=2)
+    ev = MapEvaluator(backend="host")
+    with pytest.raises(ValueError, match="nearest"):
+        ev.evaluate_scene_instances(pipe, "cama", assignment="dilate")
+    with pytest.raises(ValueError, match="nearest"):
+        ev.evaluate_scene_all(pipe, "cama", assignment="dilate")
+
+
+def test_host_fleet_no_source_matches_device_failure_mode(tmp_path):
+    """backend='host' through the fleet API must raise like the device route
+    when NO member carries the source, not return a silent all-None list."""
+    clip = make_fixture_clip(tmp_path, scene_name="nosrc", n_frames=3,
+                             with_images=False, with_lidar=False)
+    pipes = [ClipPipeline(clip_path=str(clip), chunk=2)]
+    ev = MapEvaluator(backend="host")
+    with pytest.raises(ValueError, match="no member scene carries"):
+        ev.evaluate_scene_batch(pipes, "not-a-source")
