@@ -64,6 +64,20 @@ def estimate_sim3_to_world(scene, t_max_diff=0.5):
     ok = idx["valid"]
     if ok.sum() < 3:
         raise RuntimeError("not enough matched poses for site alignment")
+    # (near-)collinear trajectories (a straight-road clip) make the Umeyama
+    # covariance rank-deficient: the rotation about the driving axis is a
+    # free DOF and the SVD picks one arbitrarily — warn, because the clip's
+    # map then rolls out of the road plane with no other symptom
+    pos = sfm_xyz[ok]
+    sv = np.linalg.svd(pos - pos.mean(0), compute_uv=False)
+    if sv[0] > 0 and sv[1] / sv[0] < 1e-3:
+        import warnings
+
+        warnings.warn(
+            f"site alignment for {scene.clip_path}: trajectory is near-"
+            f"collinear (singular-value ratio {sv[1] / sv[0]:.1e}) — the "
+            "Umeyama rotation has a free roll DOF; consider refine_alignment "
+            "to settle it against overlapping clips", stacklevel=2)
     r, t, s = umeyama_alignment(sfm_xyz[ok].T, matched[ok][:, :3, 3].T, with_scale=True)
     return r, t, s
 
@@ -211,6 +225,10 @@ class Site:
         pipelines it just built instead of re-lifting every member."""
         site = cls(name=name, configs=configs)
         configs = site.configs
+        if scenes is not None and len(scenes) != len(clip_paths):
+            raise ValueError(
+                f"scenes ({len(scenes)}) must parallel clip_paths "
+                f"({len(clip_paths)})")
         for i, path in enumerate(clip_paths):
             scene = scenes[i] if scenes is not None else None
             if scene is not None and "cama" not in scene.flat:
@@ -263,7 +281,12 @@ class Site:
             close[jj, ii] = _chamfer_pairs_host(pts, w, ii, jj) < tol
         elif len(ii):
             pts_d, w_d = jnp.asarray(pts), jnp.asarray(w)
-            dists = []
+            # dispatch ALL blocks first (JAX dispatch is async), fetch after:
+            # fetching inside the loop would serialize one full ~30 ms
+            # dispatch+link round-trip per 128-pair block on the tunneled
+            # chip; outputs are tiny [PAIR_BLOCK] vectors, so holding every
+            # block's result on device is free
+            launched = []
             for s in range(0, len(ii), PAIR_BLOCK):
                 bi = ii[s : s + PAIR_BLOCK]
                 bj = jj[s : s + PAIR_BLOCK]
@@ -271,10 +294,11 @@ class Site:
                 if pad:
                     bi = np.pad(bi, (0, pad))
                     bj = np.pad(bj, (0, pad))
-                d = _chamfer_pairs(pts_d, w_d, jnp.asarray(bi.astype(np.int32)),
-                                   jnp.asarray(bj.astype(np.int32)))
-                dists.append(np.asarray(d)[: PAIR_BLOCK - pad])
-            dvals = np.concatenate(dists)
+                launched.append((pad, _chamfer_pairs(
+                    pts_d, w_d, jnp.asarray(bi.astype(np.int32)),
+                    jnp.asarray(bj.astype(np.int32)))))
+            dvals = np.concatenate(
+                [np.asarray(d)[: PAIR_BLOCK - pad] for pad, d in launched])
             close[jj, ii] = dvals < tol
 
         keep_mask = np.ones(I, bool)
@@ -437,11 +461,19 @@ class Site:
             updates, state = opt.update(g, state)
             return optax.apply_updates(params, updates), state, loss
 
-        pair_chamfer_j = jax.jit(pair_chamfer)
-        before = float(pair_chamfer_j(params, data))
+        # before/after come from step()'s own loss (chamfer at its INPUT
+        # params): a separate jitted forward-only pair_chamfer would be a
+        # SECOND remote-compiled program purely for metrics — the final
+        # probe call reuses the one compiled step and discards its update
+        before = None
         for _ in range(iters):
             params, state, loss = step(params, state, data, anchor)
-        after = float(pair_chamfer_j(params, data))
+            if before is None:
+                before = float(loss)
+        _, _, loss = step(params, state, data, anchor)
+        after = float(loss)
+        if before is None:  # iters == 0: nothing optimized
+            return after, after
         if after >= before:  # refinement must never make the site worse
             return before, before
 
@@ -573,11 +605,18 @@ class Site:
         prefix = prefix or self.name
         pipes = [self.pipeline_for_clip(i, chunk=chunk)
                  for i in range(len(self.clips))]
+        # normpath (trailing slashes give basename '') + uniquify: two
+        # same-named clip dirs from different roots must not collapse onto
+        # one .mp4 with two encoders writing it
+        names, seen = [], {}
+        for p in pipes:
+            base = os.path.basename(os.path.normpath(str(p.scene.clip_path)))
+            n = seen.get(base, 0)
+            seen[base] = n + 1
+            names.append(base if n == 0 else f"{base}-{n + 1}")
         paths = [
-            {"site": os.path.join(
-                out_dir,
-                f"{prefix}_{os.path.basename(p.scene.clip_path)}_site.mp4")}
-            for p in pipes
+            {"site": os.path.join(out_dir, f"{prefix}_{name}_site.mp4")}
+            for name in names
         ]
         if len(pipes) > 1:
             msp = MultiScenePipeline(pipes, source="site", chunk=chunk)
@@ -589,19 +628,28 @@ class Site:
 
     def aggregate_lidar(self, voxel=0.2, every=2, **kw):
         """Cross-clip LiDAR aggregation: each clip's sweeps through its own
-        reconstructed chain, then Sim(3) into the site frame."""
+        reconstructed chain — built with THIS site's configs, the same chain
+        the Sim(3) was estimated from (a default-configs chain would live in
+        a different SfM frame and misalign the cloud silently) — then Sim(3)
+        into the site frame.  with_intensity=True is preserved through the
+        transform; voxel dedup drops it (same contract as the module-level
+        aggregate_lidar)."""
+        kw.setdefault("configs", self.configs)
         clouds = []
         for path, scene, (r, t, s) in self.clips:
             pts = aggregate_lidar(path, pose_source="cama", every=every, **kw)
-            if len(pts):
-                clouds.append(apply_sim3_points(pts[:, :3], r, t, s))
+            if not len(pts):
+                continue
+            xyz = apply_sim3_points(pts[:, :3], r, t, s)
+            clouds.append(np.concatenate([xyz, pts[:, 3:]], axis=1)
+                          if pts.shape[1] > 3 else xyz)
         if not clouds:
             return np.zeros((0, 3), np.float32)
         merged = np.concatenate(clouds)
         if voxel:
             from cama_tpu.aggregate.lidar import voxel_downsample
 
-            merged = voxel_downsample(merged, voxel)
+            merged = voxel_downsample(merged[:, :3], voxel)
         return merged
 
 
@@ -609,7 +657,6 @@ def main(argv=None):
     """Site aggregation script: merge clips covering intersecting road into
     one site map (CAMAv2 release notes, README.md:22-24)."""
     import argparse
-    import os
 
     parser = argparse.ArgumentParser(description="CAMAv2 site-level multi-scene aggregation")
     parser.add_argument("--clips", nargs="+", required=True, help="clip directories")

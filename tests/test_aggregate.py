@@ -374,3 +374,18 @@ def test_host_chamfer_matches_device():
     host = _chamfer_pairs_host(pts, w, ii, jj)
     dev = np.asarray(_chamfer_pairs(pts, w, ii, jj))
     np.testing.assert_allclose(host, dev, rtol=1e-5, atol=1e-5)
+
+
+def test_collinear_trajectory_warns(tmp_path):
+    """A (near-)straight trajectory leaves the Umeyama roll DOF free — the
+    alignment must say so (the short default fixture drives an almost
+    straight line: singular-value ratio ~4e-4), while the longer curved
+    site fixtures must stay warning-free."""
+    import warnings
+
+    clip = make_fixture_clip(tmp_path, scene_name="straight", n_frames=6,
+                             with_images=False, with_lidar=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        estimate_sim3_to_world(compile_scene(clip, sources=("cama",)))
+    assert any("collinear" in str(w.message) for w in rec)
