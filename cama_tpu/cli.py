@@ -29,15 +29,6 @@ from cama_tpu.config import load_config
 from cama_tpu.pipeline import ClipPipeline, MultiScenePipeline
 
 
-def extract_dir_from_zip(zip_filepath, dir_in_zip, dest_dir):
-    with zipfile.ZipFile(zip_filepath, "r") as zf:
-        for member in zf.namelist():
-            if member.startswith(dir_in_zip):
-                zf.extract(member, dest_dir)
-                if member.endswith("/"):
-                    os.makedirs(os.path.join(dest_dir, member), exist_ok=True)
-
-
 def _extract_all_labels(zip_filepath, scene_names, dest_dir):
     """Extract every configured scene's label files in ONE pass over the
     release zip — the reference reopens and rescans the (multi-GB) zip per
@@ -74,6 +65,10 @@ def run(configs):
     os.makedirs(output_dir, exist_ok=True)
     output_video_dir = configs["output_video_dir"]
     os.makedirs(output_video_dir, exist_ok=True)
+    # order-preserving dedupe: a scene listed twice would otherwise be
+    # prepared twice and — worse — batched into one MultiScenePipeline with
+    # two encoders writing the SAME output .mp4
+    scene_names = list(dict.fromkeys(configs["scene_names"]))
 
     def first_frame_cb(label):
         # one-shot per label: reports time from CLI start to the first video
@@ -84,15 +79,31 @@ def run(configs):
                   f"{time.perf_counter() - t_run0:.1f}s", flush=True)
         return cb
 
-    # CAMA label files into the clip dirs: one zip pass for every scene
+    # CAMA label files into the clip dirs: one zip pass, and only for scenes
+    # whose labels are not already on disk (re-running a processed config
+    # must not re-scan a multi-GB zip; delete the scene's map file to force
+    # re-extraction)
     zip_file = configs.get("cama_label_file")
-    if zip_file and os.path.exists(zip_file):
-        _extract_all_labels(zip_file, configs["scene_names"], output_dir)
+    if zip_file:
+        if os.path.exists(zip_file):
+            from cama_tpu.io.scene import DEFAULT_CAMA_CONFIGS
+
+            cc = {**DEFAULT_CAMA_CONFIGS, **(configs.get("cama_configs") or {})}
+            need = [n for n in scene_names if not os.path.exists(os.path.join(
+                output_dir, n, cc["result_dir"], cc["cama_map_file"]))]
+            if need:
+                _extract_all_labels(zip_file, need, output_dir)
+        else:
+            # configured but missing is a likely typo — without this, the
+            # run 'succeeds' printing only per-scene 'no cama labels' skips
+            print(f"warning: cama_label_file not found: {zip_file} — "
+                  "scenes without already-extracted labels will skip their "
+                  "cama video", flush=True)
 
     state = {"converter": None}
     failures = []
     prepared = []  # (scene_name, pipeline, {source: video_path})
-    for scene_name in configs["scene_names"]:
+    for scene_name in scene_names:
         item = _isolated(scene_name, failures, _prepare_scene, configs,
                          scene_name, output_dir, output_video_dir, state)
         if item is not None:

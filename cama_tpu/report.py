@@ -114,8 +114,12 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
         if thumbnails and not out.get("thumbs"):
             idxs = (valid_idxs[:max_frames] if max_frames is not None
                     else valid_idxs)
-            picks = sorted({idxs[int(k * (len(idxs) - 1) / max(thumbnails - 1, 1))]
-                            for k in range(min(thumbnails, len(idxs)))})
+            # spread over n_picks (not `thumbnails`): when fewer frames
+            # exist than requested, dividing by thumbnails-1 collapses the
+            # picks onto the first frame
+            n_picks = min(thumbnails, len(idxs))
+            picks = sorted({idxs[int(k * (len(idxs) - 1) / max(n_picks - 1, 1))]
+                            for k in range(n_picks)})
             thumbs = []
             for idx in picks:
                 b64 = _thumbnail_b64(pipe, source, idx)
@@ -354,19 +358,27 @@ def main(argv=None):
 
     precomputed = _batch_metrics(pipes, args)
 
+    summarized = {}  # scene_name -> summary: duplicates share the pipeline
+    # AND the (expensive) evaluation + thumbnail work — re-running
+    # scene_summary for a repeated name would produce byte-identical output
     for scene_name, pipe in pipe_list:
         if isinstance(pipe, dict):
             summaries.append({"scene": scene_name, **pipe})
             failures += 1
             continue
+        if scene_name in summarized:
+            summaries.append(summarized[scene_name])
+            continue
         try:
-            summaries.append(scene_summary(
+            summary = scene_summary(
                 pipe, sources=[args.source] if args.source else None,
                 thumbnails=args.thumbnails, tolerance=args.tolerance,
                 instances=not args.no_instances,
                 max_frames=args.max_frames,
                 precomputed=precomputed.get(scene_name),
-                eval_backend=args.eval_backend))
+                eval_backend=args.eval_backend)
+            summarized[scene_name] = summary
+            summaries.append(summary)
         except Exception as e:
             import traceback
 

@@ -152,6 +152,10 @@ def main(argv=None):
 
     configs = load_config(args.config)
     names = [args.scene] if args.scene else configs["scene_names"]
+    # same order-preserving dedupe as cli.run: a scene listed twice would be
+    # warmed twice and batch-grouped with itself (a [2,...] program no real
+    # run would ever use)
+    names = list(dict.fromkeys(names))
     report = {"scenes": {}, "native_compositor": native.available()}
     first_pipe = None
     warmed_pipes = []
@@ -180,18 +184,27 @@ def main(argv=None):
             if usable:
                 first_pipe = (pipe, usable[0])
 
+    # same isolation as the per-scene loop: a failure in the batched shapes
+    # or the first-frame probe must still print the report (which already
+    # carries every per-scene result) and reach main_entry's crash-safe exit
     if len(warmed_pipes) > 1:  # the CLI's default batch_scenes shapes
-        report["batched"] = warmup_batched(
-            warmed_pipes, [args.source] if args.source else None)
+        try:
+            report["batched"] = warmup_batched(
+                warmed_pipes, [args.source] if args.source else None)
+        except Exception as e:
+            report["batched"] = {"error": repr(e)}
 
     if first_pipe is not None:
-        pipe, source = first_pipe
-        t0 = time.perf_counter()
-        it = pipe.iter_frames(source)
-        next(it, None)
-        it.close()
-        report["first_frame_latency_seconds"] = round(
-            time.perf_counter() - t0, 2)
+        try:
+            pipe, source = first_pipe
+            t0 = time.perf_counter()
+            it = pipe.iter_frames(source)
+            next(it, None)
+            it.close()
+            report["first_frame_latency_seconds"] = round(
+                time.perf_counter() - t0, 2)
+        except Exception as e:
+            report["first_frame_error"] = repr(e)
     # serving_mode can have kicked one more background warm (e.g. the sparse
     # program's registry entry) during the first-frame measurement: a warmed
     # process must leave NOTHING compiling

@@ -246,3 +246,45 @@ def test_report_duplicate_scene_names(workspace, tmp_path, capsys):
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert line["scenes"] == 2
     assert out.read_text().count("<h2>scene-cli</h2>") == 2
+
+
+def test_duplicate_scene_names_deduped(workspace, capsys):
+    """A scene listed twice must be prepared and written ONCE — the batched
+    path would otherwise open two encoders on the same output .mp4."""
+    cfg = yaml.safe_load(open(workspace["config"]))
+    cfg["scene_names"] = ["scene-cli", "scene-cli"]
+    p = workspace["root"] / "dup.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from cama_tpu.cli import main
+
+    assert main(["--config", str(p)]) == 0
+    out = capsys.readouterr().out
+    assert out.count("first video frame") == 1
+
+
+def test_label_extraction_skipped_when_labels_present(workspace):
+    """Re-running a processed config must not re-scan the label zip: labels
+    are already on disk, so run() succeeds even when the configured zip is
+    unreadable (an invalid zip would raise BadZipFile if opened)."""
+    cfg = yaml.safe_load(open(workspace["config"]))
+    bad_zip = workspace["root"] / "corrupt.zip"
+    bad_zip.write_text("not a zip at all")
+    cfg["cama_label_file"] = str(bad_zip)
+    p = workspace["root"] / "skipzip.yaml"
+    p.write_text(yaml.safe_dump(cfg))
+    from cama_tpu.cli import main
+
+    assert main(["--config", str(p)]) == 0
+
+
+def test_report_thumbnails_spread_when_fewer_frames(workspace, tmp_path, capsys):
+    """Asking for more thumbnails than frames must still spread picks over
+    the frames that exist (the old formula collapsed them all onto the
+    first frame)."""
+    from cama_tpu.report import main as report_main
+
+    out = tmp_path / "r.html"
+    rc = report_main(["-c", workspace["config"], "-o", str(out),
+                      "--thumbnails", "3", "--max-frames", "2"])
+    assert rc == 0
+    assert out.read_text().count("data:image/jpeg;base64,") == 2

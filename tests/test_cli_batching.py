@@ -118,6 +118,26 @@ def test_warmup_cli(two_scene_ws, capsys):
     assert report["first_frame_latency_seconds"] < 10
 
 
+def test_warmup_duplicate_scene_names_deduped(two_scene_ws, capsys):
+    """A scene listed twice must be warmed once — duplicates would also
+    batch-group the scene with itself (a [2,...] program no run uses)."""
+    import json
+
+    import yaml
+
+    from cama_tpu.warmup import main
+
+    cfg = dict(two_scene_ws["cfg"])
+    cfg["scene_names"] = ["scene-a", "scene-a"]
+    p = os.path.join(two_scene_ws["root"], "dupwarm.yaml")
+    with open(p, "w") as f:
+        yaml.safe_dump(cfg, f)
+    assert main(["--config", p]) == 0
+    report = json.loads(capsys.readouterr().out)
+    assert list(report["scenes"]) == ["scene-a"]
+    assert "batched" not in report
+
+
 def test_scene_cache_invalidated_by_label_content(tmp_path):
     """A cache compiled before labels changed must not be served: the key
     signs the content of every input file (labels, height grid, odometry)."""
