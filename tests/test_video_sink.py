@@ -89,6 +89,75 @@ def test_async_encoder_frame_count(tmp_path):
     assert n == len(frames)
 
 
+def _fake_ffmpeg(tmp_path, monkeypatch):
+    """Put a fake `ffmpeg` on PATH: records argv, consumes the raw-BGR
+    stdin stream verbatim into <output>.rawpipe, creates <output>.  The
+    bench host has no real ffmpeg, so without this the subprocess pipe
+    backend (arg construction, zero-copy framing, close/wait) NEVER
+    executes (/root/reference/cama/tools.py:13-20 is the settings anchor)."""
+    fake_dir = tmp_path / "fakebin"
+    fake_dir.mkdir()
+    script = fake_dir / "ffmpeg"
+    script.write_text(
+        "#!/usr/bin/env python3\n"
+        "import json, sys\n"
+        "out = sys.argv[-1]\n"
+        "data = sys.stdin.buffer.read()\n"
+        "open(out, 'wb').write(b'fake-encode')\n"
+        "open(out + '.rawpipe', 'wb').write(data)\n"
+        "json.dump(sys.argv[1:], open(out + '.argv.json', 'w'))\n")
+    script.chmod(0o755)
+    monkeypatch.setenv("PATH",
+                       f"{fake_dir}{os.pathsep}{os.environ.get('PATH', '')}")
+
+
+@pytest.mark.parametrize("async_write", [False, True])
+def test_ffmpeg_pipe_backend(tmp_path, monkeypatch, async_write):
+    """Drive the real ffmpeg subprocess path end-to-end against a recording
+    fake: reference-identical encoder settings on argv, the raw-BGR pipe
+    carries every frame's exact bytes in order, close() waits for the
+    encoder before returning."""
+    import json
+
+    _fake_ffmpeg(tmp_path, monkeypatch)
+    frames = _frames(n=7, h=12, w=16, seed=5)
+    out = tmp_path / "v.mp4"
+    with VideoSink(str(out), output_shape=(16, 12), fps=10,
+                   async_write=async_write) as sink:
+        assert sink.backend == "ffmpeg"
+        for f in frames:
+            sink.add_frame(f)
+            f[:] = 0  # async feeder must have copied eagerly
+    # close() waited on the subprocess, so the artifacts exist already
+    argv = json.load(open(f"{out}.argv.json"))
+    # the reference's encoder contract (cama/tools.py:13-20): raw BGR in,
+    # declared input framerate (ffmpeg would otherwise assume 25 fps and
+    # resample frames away), yuv420p libx264 out
+    for flag, value in (("-f", "rawvideo"), ("-pix_fmt", "bgr24"),
+                        ("-s", "16x12"), ("-framerate", "10"),
+                        ("-r", "10"), ("-vcodec", "libx264")):
+        assert value in argv[argv.index(flag) + 1:], (flag, argv)
+    assert argv[-1] == str(out)
+    raw = np.fromfile(f"{out}.rawpipe", np.uint8)
+    rng = np.random.default_rng(5)  # regenerate: frames were zeroed above
+    expect = np.concatenate([
+        rng.integers(0, 256, (12, 16, 3), np.uint8).ravel()
+        for _ in range(len(frames))])
+    np.testing.assert_array_equal(raw, expect)
+
+
+def test_ffmpeg_preset_passthrough(tmp_path, monkeypatch):
+    import json
+
+    _fake_ffmpeg(tmp_path, monkeypatch)
+    out = tmp_path / "p.mp4"
+    with VideoSink(str(out), output_shape=(16, 12),
+                   preset="ultrafast", async_write=False) as sink:
+        sink.add_frame(_frames(1)[0])
+    argv = json.load(open(f"{out}.argv.json"))
+    assert argv[argv.index("-preset") + 1] == "ultrafast"
+
+
 def test_async_feeder_error_surfaces(tmp_path, monkeypatch):
     _force_raw(monkeypatch)
     out = tmp_path / "v.mp4"
