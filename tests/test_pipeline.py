@@ -140,6 +140,25 @@ def test_write_videos_one_pass_matches_two_pass(clip, pipe, monkeypatch):
             np.testing.assert_array_equal(g, e)
 
 
+def test_write_videos_through_ffmpeg_pipe(clip, pipe, tmp_path, monkeypatch):
+    """The production dual-video pass through the REAL subprocess encoder
+    backend (recording fake ffmpeg on PATH): every mosaic frame of both
+    sinks must cross the raw-BGR pipe, correctly framed — on this
+    ffmpeg-less host write_videos otherwise only ever exercises the cv2
+    fallback (/root/reference/cama/tools.py:13-20 is the settings anchor)."""
+    from test_video_sink import _fake_ffmpeg
+
+    _fake_ffmpeg(tmp_path, monkeypatch)
+    paths = {s: str(tmp_path / f"{s}.mp4") for s in ("cama", "nuscenes")}
+    counts = pipe.write_videos(paths)
+    h, w = pipe.scene.output_size
+    for source, path in paths.items():
+        assert counts[source] > 0
+        raw = os.path.getsize(path + ".rawpipe")
+        assert raw == counts[source] * (2 * h) * (3 * w) * 3, \
+            f"{source}: pipe bytes {raw} != {counts[source]} mosaic frames"
+
+
 def test_multi_scene_pipeline_matches_per_scene(tmp_path):
     """MultiScenePipeline's batched program must reproduce each member
     scene's per-scene rasters exactly (different frame counts + point pads)."""
