@@ -32,10 +32,11 @@ def main(argv=None):
     args = p.parse_args(argv)
     if args.trials.endswith("x"):
         mul = float(args.trials[:-1])
-        n_e2e, n_raster, n_seek = (int(20 * mul), int(50 * mul),
-                                   int(40 * mul))
+        n_e2e, n_raster, n_seek, n_eval, n_fleet = (
+            int(20 * mul), int(50 * mul), int(40 * mul), int(10 * mul),
+            int(8 * mul))
     else:
-        n_e2e = n_raster = n_seek = int(args.trials)
+        n_e2e = n_raster = n_seek = n_eval = n_fleet = int(args.trials)
 
     import jax
 
@@ -58,6 +59,22 @@ def main(argv=None):
     # suite covers trials [0, committed); the sweep starts past them
     run("raster-vs-cv2", tf.test_fuzz_raster_paths_agree_with_cv2,
         range(12, 12 + n_raster))
+
+    import test_map_metrics as tm
+
+    def with_tmp(fn):
+        def go(trial):
+            with tempfile.TemporaryDirectory() as td:
+                fn(pathlib.Path(td), trial)
+        return go
+
+    # chunked/batched evaluation vs the trusted per-frame loop (the metric
+    # protocol's strongest available cross-check: the reference snapshot
+    # ships no metric code)
+    run("eval-chunking", with_tmp(tm.test_eval_fuzz_random_gt_patterns),
+        range(3, 3 + n_eval))
+    run("fleet-batch", with_tmp(tm.test_fleet_batch_fuzz),
+        range(2, 2 + n_fleet))
     from conftest import reference_available
 
     if reference_available():
