@@ -19,6 +19,13 @@ from cama_tpu.se3.trajectory import apply_seek, seek_indices
 
 _P = jax.lax.Precision.HIGHEST
 
+# 'auto' backend cutoff (padded points, F*N): below this the one-core CPU
+# einsum runs in milliseconds, so the in-process CPU device wins outright
+# against a fresh remote compile of the accelerator program (RTT-dominated,
+# minutes in slow service phases — same measured rationale as
+# site.HOST_CHAMFER_MAX_PAIRS); above it the device compile amortizes
+HOST_TRANSFORM_MAX_POINTS = 4_000_000
+
 
 @jax.jit
 def _transform_points(T, pts, valid):
@@ -27,6 +34,21 @@ def _transform_points(T, pts, valid):
     ph = jnp.concatenate([pts, jnp.ones_like(pts[..., :1])], axis=-1)
     out = jnp.einsum("fij,fnj->fni", T[:, :3, :], ph, precision=_P)
     return jnp.where(valid[..., None], out, jnp.nan)
+
+
+def _transform_points_host(T, pts, valid):
+    """NumPy f32 mirror of _transform_points — the 'host' backend.  Pure
+    NumPy on purpose: pinning to the in-process CPU *jax* device still
+    blocks on jax's global backend lock whenever the process's first
+    accelerator touch is mid-flight (the tunneled client creation runs
+    under that lock and takes minutes in slow service phases — observed
+    live: a backgrounded kernel warm froze `jax.local_devices('cpu')` for
+    25+ minutes).  Same f32 dtype discipline as the device program; the
+    4-term contraction differs from XLA only in rounding order (~1 ulp)."""
+    ph = np.concatenate([pts, np.ones_like(pts[..., :1])], axis=-1)
+    out = np.einsum("fij,fnj->fni", T[:, :3, :].astype(np.float32), ph,
+                    dtype=np.float32)
+    return np.where(valid[..., None], out, np.float32(np.nan))
 
 
 def voxel_downsample(points, voxel):
@@ -43,7 +65,7 @@ def voxel_downsample(points, voxel):
 
 def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
                     every=1, t_max_diff=0.5, deskewed=False, max_frames=None,
-                    with_intensity=False):
+                    with_intensity=False, backend="auto"):
     """Aggregate a clip's LiDAR sweeps into one world-frame cloud.
 
     Args:
@@ -51,8 +73,19 @@ def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
                      'wigo' (raw ego odometry, UTM frame), or 'wigo_offset'.
         voxel: optional voxel size in meters for downsampling.
         every: take every k-th sweep.
+        backend: 'device' jits the transform for the default accelerator;
+                 'host' runs the pure-NumPy f32 mirror — no jax at all, so
+                 it can never wait on a remote compile OR on jax's backend
+                 lock during the accelerator client's (minutes-slow,
+                 tunneled) first initialization; 'auto' (default) picks
+                 'host' for small clouds (padded points <=
+                 HOST_TRANSFORM_MAX_POINTS) or while a background kernel
+                 warm is compiling.
     Returns [N, 3] float32 world points (or [N, 4] with intensity).
     """
+    if backend not in ("auto", "host", "device"):
+        raise ValueError(f"aggregate_lidar backend {backend!r} "
+                         "not in ('auto', 'host', 'device')")
     configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
     reader = ClipReader(clip_path)
     traj = build_chassis_trajectory(reader, pose_source, configs)
@@ -94,9 +127,20 @@ def aggregate_lidar(clip_path, pose_source="cama", configs=None, voxel=None,
     center = T[:, :3, 3].mean(axis=0)
     T_local = T.copy()
     T_local[:, :3, 3] -= center
-    world = np.asarray(_transform_points(
-        jnp.asarray(T_local, dtype=jnp.float32), jnp.asarray(pts), jnp.asarray(valid)
-    ), dtype=np.float64) + center
+    if backend == "auto":
+        from cama_tpu.pipeline import warms_in_flight
+
+        backend = ("host" if pts.size // 3 <= HOST_TRANSFORM_MAX_POINTS
+                   or warms_in_flight() else "device")
+    if backend == "host":
+        world = _transform_points_host(
+            T_local.astype(np.float32), pts, valid
+        ).astype(np.float64) + center
+    else:
+        world = np.asarray(_transform_points(
+            jnp.asarray(T_local, dtype=jnp.float32), jnp.asarray(pts),
+            jnp.asarray(valid)
+        ), dtype=np.float64) + center
     flat = world.reshape(-1, 3)
     keep = ~np.isnan(flat[:, 0])
     out = flat[keep]
@@ -164,10 +208,16 @@ def main(argv=None):
     parser.add_argument("--voxel", type=float, default=None)
     parser.add_argument("--every", type=int, default=1)
     parser.add_argument("--deskewed", action="store_true")
+    parser.add_argument("--backend", default="auto",
+                        choices=["auto", "host", "device"],
+                        help="'host' runs the pure-NumPy transform mirror "
+                             "(no accelerator, no compile wait); 'auto' "
+                             "picks by cloud size")
     args = parser.parse_args(argv)
 
     pts = aggregate_lidar(args.clip, pose_source=args.pose_source, voxel=args.voxel,
-                          every=args.every, deskewed=args.deskewed)
+                          every=args.every, deskewed=args.deskewed,
+                          backend=args.backend)
     if args.out.endswith(".xyz"):
         save_xyz(args.out, pts)
     else:

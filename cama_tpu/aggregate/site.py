@@ -364,132 +364,50 @@ class Site:
             backend = "host" if n_pairs <= HOST_CHAMFER_MAX_PAIRS else "device"
         cpu_dev = None
         if backend == "host":
-            try:
-                cpu_dev = jax.local_devices(backend="cpu")[0]
-            except RuntimeError:
-                cpu_dev = None  # CPU platform compiled out: device it is
-        # committed-input placement drives jit: with every argument pinned to
-        # the CPU device, step/pair_chamfer compile for (and run on) the
-        # local CPU backend — no remote compile, no accelerator dispatch
-        # device_put on the raw host array: jnp.asarray first would
-        # materialize on the DEFAULT device (the tunneled TPU) before the
-        # copy to CPU — and a TPU transfer hard-blocks behind any in-flight
-        # background warm compile, exactly the stall this backend removes
-        put = ((lambda x: jax.device_put(np.asarray(x), cpu_dev))
-               if cpu_dev is not None else jnp.asarray)
+            # BOUNDED probe: jax.local_devices itself blocks on jax's global
+            # backend lock while the process's first accelerator touch (the
+            # tunneled client creation, possibly kicked by a background
+            # kernel warm) is still in flight — observed 25+ minutes in a
+            # slow service phase.  On timeout, fall back to a clean
+            # subprocess pinned to the CPU platform (pays a ~15-30 s
+            # interpreter+jax start instead of an unbounded wait).
+            cpu_dev = _local_cpu_device()
+            if cpu_dev is None:
+                import warnings
 
-        # all tensors travel as ARGUMENTS to the jitted functions: a closure
-        # capture would embed them as program constants, which forces a
-        # device->host fetch at trace time (the tunneled TPU backend rejects
-        # that path) and bloats the compiled program
-        data = {
-            "pts": put(pts),
-            "w": put(w),
-            "ii": put(ii_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
-            "jj": put(jj_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
-            "mask": put(pair_mask.reshape(-1, PAIR_BLOCK)),
-            "clip": put(clip),
-            "center": put(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0)),
-        }
-        center_np = np.asarray(data["center"], np.float64)
-        # the MXU defaults to bfloat16 passes; sub-meter residuals need f32
-        _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+                warnings.warn(
+                    "refine_alignment: the in-process CPU device is "
+                    "unavailable (jax backend initialization is blocked — "
+                    "likely a tunneled accelerator client still "
+                    "connecting); refining in a CPU-pinned subprocess")
+                deltas, before, after, center_np = _refine_in_subprocess(
+                    pts, w, ii_p, jj_p, pair_mask, clip, n_clips, n_pairs,
+                    iters, lr)
+                return self._apply_refine_deltas(
+                    deltas, before, after, center_np, world_center, n_clips)
+        deltas, before, after, center_np = _optimize_pair_deltas(
+            pts, w, ii_p, jj_p, pair_mask, clip, n_clips, n_pairs, iters,
+            lr, cpu_dev=cpu_dev)
+        return self._apply_refine_deltas(deltas, before, after, center_np,
+                                         world_center, n_clips)
 
-        def rotvec_to_matrix(v):
-            # unnormalized Rodrigues: smooth at v=0 (norm(0) has a NaN grad)
-            K = jnp.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
-            theta2 = jnp.sum(v * v) + 1e-16
-            theta = jnp.sqrt(theta2)
-            return (jnp.eye(3) + (jnp.sin(theta) / theta) * K
-                    + ((1 - jnp.cos(theta)) / theta2) * _mm(K, K))
-
-        def apply_delta(params, center, p, ci):
-            """delta Sim(3) of clip ci applied about the site centroid (so
-            rotation/scale gradients do not fight translation)."""
-            rv = params["rot"][ci]
-            t = params["t"][ci]
-            s = jnp.exp(params["log_s"][ci])
-            R = rotvec_to_matrix(rv)
-            return s * _mm(p - center, R.T) + center + t
-
-        def pair_chamfer(params, d):
-            def block(args):
-                bi, bj, bm = args
-                a = jax.vmap(apply_delta, (None, None, 0, 0))(
-                    params, d["center"], d["pts"][bi], d["clip"][bi])
-                b = jax.vmap(apply_delta, (None, None, 0, 0))(
-                    params, d["center"], d["pts"][bj], d["clip"][bj])
-                wa, wb = d["w"][bi], d["w"][bj]
-                d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
-                big = 1e30
-                d_ab = jnp.sqrt(
-                    jnp.min(jnp.where(wb[:, None, :] > 0, d2, big), axis=2) + 1e-12)
-                d_ba = jnp.sqrt(
-                    jnp.min(jnp.where(wa[:, :, None] > 0, d2, big), axis=1) + 1e-12)
-                per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
-                return jnp.sum(per_pair * bm)
-
-            sums = jax.lax.map(block, (d["ii"], d["jj"], d["mask"]))
-            return sums.sum() / n_pairs
-
-        params = {
-            "rot": put(np.zeros((n_clips, 3), np.float32)),
-            "t": put(np.zeros((n_clips, 3), np.float32)),
-            "log_s": put(np.zeros((n_clips,), np.float32)),
-        }
-        anchor = put(
-            (np.arange(n_clips) != 0).astype(np.float32))  # clip 0 frozen
-
-        opt = optax.adam(lr)
-        if cpu_dev is not None:
-            # optax.adam's init creates its count scalar eagerly on the
-            # DEFAULT device; pin it to CPU so host-mode refinement never
-            # dispatches to the accelerator at all
-            with jax.default_device(cpu_dev):
-                state = opt.init(params)
-        else:
-            state = opt.init(params)
-
-        @jax.jit
-        def step(params, state, d, anchor):
-            loss, g = jax.value_and_grad(pair_chamfer)(params, d)
-            g = {
-                "rot": g["rot"] * anchor[:, None],
-                "t": g["t"] * anchor[:, None],
-                "log_s": g["log_s"] * anchor,
-            }
-            updates, state = opt.update(g, state)
-            return optax.apply_updates(params, updates), state, loss
-
-        # before/after come from step()'s own loss (chamfer at its INPUT
-        # params): a separate jitted forward-only pair_chamfer would be a
-        # SECOND remote-compiled program purely for metrics — the final
-        # probe call reuses the one compiled step and discards its update
-        before = None
-        for _ in range(iters):
-            params, state, loss = step(params, state, data, anchor)
-            if before is None:
-                before = float(loss)
-        _, _, loss = step(params, state, data, anchor)
-        after = float(loss)
-        if before is None:  # iters == 0: nothing optimized
-            return after, after
-        if after >= before:  # refinement must never make the site worse
-            return before, before
-
-        # fold the deltas into stored Sim(3)s and world-frame instance
-        # points; the optimization ran in recentered coordinates, so the
+    def _apply_refine_deltas(self, deltas, before, after, center_np,
+                             world_center, n_clips):
+        """Fold optimized delta-Sim(3)s into the stored transforms and
+        world-frame instance points (deltas=None: refinement declined —
+        iters==0 or it would have made the site worse)."""
+        if deltas is None:
+            return before, after
+        rot, tns, lgs = deltas
+        # the optimization ran in recentered coordinates, so the
         # world-frame pivot is world_center + the local centroid
-        rot = np.asarray(params["rot"])
-        tns = np.asarray(params["t"])
-        lgs = np.asarray(params["log_s"])
         cen = np.asarray(world_center, np.float64) + center_np
-        deltas = []
+        applied = []
         for c in range(n_clips):
             Rd = _rotvec_to_matrix_np(rot[c])
             sd = float(np.exp(lgs[c]))
             td = tns[c].astype(np.float64)
-            deltas.append((Rd, td, sd))
+            applied.append((Rd, td, sd))
             path, scene, (r0, t0, s0) = self.clips[c]
             # p' = sd Rd (p - cen) + cen + td with p = s0 R0 q + t0
             r_new = Rd @ np.asarray(r0)
@@ -497,8 +415,9 @@ class Site:
             t_new = sd * (Rd @ (np.asarray(t0, np.float64) - cen)) + cen + td
             self.clips[c] = (path, scene, (r_new, t_new, s_new))
         self.instances = [
-            (cn, deltas[ci][2] * ((np.asarray(p, np.float64) - cen)
-                                  @ deltas[ci][0].T) + cen + deltas[ci][1], ci)
+            (cn, applied[ci][2] * ((np.asarray(p, np.float64) - cen)
+                                   @ applied[ci][0].T) + cen + applied[ci][1],
+             ci)
             for cn, p, ci in self.instances
         ]
         return before, after
@@ -516,6 +435,7 @@ class Site:
              for c, p, _ in self.instances],
             class_names=class_names, pad_multiple=pad_multiple,
         )
+
 
     def flat_points_recentered(self, class_names=None, pad_multiple=1024):
         """(FlatPoints, center [3] f64): site centroid subtracted before the
@@ -651,6 +571,184 @@ class Site:
 
             merged = voxel_downsample(merged[:, :3], voxel)
         return merged
+
+
+
+def _local_cpu_device(timeout=60.0):
+    """The in-process CPU jax device, or None when jax's backend registry
+    cannot answer within `timeout` seconds.  jax.local_devices takes the
+    global backend lock; the process's FIRST accelerator touch (tunneled
+    client creation, often kicked by a background kernel warm) holds that
+    lock for its whole connection handshake — minutes in slow service
+    phases.  The probe runs on a daemon thread so the caller can bound the
+    wait and fall back; the thread itself finishes harmlessly whenever the
+    registry unblocks."""
+    import threading
+
+    out = {}
+
+    def probe():
+        try:
+            out["dev"] = jax.local_devices(backend="cpu")[0]
+        except RuntimeError:
+            out["dev"] = None  # CPU platform compiled out
+
+    th = threading.Thread(target=probe, daemon=True,
+                          name="cpu-device-probe")
+    th.start()
+    th.join(timeout)
+    return out.get("dev")
+
+
+def _refine_in_subprocess(pts, w, ii_p, jj_p, pair_mask, clip, n_clips,
+                          n_pairs, iters, lr, timeout=1800):
+    """Run _optimize_pair_deltas in a clean child process whose jax platform
+    is pinned to CPU BEFORE backend init (jax.config pre-init is the one
+    override the baked accelerator sitecustomize honors) — the hang-proof
+    fallback when this process's backend registry is blocked."""
+    import subprocess
+    import sys
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        in_path = os.path.join(td, "in.npz")
+        out_path = os.path.join(td, "out.npz")
+        np.savez(in_path, pts=pts, w=w, ii_p=ii_p, jj_p=jj_p,
+                 pair_mask=pair_mask, clip=clip, n_clips=n_clips,
+                 n_pairs=n_pairs, iters=iters, lr=lr)
+        r = subprocess.run(
+            [sys.executable, "-m", "cama_tpu.aggregate._refine_child",
+             in_path, out_path],
+            capture_output=True, text=True, timeout=timeout)
+        if r.returncode != 0:
+            raise RuntimeError(
+                f"subprocess refinement failed (rc={r.returncode}): "
+                f"{r.stderr[-800:]}")
+        d = np.load(out_path)
+        deltas = ((d["rot"], d["t"], d["log_s"]) if bool(d["has_deltas"])
+                  else None)
+        return (deltas, float(d["before"]), float(d["after"]), d["center"])
+
+
+def _optimize_pair_deltas(pts, w, ii_p, jj_p, pair_mask, clip, n_clips,
+                          n_pairs, iters, lr, cpu_dev=None):
+    """The refinement optimization core (pure jax, shared by the in-process
+    backends and the CPU-pinned subprocess child).  Returns
+    (deltas | None, chamfer_before, chamfer_after, local_centroid):
+    deltas=(rot [n,3], t [n,3], log_s [n]) NumPy, None when refinement is
+    declined (iters==0, or it would have made the site worse)."""
+    import optax
+
+    # committed-input placement drives jit: with every argument pinned to
+    # the CPU device, step/pair_chamfer compile for (and run on) the
+    # local CPU backend — no remote compile, no accelerator dispatch
+    # device_put on the raw host array: jnp.asarray first would
+    # materialize on the DEFAULT device (the tunneled TPU) before the
+    # copy to CPU — and a TPU transfer hard-blocks behind any in-flight
+    # background warm compile, exactly the stall this backend removes
+    put = ((lambda x: jax.device_put(np.asarray(x), cpu_dev))
+           if cpu_dev is not None else jnp.asarray)
+
+    # all tensors travel as ARGUMENTS to the jitted functions: a closure
+    # capture would embed them as program constants, which forces a
+    # device->host fetch at trace time (the tunneled TPU backend rejects
+    # that path) and bloats the compiled program
+    data = {
+        "pts": put(pts),
+        "w": put(w),
+        "ii": put(ii_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
+        "jj": put(jj_p.astype(np.int32).reshape(-1, PAIR_BLOCK)),
+        "mask": put(pair_mask.reshape(-1, PAIR_BLOCK)),
+        "clip": put(clip),
+        "center": put(pts.reshape(-1, 3)[w.reshape(-1) > 0].mean(0)),
+    }
+    center_np = np.asarray(data["center"], np.float64)
+    # the MXU defaults to bfloat16 passes; sub-meter residuals need f32
+    _mm = partial(jnp.matmul, precision=jax.lax.Precision.HIGHEST)
+
+    def rotvec_to_matrix(v):
+        # unnormalized Rodrigues: smooth at v=0 (norm(0) has a NaN grad)
+        K = jnp.array([[0, -v[2], v[1]], [v[2], 0, -v[0]], [-v[1], v[0], 0]])
+        theta2 = jnp.sum(v * v) + 1e-16
+        theta = jnp.sqrt(theta2)
+        return (jnp.eye(3) + (jnp.sin(theta) / theta) * K
+                + ((1 - jnp.cos(theta)) / theta2) * _mm(K, K))
+
+    def apply_delta(params, center, p, ci):
+        """delta Sim(3) of clip ci applied about the site centroid (so
+        rotation/scale gradients do not fight translation)."""
+        rv = params["rot"][ci]
+        t = params["t"][ci]
+        s = jnp.exp(params["log_s"][ci])
+        R = rotvec_to_matrix(rv)
+        return s * _mm(p - center, R.T) + center + t
+
+    def pair_chamfer(params, d):
+        def block(args):
+            bi, bj, bm = args
+            a = jax.vmap(apply_delta, (None, None, 0, 0))(
+                params, d["center"], d["pts"][bi], d["clip"][bi])
+            b = jax.vmap(apply_delta, (None, None, 0, 0))(
+                params, d["center"], d["pts"][bj], d["clip"][bj])
+            wa, wb = d["w"][bi], d["w"][bj]
+            d2 = jnp.sum((a[:, :, None, :] - b[:, None, :, :]) ** 2, axis=-1)
+            big = 1e30
+            d_ab = jnp.sqrt(
+                jnp.min(jnp.where(wb[:, None, :] > 0, d2, big), axis=2) + 1e-12)
+            d_ba = jnp.sqrt(
+                jnp.min(jnp.where(wa[:, :, None] > 0, d2, big), axis=1) + 1e-12)
+            per_pair = 0.5 * (jnp.sum(d_ab * wa, 1) + jnp.sum(d_ba * wb, 1))
+            return jnp.sum(per_pair * bm)
+
+        sums = jax.lax.map(block, (d["ii"], d["jj"], d["mask"]))
+        return sums.sum() / n_pairs
+
+    params = {
+        "rot": put(np.zeros((n_clips, 3), np.float32)),
+        "t": put(np.zeros((n_clips, 3), np.float32)),
+        "log_s": put(np.zeros((n_clips,), np.float32)),
+    }
+    anchor = put(
+        (np.arange(n_clips) != 0).astype(np.float32))  # clip 0 frozen
+
+    opt = optax.adam(lr)
+    if cpu_dev is not None:
+        # optax.adam's init creates its count scalar eagerly on the
+        # DEFAULT device; pin it to CPU so host-mode refinement never
+        # dispatches to the accelerator at all
+        with jax.default_device(cpu_dev):
+            state = opt.init(params)
+    else:
+        state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, d, anchor):
+        loss, g = jax.value_and_grad(pair_chamfer)(params, d)
+        g = {
+            "rot": g["rot"] * anchor[:, None],
+            "t": g["t"] * anchor[:, None],
+            "log_s": g["log_s"] * anchor,
+        }
+        updates, state = opt.update(g, state)
+        return optax.apply_updates(params, updates), state, loss
+
+    # before/after come from step()'s own loss (chamfer at its INPUT
+    # params): a separate jitted forward-only pair_chamfer would be a
+    # SECOND remote-compiled program purely for metrics — the final
+    # probe call reuses the one compiled step and discards its update
+    before = None
+    for _ in range(iters):
+        params, state, loss = step(params, state, data, anchor)
+        if before is None:
+            before = float(loss)
+    _, _, loss = step(params, state, data, anchor)
+    after = float(loss)
+    if before is None:  # iters == 0: nothing optimized
+        return None, after, after, center_np
+    if after >= before:  # refinement must never make the site worse
+        return None, before, before, center_np
+    return ((np.asarray(params["rot"]), np.asarray(params["t"]),
+             np.asarray(params["log_s"])), before, after, center_np)
 
 
 def main(argv=None):

@@ -49,9 +49,12 @@ def main(root="/tmp/cama_demo"):
         print(distance, json.dumps({k: round(v, 4) if isinstance(v, float) else v
                                     for k, v in out.items()}))
 
-    print("== instance-level association (lane_ins ids) ==")
+    print("== instance-level association (lane_ins ids; host backend — the "
+          "device path is covered by bench.py/validate and the tpu test "
+          "lane, and a fresh process would stall minutes in its remote "
+          "compile here) ==")
     print(json.dumps({k: round(v, 4) if isinstance(v, float) else v
-                      for k, v in MapEvaluator(tolerance=4)
+                      for k, v in MapEvaluator(tolerance=4, backend="host")
                       .evaluate_scene_instances(pipe, "cama").items()}))
 
     print("== pose evaluation (cama chain vs ego odometry) ==")
@@ -75,3 +78,10 @@ def main(root="/tmp/cama_demo"):
 
 if __name__ == "__main__":
     main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/cama_demo")
+    # the adaptive video pass kicks background kernel warms; in a slow
+    # compile-service phase they outlive the script, and interpreter
+    # teardown racing the compile RPC can C++-abort — same crash-safe exit
+    # as the CLI entrypoints
+    from cama_tpu.cli import exit_after
+
+    exit_after(0)

@@ -49,6 +49,33 @@ def test_lidar_aggregation_with_voxel_and_intensity(clip):
     assert with_i.shape[1] == 4
 
 
+def test_lidar_host_backend_matches_and_never_touches_jax(clip, monkeypatch):
+    """backend='host' is the pure-NumPy f32 mirror: it must (a) never call
+    into jax — even `local_devices('cpu')` blocks on jax's global backend
+    lock while the tunneled accelerator client initializes (observed live:
+    25+ min during a slow service phase) — and (b) match the jitted
+    transform to f32 rounding order (~1 ulp), with an identical point count
+    (the NaN validity mask is exact either way)."""
+    import cama_tpu.aggregate.lidar as lidar_mod
+
+    def boom(*a, **k):
+        raise AssertionError("host backend touched a jax API")
+
+    monkeypatch.setattr(lidar_mod.jax, "jit", boom)
+    monkeypatch.setattr(lidar_mod.jax, "device_put", boom)
+    monkeypatch.setattr(lidar_mod.jax, "local_devices", boom)
+    monkeypatch.setattr(lidar_mod, "_transform_points", boom)
+    host = aggregate_lidar(clip, pose_source="cama", every=2, backend="host")
+    # the fixture clouds are small: 'auto' must pick the host lane too
+    auto = aggregate_lidar(clip, pose_source="cama", every=2, backend="auto")
+    np.testing.assert_array_equal(auto, host)
+    monkeypatch.undo()
+
+    dev = aggregate_lidar(clip, pose_source="cama", every=2, backend="device")
+    assert host.shape == dev.shape  # identical validity masking
+    np.testing.assert_allclose(host, dev, rtol=2e-6, atol=1e-5)
+
+
 def test_voxel_downsample_unique():
     pts = np.array([[0.01, 0, 0], [0.02, 0, 0], [1.0, 1.0, 1.0]], np.float32)
     out = voxel_downsample(pts, 0.1)
@@ -302,6 +329,50 @@ def test_refine_alignment_host_backend_matches_device(site_clips, monkeypatch):
         np.testing.assert_array_equal(r_h, r_d)
         np.testing.assert_array_equal(t_h, t_d)
         assert sc_h == sc_d
+
+
+def test_refine_subprocess_fallback_matches_inprocess(site_clips,
+                                                      monkeypatch):
+    """When the in-process CPU device probe times out (jax's backend lock
+    held by a hung tunneled-client init), refine must fall back to the
+    CPU-pinned subprocess and produce the identical result — same core,
+    same floats (the child pins the platform pre-init, so its CPU programs
+    match the parent's CPU programs exactly)."""
+    import warnings
+
+    import cama_tpu.aggregate.site as site_mod
+
+    def build():
+        site = Site(name="sub")
+        for path in site_clips:
+            site.add_clip(path, compile_scene(path, sources=("cama",)))
+        ang = np.deg2rad(1.5)
+        Rp = np.array([[np.cos(ang), -np.sin(ang), 0],
+                       [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+        tp = np.array([0.8, -0.5, 0.1])
+        path1, scene1, (r1, t1, s1) = site.clips[1]
+        site.clips[1] = (path1, scene1, (Rp @ r1, Rp @ t1 + tp, s1))
+        site.instances = [
+            (c, (p @ Rp.T + tp).astype(np.float32) if ci == 1 else p, ci)
+            for c, p, ci in site.instances
+        ]
+        return site
+
+    monkeypatch.setattr(site_mod, "_local_cpu_device", lambda *a, **k: None)
+    s_sub = build()
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r_sub = s_sub.refine_alignment(iters=120, tol=4.0, backend="host")
+    assert any("CPU-pinned subprocess" in str(x.message) for x in w)
+    monkeypatch.undo()
+
+    s_in = build()
+    r_in = s_in.refine_alignment(iters=120, tol=4.0, backend="host")
+    assert r_sub == r_in
+    for (c_a, p_a, i_a), (c_b, p_b, i_b) in zip(s_sub.instances,
+                                                s_in.instances):
+        assert (c_a, i_a) == (c_b, i_b)
+        np.testing.assert_array_equal(p_a, p_b)
 
 
 def test_site_member_overlays_batched_matches_per_clip(site_clips):
