@@ -538,28 +538,13 @@ def _optional_stage(name, env, thunk, default):
 
 
 def backend_available(timeout):
-    """Bounded accelerator probe.  jax's FIRST backend query creates the
-    tunneled client under jax's global backend lock and can hang for tens of
-    minutes when the service is down (observed live: 25+ min); an unbounded
-    bench would hang with it and the round would record nothing.  Probing on
-    a daemon thread bounds the wait; on success the client is already up for
-    the bench proper."""
-    import threading
+    """Bounded accelerator probe (cama_tpu.pipeline.backend_available): an
+    unbounded bench would hang with a downed tunnel service and the round
+    would record nothing; on success the client is already up for the bench
+    proper."""
+    from cama_tpu.pipeline import backend_available as probe
 
-    out = {}
-
-    def probe():
-        try:
-            import jax
-
-            out["n"] = len(jax.devices())
-        except Exception as e:  # pragma: no cover - plugin import failure
-            out["err"] = repr(e)
-
-    th = threading.Thread(target=probe, daemon=True, name="backend-probe")
-    th.start()
-    th.join(timeout)
-    return out.get("n", 0) > 0
+    return probe(timeout)
 
 
 def main():

@@ -47,6 +47,29 @@ def enable_compile_cache(path="/tmp/jax_compile_cache"):
         pass
 
 
+def backend_available(timeout):
+    """Bounded accelerator probe: jax's FIRST backend query creates the
+    (possibly tunneled) client under jax's global backend lock and can hang
+    for tens of minutes when the service is down — observed live blocking
+    even `jax.local_devices('cpu')` in every other thread for 25+ minutes.
+    Probing on a daemon thread bounds the wait; on success the client is up
+    for the caller.  Used by bench.py and cama-tpu-warmup, whose whole job
+    is device work — the serving paths never need this (their host lanes
+    never touch jax)."""
+    out = {}
+
+    def probe():
+        try:
+            out["n"] = len(jax.devices())
+        except Exception as e:  # pragma: no cover - plugin import failure
+            out["err"] = repr(e)
+
+    th = _threading.Thread(target=probe, daemon=True, name="backend-probe")
+    th.start()
+    th.join(timeout)
+    return out.get("n", 0) > 0
+
+
 from cama_tpu.io.frame_cache import FrameCache, frame_cache_key
 from cama_tpu.io.video import VideoSink
 from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames

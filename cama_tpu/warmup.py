@@ -151,6 +151,18 @@ def main(argv=None):
     from cama_tpu import native
 
     configs = load_config(args.config)
+    # warmup's whole job is device compiles; when the accelerator client
+    # cannot even be created (tunneled-service outage — observed blocking
+    # jax.devices() 25+ min), fail loud and bounded instead of hanging: the
+    # CLI's adaptive host lanes serve without warming anyway
+    from cama_tpu.pipeline import backend_available
+
+    probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "900"))
+    if not backend_available(probe_s):
+        print(json.dumps({"error": "accelerator backend unavailable: "
+                          f"client creation did not complete within "
+                          f"{probe_s:.0f}s — nothing warmed"}))
+        return 1
     names = [args.scene] if args.scene else configs["scene_names"]
     # same order-preserving dedupe as cli.run: a scene listed twice would be
     # warmed twice and batch-grouped with itself (a [2,...] program no real
