@@ -323,6 +323,20 @@ def main(argv=None):
         parser.error("--max-frames must be >= 1")
 
     configs = load_config(args.config)
+    if args.eval_backend == "device":
+        # bounded probe before the first metric dispatch: when the tunneled
+        # accelerator client cannot be created (service outage — observed
+        # blocking 25+ min), the report still has a full-fidelity host
+        # evaluation backend; fall back instead of hanging.  Healthy runs
+        # pay the client creation here, which the device path needs anyway.
+        from cama_tpu.pipeline import backend_available
+
+        probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "120"))
+        if not backend_available(probe_s):
+            print("warning: accelerator backend unavailable (client "
+                  f"creation did not complete within {probe_s:.0f}s) — "
+                  "evaluating with the host backend", flush=True)
+            args.eval_backend = "host"
     out_path = args.out or os.path.join(configs["output_video_dir"],
                                         "report.html")
     summaries = []
