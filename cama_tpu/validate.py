@@ -231,6 +231,22 @@ def main(argv=None):
                              "(round artifacts: VALIDATE_r*.json)")
     args = parser.parse_args(argv)
 
+    # device-path validation needs the accelerator; bounded probe instead of
+    # hanging behind a downed tunnel service's client creation (the host
+    # lanes it compares against never touch jax, but the device lanes do)
+    from cama_tpu.pipeline import backend_available
+
+    probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "900"))
+    if not backend_available(probe_s):
+        report = {"clip": args.clip, "ok": False,
+                  "error": "accelerator backend unavailable: client "
+                           f"creation did not complete within {probe_s:.0f}s"}
+        print(json.dumps(report))
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(report, f)
+        return 1
+
     paths = DEVICE_PATHS if args.kernel == "all" else (args.kernel,)
     pipe = ClipPipeline(clip_path=args.clip)
     if args.source == "both":
