@@ -277,6 +277,63 @@ def test_label_extraction_skipped_when_labels_present(workspace):
     assert main(["--config", str(p)]) == 0
 
 
+def test_report_falls_back_to_host_eval_when_backend_down(workspace, tmp_path,
+                                                          monkeypatch, capsys):
+    """Outage contract: with the accelerator unreachable the report probes
+    (bounded), warns, and evaluates with the host backend instead of
+    hanging on the first metric dispatch."""
+    import cama_tpu.report as report_mod
+
+    monkeypatch.setattr("cama_tpu.pipeline.backend_available",
+                        lambda timeout: False)
+    seen = {}
+    orig = report_mod.scene_summary
+
+    def spy(pipe, **kw):
+        seen["eval_backend"] = kw.get("eval_backend")
+        return orig(pipe, **kw)
+
+    monkeypatch.setattr(report_mod, "scene_summary", spy)
+    out = tmp_path / "r.html"
+    rc = report_mod.main(["-c", workspace["config"], "-o", str(out)])
+    assert rc == 0
+    assert seen["eval_backend"] == "host"
+    assert "accelerator backend unavailable" in capsys.readouterr().out
+
+
+def test_warmup_fails_loud_when_backend_down(workspace, monkeypatch, capsys):
+    """Warmup's job is device compiles: a downed service must produce a
+    bounded, parseable error (rc=1), never an unbounded hang."""
+    import json
+
+    monkeypatch.setattr("cama_tpu.pipeline.backend_available",
+                        lambda timeout: False)
+    from cama_tpu.warmup import main
+
+    assert main(["--config", workspace["config"]]) == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "backend unavailable" in report["error"]
+
+
+def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys):
+    """bench.main must print one honest JSON line naming the outage (the
+    driver records it as the round artifact) instead of hanging."""
+    import json
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    import bench
+
+    monkeypatch.setattr("cama_tpu.pipeline.backend_available",
+                        lambda timeout: False)
+    bench.main()
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["value"] == 0.0
+    assert line["details"]["backend"] == "unreachable"
+    assert "unavailable" in line["details"]["error"]
+
+
 def test_report_thumbnails_spread_when_fewer_frames(workspace, tmp_path, capsys):
     """Asking for more thumbnails than frames must still spread picks over
     the frames that exist (the old formula collapsed them all onto the
