@@ -148,6 +148,17 @@ def test_perf_gate_floor_logic(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
 
+    # bench's bounded-probe outage line: no measurement happened, so the
+    # gate must report failed-to-run (rc=2), NOT "all floors met"
+    p.write_text(json.dumps({
+        "metric": "m", "value": 0.0,
+        "details": {"backend": "unreachable",
+                    "error": "accelerator backend unavailable"}}))
+    r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                       capture_output=True, text=True)
+    assert r.returncode == 2
+    assert "could not reach" in r.stderr
+
 
 def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
     """--attribute attaches the phase profiler's stage report to a FAILING

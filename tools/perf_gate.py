@@ -131,6 +131,14 @@ def main(argv=None):
         return 2
 
     backend = bench.get("details", {}).get("backend", "unknown")
+    if backend == "unreachable":
+        # bench's bounded probe found no accelerator: no measurement
+        # happened, so "no floors tripped" would be a lie — report it as a
+        # failed-to-run, same exit class as a missing JSON line
+        print("perf_gate: bench could not reach the accelerator backend "
+              f"({bench.get('details', {}).get('error', '')})",
+              file=sys.stderr)
+        return 2
     floors_all = json.load(open(args.floors)) if os.path.exists(args.floors) else {}
     floors = dict(floors_all.get(backend, {}))
     # host-path floors assume the native compositor; a gate host without a
