@@ -610,6 +610,16 @@ def _refine_in_subprocess(pts, w, ii_p, jj_p, pair_mask, clip, n_clips,
     import sys
     import tempfile
 
+    # the child must import cama_tpu even when the parent got it via a
+    # programmatic sys.path insert (examples/, bench.py) rather than an
+    # inherited PYTHONPATH
+    import cama_tpu
+
+    pkg_parent = os.path.dirname(os.path.dirname(
+        os.path.abspath(cama_tpu.__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+
     with tempfile.TemporaryDirectory() as td:
         in_path = os.path.join(td, "in.npz")
         out_path = os.path.join(td, "out.npz")
@@ -619,7 +629,7 @@ def _refine_in_subprocess(pts, w, ii_p, jj_p, pair_mask, clip, n_clips,
         r = subprocess.run(
             [sys.executable, "-m", "cama_tpu.aggregate._refine_child",
              in_path, out_path],
-            capture_output=True, text=True, timeout=timeout)
+            capture_output=True, text=True, timeout=timeout, env=env)
         if r.returncode != 0:
             raise RuntimeError(
                 f"subprocess refinement failed (rc={r.returncode}): "
