@@ -71,4 +71,10 @@ def main():
 
 
 if __name__ == "__main__":
-    raise SystemExit(main())
+    rc = main()
+    # the background warm can still be compiling here (that is this demo's
+    # whole premise when the service is slow); interpreter teardown racing
+    # the compile RPC can C++-abort — exit crash-safe like the CLI
+    from cama_tpu.cli import exit_after
+
+    exit_after(rc)
