@@ -29,6 +29,17 @@ def main(argv=None):
                              "GT masks; prints the evaluator's phase report)")
     args = parser.parse_args(argv)
 
+    # this tool times DEVICE phases; bounded probe instead of hanging on a
+    # downed tunnel service's client creation (same contract as bench.py)
+    from cama_tpu.pipeline import backend_available
+
+    probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "900"))
+    if not backend_available(probe_s):
+        print("profile_pipeline: accelerator backend unavailable "
+              f"(client creation did not complete within {probe_s:.0f}s)",
+              file=sys.stderr)
+        return 2
+
     from cama_tpu.pipeline import ClipPipeline
     from cama_tpu.profiling import device_trace
 
@@ -80,4 +91,4 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())
