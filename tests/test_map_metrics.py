@@ -634,6 +634,33 @@ def test_evaluate_scene_all_host_backend(clip):
                                    err_msg=k)
 
 
+@pytest.mark.parametrize("trial", range(2))
+def test_host_vs_device_backend_fuzz(tmp_path, trial):
+    """Randomized host-vs-device backend agreement: scipy CDT/EDT vs the
+    device's iterated-dilation / bounded-EDT programs across random scene
+    geometry, tolerance, radius, and distance mode.  The projections differ
+    (f64 vs f32) only at mask edges, hence the loose rtol."""
+    from cama_tpu.eval.map_metrics import MapEvaluator
+    from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline
+
+    rng = np.random.default_rng(700 + trial)
+    clip = make_fixture_clip(tmp_path, scene_name=f"hvd-{trial}",
+                             n_frames=int(rng.integers(3, 6)),
+                             with_images=False, with_lidar=False, seed=trial)
+    add_instance_masks(clip)
+    pipe = ClipPipeline(clip_path=str(clip), chunk=int(rng.integers(1, 5)))
+    kw = dict(tolerance=int(rng.integers(2, 6)),
+              max_radius=int(rng.integers(8, 18)),
+              distance=["chebyshev", "euclidean"][trial % 2])
+    dev = MapEvaluator(**kw).evaluate_scene(pipe, "cama")
+    host = MapEvaluator(backend="host", **kw).evaluate_scene(pipe, "cama")
+    assert host["frames_evaluated"] == dev["frames_evaluated"] > 0
+    for k in ("SRE", "precision", "recall", "f1"):
+        np.testing.assert_allclose(host[k], dev[k], rtol=0.02, atol=1e-3,
+                                   err_msg=k)
+
+
 def test_host_backend_assignment_validated_at_entry(tmp_path):
     """An unsupported assignment must raise even on a clip with NO GT masks
     — the old in-loop check only fired when a GT-bearing chunk existed, so

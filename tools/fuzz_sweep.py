@@ -75,6 +75,8 @@ def main(argv=None):
         range(3, 3 + n_eval))
     run("fleet-batch", with_tmp(tm.test_fleet_batch_fuzz),
         range(2, 2 + n_fleet))
+    run("host-vs-device-eval", with_tmp(tm.test_host_vs_device_backend_fuzz),
+        range(2, 2 + n_eval))
     from conftest import reference_available
 
     if reference_available():
