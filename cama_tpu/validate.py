@@ -232,12 +232,14 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     # device-path validation needs the accelerator; bounded probe instead of
-    # hanging behind a downed tunnel service's client creation (the host
-    # lanes it compares against never touch jax, but the device lanes do)
+    # hanging behind a downed tunnel service's client creation.  host_lane
+    # is pure NumPy (compared against the equally-host exact path and the
+    # reference), so validating ONLY it skips the probe and works through
+    # an outage
     from cama_tpu.pipeline import backend_available
 
     probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "900"))
-    if not backend_available(probe_s):
+    if args.kernel != "host_lane" and not backend_available(probe_s):
         report = {"clip": args.clip, "ok": False,
                   "error": "accelerator backend unavailable: client "
                            f"creation did not complete within {probe_s:.0f}s"}
