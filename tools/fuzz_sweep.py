@@ -77,6 +77,49 @@ def main(argv=None):
         range(2, 2 + n_fleet))
     run("host-vs-device-eval", with_tmp(tm.test_host_vs_device_backend_fuzz),
         range(2, 2 + n_eval))
+
+    # polygon-union arrangement vs the coverage-mask oracle, mixed shapes
+    # (rotated rects, triangles, holes) — widens test_convert's fixed-seed
+    # union fuzz loops
+    import numpy as np
+    import test_convert as tc
+
+    from cama_tpu.convert import geom
+
+    def union_trial(trial):
+        rng = np.random.default_rng(9000 + trial)
+        polys = []
+        for _ in range(int(rng.integers(2, 5))):
+            kind = rng.random()
+            x0, y0 = rng.uniform(0, 3, 2)
+            if kind < 0.4:  # axis-aligned rect, maybe with a hole
+                wd, ht = rng.uniform(1.0, 3.0, 2)
+                ext = tc._sq(x0, y0, x0 + wd, y0 + ht)
+                holes = []
+                if rng.random() < 0.5:
+                    hx, hy = x0 + wd * 0.3, y0 + ht * 0.3
+                    holes.append(
+                        tc._sq(hx, hy, hx + wd * 0.35, hy + ht * 0.35)[::-1])
+                polys.append((ext, holes))
+            elif kind < 0.75:  # rotated rectangle
+                wd, ht = rng.uniform(0.8, 2.5, 2)
+                th = rng.uniform(0, np.pi)
+                R = np.array([[np.cos(th), -np.sin(th)],
+                              [np.sin(th), np.cos(th)]])
+                base = np.array([[0, 0], [wd, 0], [wd, ht], [0, ht]], float)
+                polys.append(((base @ R.T + (x0, y0)), []))
+            else:  # triangle
+                polys.append(((np.array([(x0, y0)]) + rng.uniform(
+                    -1.5, 1.5, (3, 2))), []))
+        out = geom.union_polygons(polys)
+        xs = np.linspace(-1.03, 7.05, 97)
+        ys = np.linspace(-1.01, 7.07, 93)
+        m_in = tc._union_mask(polys, xs, ys)
+        m_out = tc._union_mask(out, xs, ys)
+        # boundary-grazing samples may flip either way; interiors must match
+        assert (m_in != m_out).mean() < 2e-3, (m_in != m_out).mean()
+
+    run("polygon-union", union_trial, range(n_eval * 2))
     from conftest import reference_available
 
     if reference_available():
