@@ -315,9 +315,11 @@ def test_warmup_fails_loud_when_backend_down(workspace, monkeypatch, capsys):
     assert "backend unavailable" in report["error"]
 
 
-def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys):
+def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys,
+                                                   tmp_path):
     """bench.main must print one honest JSON line naming the outage (the
-    driver records it as the round artifact) instead of hanging."""
+    driver records it as the round artifact) instead of hanging — and the
+    line still carries device-free host-lane parity evidence."""
     import json
     import sys
 
@@ -325,6 +327,12 @@ def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys):
         os.path.abspath(__file__))))
     import bench
 
+    from cama_tpu.io.fixture import make_fixture_clip
+
+    clip = make_fixture_clip(tmp_path, scene_name="bench-outage", n_frames=4,
+                             with_images=True, with_lidar=False)
+    monkeypatch.setattr(bench, "get_fixture", lambda: clip)
+    monkeypatch.setattr(bench, "REPO", str(tmp_path))
     monkeypatch.setattr("cama_tpu.pipeline.backend_available",
                         lambda timeout: False)
     bench.main()
@@ -332,6 +340,9 @@ def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys):
     assert line["value"] == 0.0
     assert line["details"]["backend"] == "unreachable"
     assert "unavailable" in line["details"]["error"]
+    assert line["details"]["validate_host_lane_ok"] is True
+    assert line["details"]["validate_host_lane_min_agreement"] >= 0.999
+    assert (tmp_path / "VALIDATE_outage.json").exists()
 
 
 def test_report_thumbnails_spread_when_fewer_frames(workspace, tmp_path, capsys):
