@@ -25,6 +25,16 @@ import numpy as np  # noqa: E402
 
 def main():
     workdir = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp()
+    # this demo IS the device tier — no host fallback makes sense; bounded
+    # probe so a downed tunnel service yields an error, not a silent hang
+    from cama_tpu.pipeline import backend_available
+
+    probe_s = float(os.environ.get("CAMA_TPU_BACKEND_TIMEOUT_S", "300"))
+    if not backend_available(probe_s):
+        print("accelerator backend unavailable (client creation did not "
+              f"complete within {probe_s:.0f}s) — this demo needs a device; "
+              "retry when the service is reachable", file=sys.stderr)
+        return 2
     from cama_tpu.io.fixture import make_fixture_clip
     from cama_tpu.io.video import concat_camera_grid
     from cama_tpu.pipeline import ClipPipeline
