@@ -345,6 +345,32 @@ def test_bench_emits_outage_line_when_backend_down(monkeypatch, capsys,
     assert (tmp_path / "VALIDATE_outage.json").exists()
 
 
+def test_doctor_report(workspace, capsys, monkeypatch):
+    """Doctor: one bounded JSON report — backend reachability, native tier,
+    encoder, compile cache, per-scene readiness; an unreachable backend is a
+    reported condition, not a failure."""
+    import json
+
+    from cama_tpu.doctor import main
+
+    assert main(["-c", workspace["config"], "--timeout", "30"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["backend"]["reachable"] is True  # CPU test platform
+    assert rep["backend"]["devices"] >= 1
+    assert "dispatch_ms" in rep["backend"]
+    assert rep["encoder"]
+    scene = rep["scenes"]["scene-cli"]
+    assert scene["converted"] and scene["labels"]["nuscenes"]
+
+    # outage shape: reachable=false + note, still exit 0
+    monkeypatch.setattr("cama_tpu.pipeline.backend_available",
+                        lambda timeout: False)
+    assert main(["--timeout", "1"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["backend"]["reachable"] is False
+    assert "host lanes" in rep["backend"]["note"]
+
+
 def test_report_thumbnails_spread_when_fewer_frames(workspace, tmp_path, capsys):
     """Asking for more thumbnails than frames must still spread picks over
     the frames that exist (the old formula collapsed them all onto the
