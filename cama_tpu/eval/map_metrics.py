@@ -207,6 +207,31 @@ def frame_metrics_rows_packed(gt_packed, vu, keep, width, max_radius,
     return frame_metrics_rows(gt, vu, keep, max_radius, tolerance, distance)
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k1"))
+def _project_compact_chunk_eval(points, valid, A, B, fv, width, height,
+                                lo, hi, k1):
+    """Chunked projection with crop-first compaction (the overlay two-stage
+    kernel's stage 1+2, ops/geometry.crop_compact_project_idx): per frame,
+    points inside the camera-independent crop box compact to k1 survivors
+    BEFORE the six per-camera projections, so the downstream per-point
+    metric work (distance gathers, point-raster scatters, vote gathers —
+    all O(points)) runs over k1 instead of P.  keep requires the crop box,
+    so the kept-point set — and therefore every metric — is identical to
+    the full-P projection's.
+
+    Returns (vu [K, C, k1, 2], keep [K, C, k1], sel [K, k1] int32); sel
+    indexes the original point axis so callers compact any per-point array
+    (e.g. instance ids for association votes) with one gather."""
+    from cama_tpu.ops.geometry import crop_compact_project_idx
+
+    def per_frame(args):
+        Af, Bf, f = args
+        return crop_compact_project_idx(points, valid, Af, Bf, f,
+                                        width, height, lo, hi, k1)
+
+    return jax.lax.map(per_frame, (A, B, fv))
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def _project_scenes(points, valid, A, B, fv, width, height, lo, hi):
     """Scene-batched projection: [S, ...] stacked tensors -> vu [S, K, C, P,
@@ -715,12 +740,22 @@ class MapEvaluator:
     """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
 
     def __init__(self, tolerance=5, max_radius=20, distance="chebyshev",
-                 backend="device"):
+                 backend="device", compact="auto"):
         from cama_tpu.profiling import PhaseTimers
 
         self.tolerance = int(tolerance)
         self.max_radius = int(max_radius)
         self.distance = distance
+        if compact not in ("auto", "off"):
+            raise ValueError(f"unknown compact {compact!r}")
+        # 'auto': when the scene's counting pass engaged the overlay path's
+        # crop-first two-stage split (pipeline.crop_compact_k — wide/long-
+        # range scenes where most points fall outside the per-frame crop),
+        # the device projections compact to the k1 crop survivors before the
+        # per-point metric gathers/scatters run, cutting that work P/k1-fold.
+        # The kept-point SET is unchanged (keep requires the crop box), so
+        # every metric is unchanged.  'off' forces full-P projections.
+        self.compact = compact
         # observability (SURVEY.md §5): per-phase wall-clock like the
         # pipeline's — print evaluator.timers.report() after a run to see
         # where an evaluation spent its time (GT load vs dispatch vs fetch)
@@ -795,18 +830,28 @@ class MapEvaluator:
 
     def _iter_chunk_projections(self, pipeline, source, frames):
         """Chunked device projection shared by every scene-level metric:
-        yields (image_idxs, vu [K, C, P, 2], keep [K, C, P]) per chunk, where
-        image_idxs[kk] is the frame index for chunk row kk, or None for rows
-        that are invalid frames / not in the requested `frames` set.  Memory
-        stays bounded at pipeline.chunk frames; metric consumers batch their
-        device work over the whole chunk (one dispatch each)."""
+        yields (image_idxs, vu [K, C, P', 2], keep [K, C, P'], sel) per
+        chunk, where image_idxs[kk] is the frame index for chunk row kk, or
+        None for rows that are invalid frames / not in the requested
+        `frames` set.  Memory stays bounded at pipeline.chunk frames; metric
+        consumers batch their device work over the whole chunk (one
+        dispatch each).
+
+        P' is the full point axis P with sel=None, or — when compact='auto'
+        engaged the crop-first compaction (_project_compact_chunk_eval) —
+        the k1 crop-survivor count with sel a device [K, k1] int32 gather
+        index into the original point axis (padding rows carry keep False).
+        The kept-point set is identical either way."""
         import jax.numpy as jnp
 
         from cama_tpu.ops.geometry import project_frames
 
         fm, A, B, fv, F = pipeline._chunked_AB(source)
+        k1 = None
         if self.backend == "device":
             points, cls, valid = pipeline.device_points(source)
+            if self.compact == "auto":
+                k1 = pipeline.crop_compact_k(source)
         h, w = pipeline.scene.output_size
         pending = None if frames is None else set(frames)
         for s in range(0, len(fv), pipeline.chunk):
@@ -844,19 +889,28 @@ class MapEvaluator:
                     vu_c, keep_c = _host_project_chunk(
                         fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
                         pipeline._crop_lo, pipeline._crop_hi)
+                sel_c = None
+            elif k1 is not None:
+                vu_c, keep_c, sel_c = _project_compact_chunk_eval(
+                    points, valid,
+                    jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
+                    w, h, pipeline._crop_lo, pipeline._crop_hi, k1,
+                )
             else:
                 vu_c, keep_c = project_frames(
                     points, valid,
                     jnp.asarray(A[sl]), jnp.asarray(B[sl]), jnp.asarray(fv[sl]),
                     w, h, pipeline._crop_lo, pipeline._crop_hi,
                 )
+                sel_c = None
             idxs += [None] * (vu_c.shape[0] - len(idxs))
-            yield idxs, vu_c, keep_c
+            yield idxs, vu_c, keep_c, sel_c
 
     def _iter_frame_projections(self, pipeline, source, frames):
         """Per-frame adapter over _iter_chunk_projections: yields
-        (image_idx, vu [C, P, 2], keep [C, P]) for each valid frame."""
-        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+        (image_idx, vu [C, P', 2], keep [C, P']) for each valid frame (P'
+        may be the compacted k1 axis — kept-point set identical)."""
+        for idxs, vu_c, keep_c, _sel in self._iter_chunk_projections(
                 pipeline, source, frames):
             for kk, image_idx in enumerate(idxs):
                 if image_idx is not None:
@@ -911,7 +965,7 @@ class MapEvaluator:
 
         partials = []  # device scalars: fetched once, after every chunk is
         n_evaluated = 0  # dispatched, so host GT loading overlaps device work
-        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+        for idxs, vu_c, keep_c, _sel in self._iter_chunk_projections(
                 pipeline, source, frames):
             with self.timers.phase("eval_gt_load"):
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
@@ -945,16 +999,21 @@ class MapEvaluator:
     def _drain_votes(self, pipeline, source, pending, sink):
         """Fetch the queued chunks' device votes + keep masks in one batched
         device_get, filter per evaluated row, fold into sink['mi'/'gi'].
-        pending: list of (votes_dev [K, C, P], keep_dev [K, C, P], evaluated)."""
+        pending: list of (votes_dev [K, C, P'], keep_dev [K, C, P'],
+        sel_dev [K, P'] or None, evaluated) — with a compacted projection,
+        sel maps each row's point axis back to scene-flat instance ids."""
         if not pending:
             return
         point_inst = np.asarray(pipeline.scene.flat[source].inst)
         with self.timers.phase("eval_fetch"):
-            fetched = jax.device_get([(v, k) for v, k, _ in pending])
-        for (g_at, keep_np), (_, _, evaluated) in zip(fetched, pending):
+            fetched = jax.device_get([(v, k, s) for v, k, s, _ in pending])
+        for (g_at, keep_np, sel_np), (_, _, _, evaluated) in zip(fetched,
+                                                                 pending):
             for kk, _image_idx in evaluated:
                 k_row = keep_np[kk]
-                mi = np.broadcast_to(point_inst[None, :], k_row.shape)[k_row]
+                inst_row = (point_inst if sel_np is None
+                            else point_inst[sel_np[kk]])
+                mi = np.broadcast_to(inst_row[None, :], k_row.shape)[k_row]
                 sink["mi"].append(mi.astype(np.int64))
                 sink["gi"].append(g_at[kk][k_row].astype(np.int64))
         pending.clear()
@@ -1021,7 +1080,7 @@ class MapEvaluator:
         sink = {"mi": [], "gi": []}
         visible = set()
         n_evaluated = 0
-        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+        for idxs, vu_c, keep_c, sel_c in self._iter_chunk_projections(
                 pipeline, source, frames):
             with self.timers.phase("eval_gt_load"):
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
@@ -1037,7 +1096,7 @@ class MapEvaluator:
                         device_ids(ids_b), vu_c, keep_c, self.tolerance,
                         assignment)
                     self._push_votes(pipeline, source, pending, sink,
-                                     (votes, keep_c, evaluated))
+                                     (votes, keep_c, sel_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)
@@ -1064,7 +1123,7 @@ class MapEvaluator:
         sink = {"mi": [], "gi": []}
         visible = set()
         n_evaluated = 0
-        for idxs, vu_c, keep_c in self._iter_chunk_projections(
+        for idxs, vu_c, keep_c, sel_c in self._iter_chunk_projections(
                 pipeline, source, frames):
             with self.timers.phase("eval_gt_load"):
                 ids_b, fv, evaluated = self._chunk_gt(pipeline, idxs)
@@ -1085,7 +1144,7 @@ class MapEvaluator:
                     )
                     partials.append(p)
                     self._push_votes(pipeline, source, pending, sink,
-                                     (votes, keep_c, evaluated))
+                                     (votes, keep_c, sel_c, evaluated))
             visible.update(np.unique(ids_b[ids_b > 0]).tolist())
             n_evaluated += len(evaluated)
         self._drain_votes(pipeline, source, pending, sink)

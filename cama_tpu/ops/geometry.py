@@ -150,15 +150,19 @@ def project_frames(points, valid, A, B, frame_valid, width, height, crop_lo, cro
     return vu, keep
 
 
-def crop_compact_project(points, valid, cls, Af, Bf, fv, width, height,
-                         crop_lo, crop_hi, k1):
+def crop_compact_project_idx(points, valid, Af, Bf, fv, width, height,
+                             crop_lo, crop_hi, k1):
     """Two-stage stage 1+2 for ONE frame: camera-independent crop compaction
     to `k1` survivors (stable -> paint order preserved), then per-camera
     projection of only the survivors.  Shared by the single-device
-    _overlay_chunk_two_stage and the sharded two_stage kernel so the
-    precision-sensitive math exists once.
+    _overlay_chunk_two_stage, the sharded two_stage kernel, and the
+    evaluator's compacted projection so the precision-sensitive math exists
+    once.
 
-    Returns (vu_sel [C, k1, 2], keep [C, k1], cls_sel [k1]).
+    Returns (vu_sel [C, k1, 2], keep [C, k1], idx [k1] int32) — idx indexes
+    the original point axis (stable original order; padding rows carry idx 0
+    with keep False), so callers can compact any per-point array (class ids,
+    instance ids) with one gather.
     """
     P = points.shape[0]
     p4 = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1)
@@ -169,7 +173,6 @@ def crop_compact_project(points, valid, cls, Af, Bf, fv, width, height,
     sel_valid = skey < P
     idx = jnp.where(sel_valid, skey, 0)
     pts_sel = points[idx]
-    cls_sel = cls[idx]
 
     p4s = jnp.concatenate([pts_sel, jnp.ones_like(pts_sel[:, :1])], axis=-1)
     xyw = jnp.einsum("cij,pj->cpi", Bf, p4s, precision=_P)
@@ -182,7 +185,16 @@ def crop_compact_project(points, valid, cls, Af, Bf, fv, width, height,
         mask_z & (u >= 0) & (u < width) & (v >= 0) & (v < height)
         & sel_valid[None, :]
     )
-    return jnp.stack([v, u], axis=-1), keep, cls_sel
+    return jnp.stack([v, u], axis=-1), keep, idx
+
+
+def crop_compact_project(points, valid, cls, Af, Bf, fv, width, height,
+                         crop_lo, crop_hi, k1):
+    """crop_compact_project_idx with the class ids gathered through the
+    selection (the overlay kernels' shape: vu_sel, keep, cls_sel [k1])."""
+    vu, keep, idx = crop_compact_project_idx(
+        points, valid, Af, Bf, fv, width, height, crop_lo, crop_hi, k1)
+    return vu, keep, cls[idx]
 
 
 # ---------------------------------------------------------------------------

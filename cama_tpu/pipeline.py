@@ -1471,6 +1471,30 @@ class ClipPipeline:
             self._counts_sidecar_store(sidecar, key, mc_crop, mc)
         return self._finish_overlay_mode(source, mc_crop, mc, P)
 
+    def crop_compact_k(self, source):
+        """k1 for crop-first compaction when the counting pass engaged the
+        two-stage split, else None — the same sizing the overlay serving
+        path uses; the evaluator reuses it to bound per-point metric work
+        (eval/map_metrics._project_compact_chunk_eval).
+
+        Consults only sizing that is already known: the in-process counting
+        result or the persisted sidecar (.cama_tpu/overlay_counts.json).  It
+        NEVER dispatches the counting pass itself, so an eval-only fresh
+        process does not grow a counting compile it didn't have before —
+        compaction simply stays off until some overlay pass (or
+        cama-tpu-warmup) has sized the clip."""
+        if source not in self._mode:
+            if not self.configs.get("scene_cache", True):
+                return None
+            sidecar = os.path.join(self._cache_dir(), "overlay_counts.json")
+            cached = self._counts_sidecar_load(
+                sidecar, self._counts_sidecar_key(source))
+            if cached is None:
+                return None
+            P = int(self.scene.flat[source].points.shape[0])
+            self._finish_overlay_mode(source, *cached, P)
+        return self._two_stage.get(source)
+
     def _finish_overlay_mode(self, source, mc_crop, mc, P):
         """Turn measured counting maxima into the (mode, k) decision + the
         two-stage split (shared by the live counting pass and the persisted

@@ -684,3 +684,135 @@ def test_host_fleet_no_source_matches_device_failure_mode(tmp_path):
     ev = MapEvaluator(backend="host")
     with pytest.raises(ValueError, match="no member scene carries"):
         ev.evaluate_scene_batch(pipes, "not-a-source")
+
+
+# ---------------- compacted evaluation (crop-first two-stage) ----------------
+
+
+def test_crop_compact_project_idx_matches_full():
+    """Unit: the compacted projection (evaluator two-stage, ops/geometry.
+    crop_compact_project_idx) keeps exactly the full projection's kept-point
+    set, in stable original order, with identical vu values; idx maps each
+    survivor back to the original point axis."""
+    import jax.numpy as jnp
+
+    from cama_tpu.ops.geometry import crop_compact_project_idx, project_frames
+
+    P, C, w, h = 257, 3, 960, 540
+    pts = RNG.normal(0, 60, (P, 3)).astype(np.float32)
+    valid = RNG.random(P) > 0.1
+    lo = np.array([-50.0, -100.0, -200.0], np.float32)
+    hi = np.array([50.0, 100.0, 200.0], np.float32)
+    A = np.eye(4, dtype=np.float32)
+    A[:3, 3] = [3.0, -2.0, 1.0]
+    K = np.array([[500.0, 0, 480], [0, 500, 270], [0, 0, 1]], np.float32)
+    B = np.stack([
+        (K @ np.concatenate([np.eye(3), np.array([[dx], [0.0], [0.0]])],
+                            axis=1)).astype(np.float32)
+        for dx in (-1.0, 0.0, 1.0)
+    ])
+    vu_f, keep_f = project_frames(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(A[None]),
+        jnp.asarray(B[None]), jnp.asarray(np.ones(1, bool)), w, h,
+        jnp.asarray(lo), jnp.asarray(hi))
+    # size k1 like _finish_overlay_mode: pow2 >= the crop-survivor count
+    p4 = np.concatenate([pts, np.ones((P, 1), np.float32)], axis=1)
+    xyz = p4 @ A[:3, :].T
+    n_crop = int((np.all((xyz >= lo) & (xyz <= hi), axis=1) & valid).sum())
+    k1 = 1
+    while k1 < n_crop:
+        k1 *= 2
+    vu_c, keep_c, idx = crop_compact_project_idx(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(A), jnp.asarray(B),
+        jnp.asarray(True), w, h, jnp.asarray(lo), jnp.asarray(hi), k1)
+    vu_f, keep_f = np.asarray(vu_f[0]), np.asarray(keep_f[0])
+    vu_c, keep_c, idx = np.asarray(vu_c), np.asarray(keep_c), np.asarray(idx)
+    assert keep_c.shape == (C, k1) and idx.shape == (k1,)
+    for c in range(C):
+        kept_full = np.flatnonzero(keep_f[c])
+        assert kept_full.size > 0  # fixture must exercise the path
+        np.testing.assert_array_equal(idx[keep_c[c]], kept_full)
+        np.testing.assert_array_equal(vu_c[c][keep_c[c]], vu_f[c][kept_full])
+
+
+@pytest.fixture(scope="module")
+def wide_clip(tmp_path_factory):
+    """Long-range labels (500 m span vs the +-50x100 m crop): the counting
+    pass engages the crop-first two-stage split, so the evaluator's 'auto'
+    compaction is ACTIVE here (on the default fixture the crop keeps most
+    points and compaction stays off)."""
+    root = tmp_path_factory.mktemp("metrics_wide_fx")
+    c = make_fixture_clip(root, scene_name="scene-wide-eval", n_frames=5,
+                          with_images=False, with_lidar=False,
+                          label_span=(-290.0, 210.0))
+    add_instance_masks(c)
+    return c
+
+
+def test_eval_compact_engages_and_matches_full(wide_clip):
+    """compact='auto' (default) vs compact='off' on a scene where the
+    two-stage split engages: every metric — scalar SRE/precision/recall/F1
+    AND the instance association — must be identical (the kept-point set is
+    unchanged; only the per-point work shrinks)."""
+    pipe = ClipPipeline(clip_path=wide_clip, chunk=4)
+    pipe.overlay_mode("cama")  # counting pass sizes k1
+    P = int(pipe.scene.flat["cama"].points.shape[0])
+    k1 = pipe.crop_compact_k("cama")
+    assert k1 is not None and k1 * 2 <= P
+    full = MapEvaluator(tolerance=4, compact="off").evaluate_scene_all(
+        pipe, "cama")
+    comp = MapEvaluator(tolerance=4).evaluate_scene_all(pipe, "cama")
+    assert full["frames_evaluated"] > 0
+    for k, v in full.items():
+        assert comp[k] == pytest.approx(v, rel=1e-6), k
+
+
+def test_eval_compact_instances_match(wide_clip):
+    """The vote path's sel gather: instance association through the
+    compacted projection equals the full-P association exactly."""
+    pipe = ClipPipeline(clip_path=wide_clip, chunk=4)
+    pipe.overlay_mode("cama")
+    full = MapEvaluator(tolerance=4, compact="off").evaluate_scene_instances(
+        pipe, "cama")
+    comp = MapEvaluator(tolerance=4).evaluate_scene_instances(pipe, "cama")
+    assert full["frames_evaluated"] > 0
+    for k, v in full.items():
+        assert comp[k] == pytest.approx(v), k
+
+
+def test_crop_compact_k_never_counts(wide_clip, tmp_path):
+    """crop_compact_k consults only already-known sizing: a fresh pipeline
+    on a clip with a counting sidecar gets k1 with ZERO counting dispatches;
+    a clip that was never sized returns None (compaction stays off) rather
+    than growing an eval-only process a counting compile."""
+    import cama_tpu.pipeline as plmod
+
+    # sized clip: the sidecar from the tests above serves a fresh pipeline
+    pipe = ClipPipeline(clip_path=wide_clip, chunk=4)
+    pipe.overlay_mode("cama")  # ensure the sidecar exists
+    fresh = ClipPipeline(clip_path=wide_clip, chunk=4)
+    counted = []
+    orig = plmod._count_chunk
+
+    def spy(*a, **kw):
+        counted.append(1)
+        return orig(*a, **kw)
+
+    plmod._count_chunk = spy
+    try:
+        k1 = fresh.crop_compact_k("cama")
+    finally:
+        plmod._count_chunk = orig
+    assert k1 == pipe.crop_compact_k("cama") and k1 is not None
+    assert not counted
+
+    # never-sized clip: None, still zero dispatches
+    virgin = make_fixture_clip(tmp_path, scene_name="virgin", n_frames=3,
+                               with_images=False, with_lidar=False)
+    vp = ClipPipeline(clip_path=str(virgin), chunk=2)
+    plmod._count_chunk = spy
+    try:
+        assert vp.crop_compact_k("cama") is None
+    finally:
+        plmod._count_chunk = orig
+    assert not counted
