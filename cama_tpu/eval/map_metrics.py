@@ -232,6 +232,27 @@ def _project_compact_chunk_eval(points, valid, A, B, fv, width, height,
     return jax.lax.map(per_frame, (A, B, fv))
 
 
+@partial(jax.jit, static_argnames=("width", "height", "k1"))
+def _project_compact_scenes(points, valid, A, B, fv, width, height,
+                            lo, hi, k1):
+    """Scene-batched _project_compact_chunk_eval: [S, ...] stacked tensors
+    -> (vu [S, K, C, k1, 2], keep [S, K, C, k1], sel [S, K, k1]) in one
+    dispatch.  k1 is the fleet-wide maximum of the members' crop-survivor
+    sizings (each member's own k1 bounds its survivors, so the max is safe
+    for every scene; padding points are invalid and never selected)."""
+    from cama_tpu.ops.geometry import crop_compact_project_idx
+
+    def one_scene(p, v, a, b, f):
+        def per_frame(args):
+            Af, Bf, ff = args
+            return crop_compact_project_idx(p, v, Af, Bf, ff,
+                                            width, height, lo, hi, k1)
+
+        return jax.lax.map(per_frame, (a, b, f))
+
+    return jax.vmap(one_scene)(points, valid, A, B, fv)
+
+
 @partial(jax.jit, static_argnames=("width", "height"))
 def _project_scenes(points, valid, A, B, fv, width, height, lo, hi):
     """Scene-batched projection: [S, ...] stacked tensors -> vu [S, K, C, P,
@@ -1218,6 +1239,17 @@ class MapEvaluator:
         inst_pad = [np.pad(np.asarray(p.scene.flat[source].inst),
                            (0, P - len(p.scene.flat[source].inst)))
                     for p in pipes] if instances else None
+        # fleet-wide two-stage: compact to the members' largest crop-survivor
+        # sizing when EVERY member's counting pass engaged the split (mixed
+        # or unsized fleets stay full-P) — same already-known-only rule as
+        # the solo path (pipeline.crop_compact_k never dispatches counting)
+        k1 = None
+        if self.compact == "auto":
+            ks = [p.crop_compact_k(source) for p in pipes]
+            if ks and all(k is not None for k in ks):
+                k1 = max(ks)
+                if k1 * 2 > P:
+                    k1 = None
 
         sums = [dict() for _ in range(S)]
         counts = [0] * S
@@ -1230,9 +1262,10 @@ class MapEvaluator:
                 return
             with self.timers.phase("eval_fetch"):
                 fetched = jax.device_get(pending)
-            for rows, votes, keep_p, slots in fetched:
+            for rows, votes, keep_p, cidx, p_dim, slots in fetched:
                 keep_np = (None if keep_p is None else
-                           np.unpackbits(keep_p, axis=-1)[..., :P].astype(bool))
+                           np.unpackbits(keep_p, axis=-1)[..., :p_dim]
+                           .astype(bool))
                 for r, (mi_s, kk) in enumerate(slots):
                     for k2, v in rows.items():
                         sums[mi_s][k2] = sums[mi_s].get(k2, 0.0) + float(v[r])
@@ -1240,6 +1273,8 @@ class MapEvaluator:
                     if votes is not None:
                         k_row = keep_np[r]
                         m = inst_pad[mi_s]
+                        if cidx is not None:  # compacted: map back through
+                            m = m[cidx[r]]    # the row's selection indices
                         sinks[mi_s]["mi"].append(np.broadcast_to(
                             m[None, :], k_row.shape)[k_row].astype(np.int64))
                         sinks[mi_s]["gi"].append(
@@ -1249,9 +1284,17 @@ class MapEvaluator:
         for s in range(0, fv.shape[1], K):
             sl = slice(s, s + K)
             with self.timers.phase("eval_dispatch"):
-                vu, keep = _project_scenes(
-                    ptsj, validj, jnp.asarray(A[:, sl]), jnp.asarray(B[:, sl]),
-                    jnp.asarray(fv[:, sl]), w, h, lo, hi)
+                if k1 is not None:
+                    vu, keep, cidx_c = _project_compact_scenes(
+                        ptsj, validj, jnp.asarray(A[:, sl]),
+                        jnp.asarray(B[:, sl]), jnp.asarray(fv[:, sl]),
+                        w, h, lo, hi, k1)
+                else:
+                    vu, keep = _project_scenes(
+                        ptsj, validj, jnp.asarray(A[:, sl]),
+                        jnp.asarray(B[:, sl]),
+                        jnp.asarray(fv[:, sl]), w, h, lo, hi)
+                    cidx_c = None
             # rows with complete GT, across all scenes of this chunk
             gt_rows, slots = [], []
             with self.timers.phase("eval_gt_load"):
@@ -1279,7 +1322,7 @@ class MapEvaluator:
                 rows = frame_metrics_rows_packed(
                     jnp.asarray(np.packbits(ids_b > 0, axis=-1)), vu_f,
                     keep_f, w, self.max_radius, self.tolerance, self.distance)
-                votes = keep_p = None
+                votes = keep_p = cidx_f = None
                 if instances:
                     votes = instance_votes_chunk(
                         device_ids(ids_b), vu_f, keep_f, self.tolerance,
@@ -1287,10 +1330,14 @@ class MapEvaluator:
                     # keep crosses the link bitpacked (8x fewer bytes);
                     # skipped when only the scalar partials are needed
                     keep_p = jnp.packbits(keep_f, axis=-1)
+                    if cidx_c is not None:  # per-row selection indices for
+                        cidx_f = cidx_c.reshape(  # the vote drain's inst map
+                            (-1,) + cidx_c.shape[2:])[sel]
             if instances:
                 for (mi_s, _kk), ids in zip(slots, gt_rows):
                     visible[mi_s].update(np.unique(ids[ids > 0]).tolist())
-            pending.append((rows, votes, keep_p, slots))
+            pending.append((rows, votes, keep_p, cidx_f,
+                            int(keep_f.shape[-1]), slots))
             if len(pending) >= self.MAX_PENDING_CHUNKS:
                 drain()
         drain()

@@ -1168,6 +1168,9 @@ class ClipPipeline:
 
         h, w = self.scene.output_size
         path = self.scene.image_path(camera, image_idx)
+        if not os.path.exists(path):  # before imread: no cv2 WARN spam (the
+            raise FileNotFoundError(  # same gate instance_loader applies)
+                f"camera image missing: {path}")
         if self.configs.get("fast_decode"):
             img = cv2.imread(path, cv2.IMREAD_REDUCED_COLOR_2)
             mapx, mapy = self.remaps.get_scaled(
@@ -1180,6 +1183,13 @@ class ClipPipeline:
                 camera, self.scene.K_orig[c], self.scene.d[c],
                 self.scene.K_scaled[c], (h, w),
             )
+        if img is None:
+            # cv2.remap(None, ...) silently yields a single-channel zero
+            # image whose wrong shape only explodes deep in the compositor
+            # (found live: a metrics-only clip without camera JPEGs took
+            # down the report's thumbnail path with a shape error)
+            raise FileNotFoundError(
+                f"camera image missing or unreadable: {path}")
         return remap_host(img, mapx, mapy)
 
     def undistorted_image(self, camera, image_idx, copy=True):

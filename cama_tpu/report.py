@@ -122,7 +122,13 @@ def scene_summary(pipe, sources=None, thumbnails=3, tolerance=5,
                             for k in range(n_picks)})
             thumbs = []
             for idx in picks:
-                b64 = _thumbnail_b64(pipe, source, idx)
+                try:
+                    b64 = _thumbnail_b64(pipe, source, idx)
+                except FileNotFoundError:
+                    # metrics-only clip (no camera JPEGs): report the
+                    # numbers without thumbnails instead of failing the scene
+                    thumbs = []
+                    break
                 if b64:
                     thumbs.append({"source": source, "image_idx": idx,
                                    "jpeg_b64": b64})

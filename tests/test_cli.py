@@ -382,3 +382,39 @@ def test_report_thumbnails_spread_when_fewer_frames(workspace, tmp_path, capsys)
                       "--thumbnails", "3", "--max-frames", "2"])
     assert rc == 0
     assert out.read_text().count("data:image/jpeg;base64,") == 2
+
+
+def test_report_imageless_clip_skips_thumbnails(tmp_path, capsys):
+    """A metrics-only clip (no camera JPEGs) reports its numbers without
+    thumbnails instead of failing the scene — and the decode path raises a
+    clear FileNotFoundError rather than letting cv2.remap(None) produce a
+    misshapen zero image (found live)."""
+    import pytest
+    import yaml
+
+    from cama_tpu.io.fixture import add_instance_masks, make_fixture_clip
+    from cama_tpu.pipeline import ClipPipeline
+    from cama_tpu.report import main as report_main
+
+    root = tmp_path / "converted"
+    c = make_fixture_clip(root, scene_name="nogt-img", n_frames=3,
+                          with_images=False, with_lidar=False)
+    add_instance_masks(str(c))
+    pipe = ClipPipeline(clip_path=str(c), chunk=2)
+    with pytest.raises(FileNotFoundError, match="camera image missing"):
+        pipe.undistorted_image("camera_front", 1)
+
+    cfg = tmp_path / "config.yaml"
+    cfg.write_text(yaml.safe_dump({
+        "converted_dataroot": str(root), "scene_names": ["nogt-img"],
+        "output_video_dir": str(tmp_path / "v"), "dataroot": "/x",
+        "version": "x", "cama_label_file": "/x.zip"}))
+    out = tmp_path / "report.html"
+    rc = report_main(["-c", str(cfg), "-o", str(out), "--eval-backend",
+                      "host", "--thumbnails", "2", "--max-frames", "2"])
+    assert rc == 0
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert line["failures"] == 0 and line["scenes"] == 1
+    body = out.read_text()
+    assert "SRE" in body
+    assert "data:image/jpeg;base64," not in body

@@ -816,3 +816,27 @@ def test_crop_compact_k_never_counts(wide_clip, tmp_path):
     finally:
         plmod._count_chunk = orig
     assert not counted
+
+
+def test_fleet_compact_matches_per_scene(tmp_path):
+    """Fleet-batched evaluation through the scene-batched compaction
+    (_project_compact_scenes, fleet-wide max k1) equals the full-P solo
+    evaluation per member — scalars and association both."""
+    pipes = []
+    for i, off in enumerate((0.0, 0.7)):
+        c = make_fixture_clip(tmp_path, scene_name=f"wf-{i}", n_frames=4,
+                              with_images=False, with_lidar=False,
+                              label_span=(-290.0, 210.0), traj_t_offset=off)
+        add_instance_masks(str(c))
+        p = ClipPipeline(clip_path=str(c), chunk=2)
+        p.overlay_mode("cama")  # size every member -> fleet path compacts
+        assert p.crop_compact_k("cama") is not None
+        pipes.append(p)
+    batch = MapEvaluator(tolerance=4).evaluate_scene_batch(
+        pipes, "cama", instances=True)
+    for p, r in zip(pipes, batch):
+        solo = MapEvaluator(tolerance=4, compact="off").evaluate_scene_all(
+            p, "cama")
+        assert r is not None and r["frames_evaluated"] > 0
+        for k, v in solo.items():
+            assert r[k] == pytest.approx(v, rel=1e-6), k
