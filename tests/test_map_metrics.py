@@ -840,3 +840,29 @@ def test_fleet_compact_matches_per_scene(tmp_path):
         assert r is not None and r["frames_evaluated"] > 0
         for k, v in solo.items():
             assert r[k] == pytest.approx(v, rel=1e-6), k
+
+
+@pytest.mark.parametrize("trial", range(2))
+def test_compact_vs_full_fuzz(tmp_path, trial):
+    """Randomized two-stage-eval parity (tools/fuzz_sweep.py widens the
+    trial range): random long-range spans, trajectory offsets, GT shifts,
+    and tolerances — the compacted evaluation must match full-P on every
+    metric including association."""
+    rng = np.random.default_rng(7100 + trial)
+    c = make_fixture_clip(
+        tmp_path, scene_name=f"cfz-{trial}", n_frames=3,
+        with_images=False, with_lidar=False,
+        label_span=(float(rng.uniform(-320, -250)),
+                    float(rng.uniform(150, 260))),
+        traj_t_offset=float(rng.uniform(0, 1)),
+        seed=int(rng.integers(0, 2**31)))
+    add_instance_masks(str(c), shift_px=float(rng.uniform(0, 6)))
+    pipe = ClipPipeline(clip_path=str(c), chunk=2)
+    pipe.overlay_mode("cama")  # size the clip so 'auto' can engage
+    tol = int(rng.integers(2, 7))
+    full = MapEvaluator(tolerance=tol, compact="off").evaluate_scene_all(
+        pipe, "cama")
+    comp = MapEvaluator(tolerance=tol).evaluate_scene_all(pipe, "cama")
+    assert full["frames_evaluated"] > 0
+    for k, v in full.items():
+        assert comp[k] == pytest.approx(v, rel=1e-6), k

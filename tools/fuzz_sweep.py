@@ -77,6 +77,8 @@ def main(argv=None):
         range(2, 2 + n_fleet))
     run("host-vs-device-eval", with_tmp(tm.test_host_vs_device_backend_fuzz),
         range(2, 2 + n_eval))
+    run("eval-compact-vs-full", with_tmp(tm.test_compact_vs_full_fuzz),
+        range(2, 2 + n_eval))
 
     # polygon-union arrangement vs the coverage-mask oracle, mixed shapes
     # (rotated rects, triangles, holes) — widens test_convert's fixed-seed
