@@ -285,11 +285,34 @@ def rasterize_cls_host(vu, keep, cls, width, height):
 
 def _host_overlay_chunk(points, valid, cls, A, B, fv, lo, hi, width, height):
     """Host-lane overlay chunk: [chunk, C, H, W] uint8 class rasters, always
-    UNPACKED (consumers detect packing by trailing-axis width)."""
-    vu, keep = _host_project_chunk(points, valid, A, B, fv, width, height,
-                                   lo, hi)
-    return np.stack([rasterize_cls_host(vu[f], keep[f], cls, width, height)
-                     for f in range(vu.shape[0])])
+    UNPACKED (consumers detect packing by trailing-axis width).
+
+    Crop-first, like the device two-stage kernel: the camera-independent
+    crop mask is computed once per frame over P, and the 6-camera f64
+    projection runs only on the survivors (a long-range scene culls most
+    points, so the host lane's first-contact serving scales with the crop
+    count, not the scene size).  Survivors keep their original order
+    (flatnonzero is ascending) and keep requires the crop box, so the paint
+    order and rasters are bit-identical to the full-P path — pinned by
+    tests/test_adaptive_kernel.py's host-vs-device raster checks."""
+    cls = np.asarray(cls)
+    p64 = np.asarray(points, np.float64)
+    p4 = np.concatenate([p64, np.ones_like(p64[:, :1])], axis=-1)
+    xyz = np.einsum("fij,pj->fpi", np.asarray(A, np.float64)[:, :3, :], p4)
+    in_crop = (((xyz >= np.asarray(lo, np.float64))
+                & (xyz <= np.asarray(hi, np.float64))).all(-1)
+               & np.asarray(valid, bool)[None, :]
+               & np.asarray(fv, bool)[:, None])
+    points = np.asarray(points)
+    rasters = []
+    for f in range(len(fv)):
+        idx = np.flatnonzero(in_crop[f])
+        vu, keep = _host_project_chunk(
+            points[idx], np.ones(len(idx), bool), A[f:f + 1], B[f:f + 1],
+            fv[f:f + 1], width, height, lo, hi)
+        rasters.append(
+            rasterize_cls_host(vu[0], keep[0], cls[idx], width, height))
+    return np.stack(rasters)
 
 
 def _close_all_sinks(sinks):
