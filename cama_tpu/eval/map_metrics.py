@@ -903,14 +903,25 @@ class MapEvaluator:
                 # the same gate instance_loader applies)
                 if not self._chunk_has_gt(pipeline, idxs):
                     continue
-                from cama_tpu.pipeline import _host_project_chunk
+                from cama_tpu.pipeline import (
+                    _host_project_chunk,
+                    _host_project_compact_chunk,
+                )
 
                 fp = pipeline.scene.flat[source]
                 with self.timers.phase("eval_host"):
-                    vu_c, keep_c = _host_project_chunk(
-                        fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
-                        pipeline._crop_lo, pipeline._crop_hi)
-                sel_c = None
+                    if self.compact == "auto":
+                        # unconditional on host: no compile shapes to size,
+                        # padding is local to the chunk, and wide scenes cut
+                        # the f64 per-point work by the crop ratio
+                        vu_c, keep_c, sel_c = _host_project_compact_chunk(
+                            fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
+                            pipeline._crop_lo, pipeline._crop_hi)
+                    else:
+                        vu_c, keep_c = _host_project_chunk(
+                            fp.points, fp.valid, A[sl], B[sl], fv[sl], w, h,
+                            pipeline._crop_lo, pipeline._crop_hi)
+                        sel_c = None
             elif k1 is not None:
                 vu_c, keep_c, sel_c = _project_compact_chunk_eval(
                     points, valid,
@@ -1075,15 +1086,19 @@ class MapEvaluator:
                 self.max_radius, self.tolerance, self.distance))
 
     def _host_fold_votes(self, pipeline, source, sink, ids_b, vu_c, keep_c,
-                         evaluated):
+                         evaluated, sel_c=None):
         """Host-backend voting for one chunk's evaluated rows, folded
-        straight into the association sink (no device transport)."""
+        straight into the association sink (no device transport).  sel_c
+        maps a compacted chunk's point axis back to scene-flat instance
+        ids (None for full-P projections)."""
         point_inst = np.asarray(pipeline.scene.flat[source].inst)
         for kk, _image_idx in evaluated:
             votes_row = instance_votes_host(ids_b[kk], vu_c[kk], keep_c[kk],
                                             self.tolerance)
             k_row = np.asarray(keep_c[kk], bool)
-            mi = np.broadcast_to(point_inst[None, :], k_row.shape)[k_row]
+            inst = (point_inst if sel_c is None
+                    else point_inst[np.asarray(sel_c[kk])])
+            mi = np.broadcast_to(inst[None, :], k_row.shape)[k_row]
             sink["mi"].append(mi.astype(np.int64))
             sink["gi"].append(votes_row[k_row].astype(np.int64))
 
@@ -1110,7 +1125,7 @@ class MapEvaluator:
             if self.backend == "host":
                 with self.timers.phase("eval_host"):
                     self._host_fold_votes(pipeline, source, sink, ids_b,
-                                          vu_c, keep_c, evaluated)
+                                          vu_c, keep_c, evaluated, sel_c)
             else:
                 with self.timers.phase("eval_dispatch"):
                     votes = instance_votes_chunk(
@@ -1155,7 +1170,7 @@ class MapEvaluator:
                     self._host_fold_metrics(partials, ids_b, vu_c, keep_c,
                                             evaluated)
                     self._host_fold_votes(pipeline, source, sink, ids_b,
-                                          vu_c, keep_c, evaluated)
+                                          vu_c, keep_c, evaluated, sel_c)
             else:
                 with self.timers.phase("eval_dispatch"):
                     p, votes = _metrics_and_votes_chunk(

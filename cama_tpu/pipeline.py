@@ -253,6 +253,41 @@ def _host_project_chunk(points, valid, A, B, fv, width, height, lo, hi):
     return np.stack([v, u], axis=-1).astype(np.float32), keep
 
 
+def _host_project_compact_chunk(points, valid, A, B, fv, width, height,
+                                lo, hi):
+    """Crop-first _host_project_chunk (the host-eval analogue of the device
+    _project_compact_chunk_eval): returns (vu [F, C, S, 2] float32,
+    keep [F, C, S], sel [F, S] int32), where S is the chunk's max per-frame
+    crop-survivor count (rows pad with keep False / sel 0) and sel maps each
+    survivor back to the original point axis.  Kept-point set and values are
+    identical to the full-P projection — only the per-point work shrinks."""
+    p64 = np.asarray(points, np.float64)
+    p4 = np.concatenate([p64, np.ones_like(p64[:, :1])], axis=-1)
+    xyz = np.einsum("fij,pj->fpi", np.asarray(A, np.float64)[:, :3, :], p4)
+    in_crop = (((xyz >= np.asarray(lo, np.float64))
+                & (xyz <= np.asarray(hi, np.float64))).all(-1)
+               & np.asarray(valid, bool)[None, :]
+               & np.asarray(fv, bool)[:, None])
+    idxs = [np.flatnonzero(m) for m in in_crop]
+    F, C = len(idxs), B.shape[1]
+    S = max([len(i) for i in idxs] + [1])  # >=1 keeps shapes valid when empty
+    vu = np.zeros((F, C, S, 2), np.float32)
+    keep = np.zeros((F, C, S), bool)
+    sel = np.zeros((F, S), np.int32)
+    points = np.asarray(points)
+    for f, idx in enumerate(idxs):
+        n = len(idx)
+        if n == 0:
+            continue
+        vu_f, keep_f = _host_project_chunk(
+            points[idx], np.ones(n, bool), A[f:f + 1], B[f:f + 1],
+            fv[f:f + 1], width, height, lo, hi)
+        vu[f, :, :n] = vu_f[0]
+        keep[f, :, :n] = keep_f[0]
+        sel[f, :n] = idx
+    return vu, keep, sel
+
+
 def rasterize_cls_host(vu, keep, cls, width, height):
     """Host uint8 class raster with the device raster's exact semantics:
     floor to pixel, radius-2 L1 disk, later point (higher paint priority)

@@ -866,3 +866,16 @@ def test_compact_vs_full_fuzz(tmp_path, trial):
     assert full["frames_evaluated"] > 0
     for k, v in full.items():
         assert comp[k] == pytest.approx(v, rel=1e-6), k
+
+
+def test_host_backend_compact_matches_full(wide_clip):
+    """backend='host' compacts unconditionally under compact='auto' (no
+    compile shapes to size): identical metrics + association vs full-P."""
+    pipe = ClipPipeline(clip_path=wide_clip, chunk=4)
+    full = MapEvaluator(tolerance=4, backend="host",
+                        compact="off").evaluate_scene_all(pipe, "cama")
+    comp = MapEvaluator(tolerance=4, backend="host").evaluate_scene_all(
+        pipe, "cama")
+    assert full["frames_evaluated"] > 0
+    for k, v in full.items():
+        assert comp[k] == pytest.approx(v), k
