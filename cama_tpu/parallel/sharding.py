@@ -106,8 +106,25 @@ def sharded_multi_scene_step(mesh, width, height, k, two_bit=False):
     )
 
 
+def _metric_projection(points, valid, Af, Bf, fv, width, height,
+                       crop_lo, crop_hi, k1):
+    """One frame's projection for a sharded metric step: full-P, or crop-
+    compacted to k1 survivors when sizing is provided (the evaluator's
+    two-stage — keep requires the crop box, so metric sums are unchanged;
+    see eval/map_metrics._project_compact_chunk_eval)."""
+    if k1 is not None:
+        from cama_tpu.ops.geometry import crop_compact_project_idx
+
+        vu, keep, _ = crop_compact_project_idx(
+            points, valid, Af, Bf, fv, width, height, crop_lo, crop_hi, k1)
+        return vu, keep
+    vu, keep = project_frames(points, valid, Af[None], Bf[None], fv[None],
+                              width, height, crop_lo, crop_hi)
+    return vu[0], keep[0]
+
+
 def sharded_scene_batch_metrics(mesh, width, height, max_radius, tolerance,
-                                distance="chebyshev"):
+                                distance="chebyshev", k1=None):
     """Sharded FLEET evaluation step (the multi-device form of
     eval.map_metrics.evaluate_scene_batch's per-chunk device work): scenes
     shard over 'scenes', each scene's frame rows over 'frames'; per-scene
@@ -125,11 +142,9 @@ def sharded_scene_batch_metrics(mesh, width, height, max_radius, tolerance,
         def per_scene(p, v, gt_s, A_s, B_s, fv_s):
             def per_frame(args):
                 gt_f, Af, Bf, fv = args
-                vu, keep = project_frames(
-                    p, v, Af[None], Bf[None], fv[None], width, height,
-                    crop_lo, crop_hi,
-                )
-                m = frame_metrics(gt_f, vu[0], keep[0], max_radius,
+                vu, keep = _metric_projection(p, v, Af, Bf, fv, width,
+                                              height, crop_lo, crop_hi, k1)
+                m = frame_metrics(gt_f, vu, keep, max_radius,
                                   tolerance, distance)
                 z = fv.astype(jnp.float32)  # GT-less rows contribute nothing
                 return {k2: v2 * z for k2, v2 in m.items()}
@@ -171,7 +186,7 @@ def pad_to_multiple(arr, multiple, axis=0, fill=0):
 
 
 def sharded_map_metrics(mesh, width, height, max_radius, tolerance,
-                        distance="chebyshev"):
+                        distance="chebyshev", k1=None):
     """Multi-device SRE/precision/recall partials: frames sharded over the
     'frames' axis (gt masks + frame matrices per shard), partial sums psum'd
     into replicated scene totals — the north-star "SRE/F1 as on-device
@@ -188,11 +203,9 @@ def sharded_map_metrics(mesh, width, height, max_radius, tolerance,
     def step(points, valid, gt, A, B, frame_valid, crop_lo, crop_hi):
         def per_frame(args):
             gt_f, Af, Bf, fv = args
-            vu, keep = project_frames(
-                points, valid, Af[None], Bf[None], fv[None], width, height,
-                crop_lo, crop_hi,
-            )
-            p = frame_metrics(gt_f, vu[0], keep[0], max_radius, tolerance,
+            vu, keep = _metric_projection(points, valid, Af, Bf, fv, width,
+                                          height, crop_lo, crop_hi, k1)
+            p = frame_metrics(gt_f, vu, keep, max_radius, tolerance,
                               distance)
             # masked-out frames contribute nothing
             z = fv.astype(jnp.float32)

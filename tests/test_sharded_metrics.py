@@ -137,3 +137,52 @@ def test_scene_sharded_fleet_eval_matches_batch(tmp_path_factory):
                 tuple(d.id for d in mesh.devices.flat))
     assert any(k[0] == mesh_key for k in ev._sharded_steps)
     assert not any(isinstance(k[0], int) for k in ev._sharded_steps)
+
+
+def test_sharded_metrics_compacted_matches_full():
+    """k1 (crop-first compaction) threads through both sharded metric steps
+    with identical totals — the multi-chip form of the evaluator's
+    two-stage."""
+    from cama_tpu.parallel.sharding import (
+        make_scene_mesh,
+        sharded_scene_batch_metrics,
+    )
+
+    F, C, H, W, P = 4, 2, 16, 24, 128
+    rng = np.random.default_rng(3)
+    points = rng.uniform(-8, 8, (P, 3)).astype(np.float32)
+    valid = rng.random(P) > 0.1
+    gt = rng.random((F, C, H, W)) < 0.1
+    A = np.tile(np.eye(4, dtype=np.float32), (F, 1, 1))
+    A[:, :3, 3] = rng.normal(0, 2, (F, 3)).astype(np.float32)
+    B = rng.uniform(-1, 1, (F, C, 3, 4)).astype(np.float32)
+    fv = np.ones(F, bool)
+    lo = np.full(3, -4.0, np.float32)
+    hi = np.full(3, 4.0, np.float32)
+
+    mesh = make_mesh(n_frames_axis=4, n_points_axis=1)
+    a = (jnp.asarray(points), jnp.asarray(valid), jnp.asarray(gt),
+         jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
+         jnp.asarray(lo), jnp.asarray(hi))
+    full = sharded_map_metrics(mesh, W, H, 8, 3)(*a)
+    comp = sharded_map_metrics(mesh, W, H, 8, 3, k1=64)(*a)
+    for k2, v in full.items():
+        np.testing.assert_allclose(float(comp[k2]), float(v), rtol=1e-6,
+                                   err_msg=k2)
+
+    # fleet form: 2 scenes over a ('scenes', 'frames') mesh
+    S = 2
+    sp = np.stack([points, points + 0.5])
+    sv = np.stack([valid, valid])
+    sgt = rng.random((S, F, C, H, W)) < 0.1
+    sA = np.stack([A, A])
+    sB = np.stack([B, B])
+    sf = np.ones((S, F), bool)
+    smesh = make_scene_mesh(n_scenes_axis=2, n_frames_axis=4)
+    b = (jnp.asarray(sp), jnp.asarray(sv), jnp.asarray(sgt), jnp.asarray(sA),
+         jnp.asarray(sB), jnp.asarray(sf), jnp.asarray(lo), jnp.asarray(hi))
+    full_b = sharded_scene_batch_metrics(smesh, W, H, 8, 3)(*b)
+    comp_b = sharded_scene_batch_metrics(smesh, W, H, 8, 3, k1=64)(*b)
+    for k2, v in full_b.items():
+        np.testing.assert_allclose(np.asarray(comp_b[k2]), np.asarray(v),
+                                   rtol=1e-6, err_msg=k2)
