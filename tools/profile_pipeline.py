@@ -76,6 +76,11 @@ def main(argv=None):
         from cama_tpu.eval.map_metrics import MapEvaluator
 
         ev = MapEvaluator()
+        k1 = pipe.crop_compact_k(args.source)
+        P = int(pipe.scene.flat[args.source].points.shape[0])
+        print("eval projections: "
+              + (f"crop-compacted to k1={k1} of P={P}" if k1 is not None
+                 else f"full P={P} (two-stage not engaged/sized)"))
         r = ev.evaluate_scene(pipe, args.source)  # cold (compiles + GT store)
         if not r["frames_evaluated"]:
             print("eval: no GT instance masks in clip — skipped")
