@@ -1433,14 +1433,24 @@ class MapEvaluator:
         # a garbage-collected mesh's id can be reused by a differently-laid-
         # out successor, which would silently serve a step compiled for the
         # old axis extents
+        # fleet-wide crop compaction, same consult-only rule as the other
+        # forms (pipeline.crop_compact_k never dispatches counting)
+        k1 = None
+        if self.compact == "auto":
+            ks = [p.crop_compact_k(source) for p in pipes]
+            if ks and all(k is not None for k in ks):
+                k1 = max(ks)
+                if k1 * 2 > pts.shape[1]:
+                    k1 = None
         mesh_key = (tuple(mesh.shape.items()),
                     tuple(d.id for d in mesh.devices.flat))
         step_key = (mesh_key, w, h, self.max_radius, self.tolerance,
-                    self.distance)
+                    self.distance, k1)
         step = self._sharded_steps.get(step_key)
         if step is None:
             step = self._sharded_steps[step_key] = sharded_scene_batch_metrics(
-                mesh, w, h, self.max_radius, self.tolerance, self.distance)
+                mesh, w, h, self.max_radius, self.tolerance, self.distance,
+                k1=k1)
 
         sums = [dict() for _ in range(S)]
         counts = [0] * S

@@ -186,3 +186,36 @@ def test_sharded_metrics_compacted_matches_full():
     for k2, v in full_b.items():
         np.testing.assert_allclose(np.asarray(comp_b[k2]), np.asarray(v),
                                    rtol=1e-6, err_msg=k2)
+
+
+def test_scene_sharded_fleet_eval_compacted(tmp_path_factory):
+    """Wide fleet: evaluate_scene_batch_sharded engages the fleet-wide k1
+    (consult-only sizing) and still matches the full-P single-device fleet
+    evaluator per scene."""
+    from cama_tpu.parallel import make_scene_mesh
+
+    assert len(jax.devices()) >= 8
+    root = tmp_path_factory.mktemp("sharded_wide")
+    pipes = []
+    for i in range(2):
+        c = make_fixture_clip(root, scene_name=f"sw-{i}", n_frames=4,
+                              with_images=False, with_lidar=False, seed=i,
+                              label_span=(-290.0, 210.0))
+        add_instance_masks(c)
+        p = ClipPipeline(clip_path=c, chunk=2)
+        p.overlay_mode("cama")  # size every member -> sharded path compacts
+        assert p.crop_compact_k("cama") is not None
+        pipes.append(p)
+    want = MapEvaluator(tolerance=4, max_radius=16,
+                        compact="off").evaluate_scene_batch(pipes, "cama")
+    mesh = make_scene_mesh(n_scenes_axis=2, n_frames_axis=4)
+    got = MapEvaluator(tolerance=4, max_radius=16).evaluate_scene_batch_sharded(
+        pipes, mesh, "cama")
+    assert len(got) == len(want)
+    for g, w_ in zip(got, want):
+        assert g is not None and w_ is not None
+        assert g["frames_evaluated"] == w_["frames_evaluated"] > 0
+        for key in ("SRE", "precision", "recall", "f1", "n_points",
+                    "gt_pixels"):
+            np.testing.assert_allclose(g[key], w_[key], rtol=1e-5,
+                                       err_msg=key)
