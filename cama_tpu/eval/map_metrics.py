@@ -1429,10 +1429,6 @@ class MapEvaluator:
             B_p = np.pad(B_p, [(0, 0), (0, padF)] + [(0, 0)] * (B_p.ndim - 2))
             fv_p = np.pad(fv_p, [(0, 0), (0, padF)])
 
-        # key the compiled step by the mesh's SHAPE + device ids, not id():
-        # a garbage-collected mesh's id can be reused by a differently-laid-
-        # out successor, which would silently serve a step compiled for the
-        # old axis extents
         # fleet-wide crop compaction, same consult-only rule as the other
         # forms (pipeline.crop_compact_k never dispatches counting)
         k1 = None
@@ -1442,6 +1438,10 @@ class MapEvaluator:
                 k1 = max(ks)
                 if k1 * 2 > pts.shape[1]:
                     k1 = None
+        # key the compiled step by the mesh's SHAPE + device ids, not id():
+        # a garbage-collected mesh's id can be reused by a differently-laid-
+        # out successor, which would silently serve a step compiled for the
+        # old axis extents
         mesh_key = (tuple(mesh.shape.items()),
                     tuple(d.id for d in mesh.devices.flat))
         step_key = (mesh_key, w, h, self.max_radius, self.tolerance,
