@@ -1530,11 +1530,18 @@ def main(argv=None):
                              "accelerator, no compile wait); full surface "
                              "incl. --instances with the default 'nearest' "
                              "assignment")
+    parser.add_argument("--compact", default="auto",
+                        choices=["auto", "off"],
+                        help="'auto' (default) bounds per-point metric work "
+                             "to the per-frame crop survivors on long-range "
+                             "scenes (metrics identical); 'off' forces "
+                             "full-P projections")
     args = parser.parse_args(argv)
 
     pipe = ClipPipeline(clip_path=args.clip)
     ev = MapEvaluator(tolerance=args.tolerance, max_radius=args.max_radius,
-                      distance=args.distance, backend=args.backend)
+                      distance=args.distance, backend=args.backend,
+                      compact=args.compact)
     if args.instances:  # one pass computes both metric families
         result = ev.evaluate_scene_all(pipe, args.source)
     else:
