@@ -123,25 +123,36 @@ def bench_reference(clip, max_frames, with_video=False, video_path=None):
 
 
 def device_resident_fps(pipe, source="cama", bench_chunk=64,
-                        kernel="compact"):
+                        kernel="compact", tile_to=None):
     """Device-resident reprojection+rasterize throughput: overlays stay on
     device, only a checksum returns — the per-chip compute capability that
     scales when rasters feed on-device metrics.
 
     kernel='compact' keeps the headline's historical meaning; 'production'
     uses the pipeline's own serving choice (two-stage when the counting pass
-    engaged it — what a wide/long-range scene actually runs)."""
+    engaged it — what a wide/long-range scene actually runs).
+
+    tile_to=N repeats the scene's REAL frames to N before chunking, so a
+    short fixture measures steady state (enough dispatches in flight to
+    pipeline through the link) instead of a 2-dispatch burst padded with
+    dead fv=0 slots.  Per-frame work is frame-count independent, so tiling
+    changes only how many chunks amortize the dispatch RTT."""
     import jax
     import jax.numpy as jnp
 
     fm = pipe.frame_matrices(source)
     points, cls, valid = pipe.device_points(source)
     h, w = pipe.scene.output_size
-    F = len(fm.frame_indices)
-    pad = (-F) % bench_chunk
-    A = np.concatenate([fm.A, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
-    B = np.concatenate([fm.B, np.zeros((pad,) + fm.B.shape[1:])]).astype(np.float32)
-    fv = np.concatenate([fm.frame_valid, np.zeros(pad, bool)])
+    A, B, fv = fm.A, fm.B, fm.frame_valid
+    if tile_to is not None and len(fv) < tile_to:
+        reps = -(-tile_to // len(fv))
+        A = np.tile(A, (reps, 1, 1))[:tile_to]
+        B = np.tile(B, (reps,) + (1,) * (B.ndim - 1))[:tile_to]
+        fv = np.tile(fv, reps)[:tile_to]
+    pad = (-len(fv)) % bench_chunk
+    A = np.concatenate([A, np.tile(np.eye(4), (pad, 1, 1))]).astype(np.float32)
+    B = np.concatenate([B, np.zeros((pad,) + B.shape[1:])]).astype(np.float32)
+    fv = np.concatenate([fv, np.zeros(pad, bool)])
 
     _, k_compact = pipe.overlay_mode(source)
     k1 = pipe._two_stage.get(source) if kernel == "production" else None
@@ -331,8 +342,12 @@ def bench_wide_scene(n_frames=17):
     clip = get_wide_fixture(n_frames)
     pipe = ClipPipeline(clip_path=clip, chunk=8, raster_kernel="compact")
     n_points = int(np.asarray(pipe.scene.flat["cama"].valid).sum())
+    # tile_to=64: 4 chunk-16 dispatches pipeline through the link, measuring
+    # the kernel's steady state (357-361 fps) instead of a 2-dispatch burst
+    # with 15 dead pad slots (the round-4 mid-round 219-254 readings; same
+    # kernel, chunk sweep 8/16/32/64 = 288/357/356/361 on all-valid frames)
     fps = device_resident_fps(pipe, "cama", bench_chunk=16,
-                              kernel="production")
+                              kernel="production", tile_to=64)
     return fps, n_points, clip
 
 
