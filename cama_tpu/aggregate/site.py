@@ -37,7 +37,7 @@ from cama_tpu.ops import lift
 from cama_tpu.se3.trajectory import apply_seek, seek_indices
 
 
-def estimate_sim3_to_world(scene, t_max_diff=0.5):
+def estimate_sim3_to_world(scene, t_max_diff=0.5, info=None):
     """Per-clip Sim(3): SfM(scmv-derived chassis) frame -> wigo world frame.
 
     Matches the clip's reconstructed chassis2world trajectory (scene.traj
@@ -45,6 +45,12 @@ def estimate_sim3_to_world(scene, t_max_diff=0.5):
     timestamps, then Umeyama with scale.
 
     Returns (R [3,3], t [3], s) with p_world = s * R @ p_sfm + t.
+
+    `info`: optional dict the caller owns — filled with ``sv_ratio`` and
+    ``degenerate`` (near-collinear trajectory, free Umeyama roll DOF).  When
+    passed, the degeneracy warning is suppressed: the caller takes over
+    handling (Site.from_clips auto-settles the roll via refine_alignment
+    against overlapping members instead of advising it in a warning).
     """
     sfm = scene.traj["cama"]
     ts = sfm.timestamps[:, 0]
@@ -70,12 +76,17 @@ def estimate_sim3_to_world(scene, t_max_diff=0.5):
     # map then rolls out of the road plane with no other symptom
     pos = sfm_xyz[ok]
     sv = np.linalg.svd(pos - pos.mean(0), compute_uv=False)
-    if sv[0] > 0 and sv[1] / sv[0] < 1e-3:
+    ratio = float(sv[1] / sv[0]) if sv[0] > 0 else 0.0
+    degenerate = sv[0] > 0 and ratio < 1e-3
+    if info is not None:
+        info["sv_ratio"] = ratio
+        info["degenerate"] = bool(degenerate)
+    elif degenerate:
         import warnings
 
         warnings.warn(
             f"site alignment for {scene.clip_path}: trajectory is near-"
-            f"collinear (singular-value ratio {sv[1] / sv[0]:.1e}) — the "
+            f"collinear (singular-value ratio {ratio:.1e}) — the "
             "Umeyama rotation has a free roll DOF; consider refine_alignment "
             "to settle it against overlapping clips", stacklevel=2)
     r, t, s = umeyama_alignment(sfm_xyz[ok].T, matched[ok][:, :3, 3].T, with_scale=True)
@@ -216,6 +227,9 @@ class Site:
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         self.clips = []  # (clip_path, scene, (r, t, s))
         self.instances = []  # (class_name, points [P, 3] world, clip_index)
+        # clip indices whose Umeyama alignment had a free roll DOF (near-
+        # collinear trajectory) and have NOT been settled by refinement yet
+        self.degenerate_clips = set()
 
     @classmethod
     def from_clips(cls, clip_paths, configs=None, dedupe_tol=0.5, name="site",
@@ -245,14 +259,21 @@ class Site:
                 scene = compile_scene(path, configs, sources=("cama",),
                                       cache=cache)
             site.add_clip(path, scene)
-        if refine:
+        # a degenerate (near-collinear) member's Umeyama roll is a free DOF:
+        # settle it automatically against overlapping members instead of
+        # shipping an arbitrary roll behind a warning the user must act on
+        if refine or site.degenerate_clips:
             site.refine_alignment()
+        site.warn_unsettled()
         site.dedupe(tol=dedupe_tol)
         return site
 
     def add_clip(self, clip_path, scene):
-        r, t, s = estimate_sim3_to_world(scene)
+        info = {}
+        r, t, s = estimate_sim3_to_world(scene, info=info)
         ci = len(self.clips)
+        if info.get("degenerate"):
+            self.degenerate_clips.add(ci)
         self.clips.append((str(clip_path), scene, (r, t, s)))
         fp = scene.flat["cama"]
         for inst in lift.unflatten_to_instances(fp):
@@ -346,6 +367,11 @@ class Site:
         pts, w, ii, jj, clip, world_center = _candidate_pairs(self.instances, subsample, tol)
         if len(ii) == 0:
             return 0.0, 0.0
+        # clips with cross-clip correspondences get their free-roll DOF
+        # settled by the chamfer objective (or confirmed already-settled
+        # when refinement declines) — drop them from the unsettled set
+        self.degenerate_clips -= ({int(c) for c in clip[ii]}
+                                  | {int(c) for c in clip[jj]})
 
         # pad pairs to a block multiple: the differentiable chamfer runs as a
         # lax.map over PAIR_BLOCK-sized blocks, bounding device memory at the

@@ -306,48 +306,95 @@ def device_ids(ids_b):
     return jnp.asarray(ids_b)
 
 
-def _frame_metrics_impl(gt_mask, vu, keep, max_radius, tolerance, distance):
+def _dist_rounds(max_radius, tolerance, distance):
+    """Radius the GT distance field must be exact within, per metric family
+    (chebyshev has always run tolerance+1 rounds so the dilation geometry
+    serves both the capped distance sum and the hit test; euclidean's
+    squared-EDT only needs exactness to the larger of the two caps)."""
     if distance == "euclidean":
-        return _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance)
-    C, H, W = gt_mask.shape
-    vi, ui = _clip_pixels(vu, H, W)
+        return max(max_radius, tolerance)
+    return max(max_radius, tolerance + 1)
 
-    # SRE: accumulate a per-PIXEL not-covered count over dilation rounds
-    # (dist_map[p] = min(chebyshev distance to mask, R)), then gather the
-    # points ONCE.  Gathering the evolving mask at every round instead costs
-    # R random gathers per point — measured ~10x the dense dilation itself
-    # on TPU at production shapes.  Run enough rounds to serve BOTH the
-    # (capped) distance sum and the tolerance hit-test so precision and
-    # recall use the same radius.
-    rounds = max(max_radius, tolerance + 1)
-    assert rounds < 65535, "distance cap exceeds the uint16 distance map"
-    dist_map = jnp.zeros(gt_mask.shape, jnp.uint16)
+
+def _dist_field(gt_mask, rounds, distance):
+    """GT distance field the per-point metric gathers sample — a pure
+    function of the masks + caps, so the resident evaluation path computes
+    it ONCE per chunk and keeps it in HBM across evaluations
+    (MapEvaluator._eval_scene_resident).
+
+    chebyshev: per-pixel not-covered count over `rounds` dilation passes
+    (dist[p] = min(chessboard distance to mask, rounds)) — gathering the
+    evolving mask at every round instead costs `rounds` random gathers per
+    point, measured ~10x the dense dilation itself on TPU at production
+    shapes.  uint8: rounds < 256 holds for any sane pixel cap and quarters
+    the resident bytes vs an f32 field.
+    euclidean: squared_edt_within's output (f32; overestimates beyond
+    `rounds` never change a capped consumer — see squared_edt_within)."""
+    if distance == "euclidean":
+        return squared_edt_within(gt_mask, rounds)
+    assert rounds < 256, "distance cap exceeds the uint8 resident field"
+    dist_map = jnp.zeros(gt_mask.shape, jnp.uint8)
     m = gt_mask
     for _ in range(rounds):
-        dist_map = dist_map + (~m).astype(jnp.uint16)
+        dist_map = dist_map + (~m).astype(jnp.uint8)
         m = dilate3x3(m)
-    d_pts = _gather_at(dist_map, vi, ui).astype(jnp.int32)  # [C, P]
-    dist = jnp.minimum(d_pts, max_radius).astype(jnp.float32)
-    covered_tol = d_pts <= tolerance
+    return dist_map
 
+
+def _vote_field(gt_ids, tolerance, assignment):
+    """Per-pixel GT instance vote map (0 = no instance within tolerance) —
+    instance_votes_chunk's pre-gather state, split out so the resident path
+    can keep it device-resident (it too is a pure function of the GT ids +
+    tolerance)."""
+    ids = gt_ids.astype(jnp.int32)
+    if assignment == "nearest":
+        d2, nid = nearest_id_within(ids, int(tolerance))
+        vm = jnp.where(d2 <= float(tolerance) ** 2, nid, 0)
+    else:
+        vm = dilate_ids(ids, tolerance)
+    return vm.astype(gt_ids.dtype)
+
+
+def _frame_metrics_from_field(gt_mask, dist_field, vu, keep, max_radius,
+                              tolerance, distance):
+    """One frame's metric partials given a precomputed GT distance field
+    (chebyshev uint8 count or euclidean f32 squared-EDT — _dist_field).
+    This is the consume half of _frame_metrics_impl; the resident path
+    vmaps it over a chunk against HBM-resident fields."""
+    C, H, W = gt_mask.shape
+    vi, ui = _clip_pixels(vu, H, W)
     kf = keep.astype(jnp.float32)
-    sre_sum = jnp.sum(dist * kf)
-    n_points = jnp.sum(kf)
-    n_hit = jnp.sum(covered_tol.astype(jnp.float32) * kf)
-
-    # recall: dilate the projected point raster by `tolerance`, intersect gt
     pr = _point_raster(vi, ui, keep, H, W)
-    for _ in range(tolerance):
-        pr = dilate3x3(pr)
-    gt_total = jnp.sum(gt_mask)
-    gt_covered = jnp.sum(gt_mask & pr)
+    if distance == "euclidean":
+        d2_pts = _gather_at(dist_field, vi, ui)  # [C, P]
+        dist = jnp.minimum(jnp.sqrt(d2_pts), float(max_radius))
+        n_hit = jnp.sum((d2_pts <= float(tolerance) ** 2) * kf)
+        radius = max(max_radius, tolerance)
+        covered = gt_mask & (squared_edt_within(pr, radius)
+                             <= float(tolerance) ** 2)
+    else:
+        d_pts = _gather_at(dist_field, vi, ui).astype(jnp.int32)  # [C, P]
+        dist = jnp.minimum(d_pts, max_radius).astype(jnp.float32)
+        n_hit = jnp.sum((d_pts <= tolerance).astype(jnp.float32) * kf)
+        # recall: dilate the projected point raster by `tolerance`,
+        # intersect gt
+        for _ in range(tolerance):
+            pr = dilate3x3(pr)
+        covered = gt_mask & pr
     return {
-        "sre_sum": sre_sum,
-        "n_points": n_points,
+        "sre_sum": jnp.sum(dist * kf),
+        "n_points": jnp.sum(kf),
         "n_hit": n_hit,
-        "gt_total": gt_total.astype(jnp.float32),
-        "gt_covered": gt_covered.astype(jnp.float32),
+        "gt_total": jnp.sum(gt_mask).astype(jnp.float32),
+        "gt_covered": jnp.sum(covered).astype(jnp.float32),
     }
+
+
+def _frame_metrics_impl(gt_mask, vu, keep, max_radius, tolerance, distance):
+    rounds = _dist_rounds(max_radius, tolerance, distance)
+    field = _dist_field(gt_mask, rounds, distance)
+    return _frame_metrics_from_field(gt_mask, field, vu, keep, max_radius,
+                                     tolerance, distance)
 
 
 def _clip_pixels(vu, H, W):
@@ -372,33 +419,6 @@ def _point_raster(vi, ui, keep, H, W):
         return buf[:-1].reshape(H, W)
 
     return jax.vmap(one)(vi, ui, keep)
-
-
-def _frame_metrics_euclidean(gt_mask, vu, keep, max_radius, tolerance):
-    """Euclidean variant of frame_metrics: point->mask distances sampled from
-    the gt EDT; recall from the EDT of the projected-point raster.  Every
-    use caps at max_radius/tolerance, so the radius-bounded transform is
-    exact here (squared_edt_within) at a fraction of the full EDT's cost."""
-    C, H, W = gt_mask.shape
-    radius = max(max_radius, tolerance)
-    vi, ui = _clip_pixels(vu, H, W)
-    d2_pts = _gather_at(squared_edt_within(gt_mask, radius), vi, ui)  # [C, P]
-    dist = jnp.minimum(jnp.sqrt(d2_pts), float(max_radius))
-    kf = keep.astype(jnp.float32)
-    sre_sum = jnp.sum(dist * kf)
-    n_points = jnp.sum(kf)
-    n_hit = jnp.sum((d2_pts <= float(tolerance) ** 2) * kf)
-
-    D_pts = squared_edt_within(_point_raster(vi, ui, keep, H, W), radius)
-    gt_total = jnp.sum(gt_mask)
-    gt_covered = jnp.sum(gt_mask & (D_pts <= float(tolerance) ** 2))
-    return {
-        "sre_sum": sre_sum,
-        "n_points": n_points,
-        "n_hit": n_hit,
-        "gt_total": gt_total.astype(jnp.float32),
-        "gt_covered": gt_covered.astype(jnp.float32),
-    }
 
 
 def frame_metrics_host(gt_mask, vu, keep, max_radius, tolerance,
@@ -663,6 +683,90 @@ def _metrics_and_votes_chunk(gt_ids, vu, keep, fv, max_radius, tolerance,
     return p, votes
 
 
+# ---------------------------------------------------------------------------
+# fused resident-field evaluation (round 5): projection + metric gathers in
+# ONE dispatch per chunk, sampling GT-derived distance/vote fields that are
+# computed once and stay device-resident across evaluations
+# ---------------------------------------------------------------------------
+
+
+def _eval_core(points, valid, A, B, fvb, dist_field, gt_mask, vote_field,
+               width, height, lo, hi, k1, max_radius, tolerance, distance):
+    """Shared trace of the fused evaluation chunk: project (crop-compacted
+    to k1 when engaged), then sample the GT fields.  fvb [K] bool gates BOTH
+    the projection's frame_valid and the metric row weights — a row is live
+    only when its frame is valid AND its GT masks exist, exactly the rows
+    the chunked path weighted by fv.
+
+    Returns (partials dict of scalars, votes [K, C, P'] or None,
+    keep [K, C, P'], sel [K, P'] int32 or None)."""
+    from cama_tpu.ops.geometry import crop_compact_project_idx, project_frames
+
+    if k1 is not None:
+        def per_frame(args):
+            Af, Bf, f = args
+            return crop_compact_project_idx(points, valid, Af, Bf, f,
+                                            width, height, lo, hi, k1)
+
+        vu, keep, sel = jax.lax.map(per_frame, (A, B, fvb))
+    else:
+        vu, keep = project_frames(points, valid, A, B, fvb, width, height,
+                                  lo, hi)
+        sel = None
+    rows = jax.vmap(
+        lambda g, d, v, k: _frame_metrics_from_field(
+            g, d, v, k, max_radius, tolerance, distance)
+    )(gt_mask, dist_field, vu, keep)
+    z = fvb.astype(jnp.float32)
+    partials = {k2: jnp.sum(v * z) for k2, v in rows.items()}
+    votes = None
+    if vote_field is not None:
+        H, W = gt_mask.shape[-2], gt_mask.shape[-1]
+        vi, ui = _clip_pixels(vu, H, W)
+        votes = jax.vmap(_gather_at)(vote_field, vi, ui).astype(
+            vote_field.dtype)
+    return partials, votes, keep, sel
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k1", "max_radius",
+                                   "tolerance", "distance", "assignment",
+                                   "want_votes"))
+def _eval_chunk_build(points, valid, A, B, fvb, gt_ids, width, height, lo, hi,
+                      k1, max_radius, tolerance, distance, assignment,
+                      want_votes):
+    """First-visit fused chunk: derive the GT fields from the uploaded ids
+    AND evaluate, in one dispatch.  Returns the evaluation outputs plus the
+    derived fields (dist_field, gt mask bitpacked on device, vote field or
+    None) — jit outputs stay in HBM, so the caller retains them as the
+    resident cache with zero extra transfer."""
+    gt_mask = gt_ids > 0
+    dist_fd = _dist_field(gt_mask, _dist_rounds(max_radius, tolerance,
+                                                distance), distance)
+    vote_fd = (_vote_field(gt_ids, tolerance, assignment)
+               if want_votes else None)
+    partials, votes, keep, sel = _eval_core(
+        points, valid, A, B, fvb, dist_fd, gt_mask, vote_fd,
+        width, height, lo, hi, k1, max_radius, tolerance, distance)
+    gtp = jnp.packbits(gt_mask, axis=-1)
+    return partials, votes, keep, sel, dist_fd, gtp, vote_fd
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k1", "max_radius",
+                                   "tolerance", "distance"))
+def _eval_chunk_serve(points, valid, A, B, fvb, dist_field, gtp, vote_field,
+                      width, height, lo, hi, k1, max_radius, tolerance,
+                      distance):
+    """Steady-state fused chunk: everything heavy (points, GT fields) is
+    already device-resident; the host uploads only this chunk's A/B/fvb
+    (a few KB).  One dispatch per chunk — the pre-resident path paid a
+    projection dispatch, a metric dispatch, AND the bitpacked mask upload
+    per chunk per evaluation."""
+    gt_mask = _unpack_bits(gtp, width)
+    return _eval_core(points, valid, A, B, fvb, dist_field, gt_mask,
+                      vote_field, width, height, lo, hi, k1, max_radius,
+                      tolerance, distance)
+
+
 def frame_instance_pairs(gt_ids, vu, keep, point_inst, tolerance,
                          assignment="nearest"):
     """Per-frame (map_instance_id, gt_instance_id) pairs for every kept
@@ -761,7 +865,9 @@ class MapEvaluator:
     """Scene-level SRE/precision/recall/F1 over reprojected map elements."""
 
     def __init__(self, tolerance=5, max_radius=20, distance="chebyshev",
-                 backend="device", compact="auto"):
+                 backend="device", compact="auto", resident="auto"):
+        import weakref
+
         from cama_tpu.profiling import PhaseTimers
 
         self.tolerance = int(tolerance)
@@ -769,6 +875,18 @@ class MapEvaluator:
         self.distance = distance
         if compact not in ("auto", "off"):
             raise ValueError(f"unknown compact {compact!r}")
+        if resident not in ("auto", "off"):
+            raise ValueError(f"unknown resident {resident!r}")
+        # 'auto': full-scene device evaluations keep the GT-derived distance
+        # and vote fields in HBM (keyed by the GT store's content key) and
+        # run ONE fused projection+metric dispatch per chunk — the steady
+        # state uploads only A/B matrices.  Fields are pure functions of the
+        # cached GT masks + caps, so results are identical; tests pin it.
+        # 'off' forces the per-evaluation upload+transform path.
+        self.resident = resident
+        # pipeline -> {"bytes": int, "chunks": {(source, s): entry}} — weak
+        # keys so retired pipelines release their HBM fields with them
+        self._resident_fields = weakref.WeakKeyDictionary()
         # 'auto': when the scene's counting pass engaged the overlay path's
         # crop-first two-stage split (pipeline.crop_compact_k — wide/long-
         # range scenes where most points fall outside the per-frame crop),
@@ -983,6 +1101,147 @@ class MapEvaluator:
             evaluated.append((kk, image_idx))
         return ids_b, fv, evaluated
 
+    # resident-field HBM budget per evaluator: beyond it, later chunks still
+    # run the fused single-dispatch build but their fields are not retained
+    # (a 200-frame production scene's fields are ~3 GB at 540x960x6; the
+    # default keeps long scenes from crowding out the overlay pipeline)
+    RESIDENT_BUDGET_MB = float(os.environ.get("CAMA_EVAL_RESIDENT_MB", 2048))
+
+    def _chunk_layout(self, pipeline, source):
+        """Chunk row layout for a full-scene pass: yields (s, idxs) where
+        idxs[kk] is the frame index for row kk or None (invalid frame /
+        padding) — the same layout _iter_chunk_projections derives."""
+        fm, A, B, fv, F = pipeline._chunked_AB(source)
+        for s in range(0, len(fv), pipeline.chunk):
+            idxs = []
+            for k in range(s, min(s + pipeline.chunk, len(fv))):
+                if k >= F or not fm.frame_valid[k]:
+                    idxs.append(None)
+                else:
+                    idxs.append(int(fm.frame_indices[k]))
+            yield s, idxs
+
+    def _eval_scene_resident(self, pipeline, source, frames, instances,
+                             assignment):
+        """Fused resident-field evaluation (the device steady state).
+
+        Per chunk, ONE dispatch projects the scene points and samples
+        GT-derived fields that live in HBM: a capped distance field (uint8
+        chebyshev count / f32 squared-EDT) for SRE + precision, the
+        bitpacked GT mask for recall, and — when instances are requested —
+        the per-pixel nearest-instance vote field.  The fields are pure
+        functions of the cached GT masks and the evaluator's caps, built
+        once per (pipeline, chunk) by a fused build dispatch and keyed by
+        the GT store's content key, so regenerated masks invalidate them
+        exactly when they invalidate the store.  A warm evaluation therefore
+        uploads only each chunk's A/B/fvb (a few KB) instead of re-uploading
+        masks and re-running the distance transforms — the round-4 profile's
+        binding stages (VERDICT #2).
+
+        Persisting the fields to the on-disk GT store was considered and
+        rejected: on the tunneled runtime the host->device link binds, and a
+        dense uint8 distance field is 8x the bytes of the bitpacked masks
+        the cold path already uploads — a fresh process is better off
+        rebuilding fields on device (one fused dispatch) than uploading
+        them.
+
+        Returns the result dict, or None when the path doesn't apply
+        (host backend, frames filter, resident='off', or no GT store to key
+        staleness by)."""
+        if (self.backend != "device" or frames is not None
+                or self.resident == "off"):
+            return None
+        cache = pipeline.gt_mask_cache()
+        if cache is None:
+            return None  # no content key to detect regenerated masks by
+        gt_key = cache.key
+        import jax.numpy as jnp
+
+        fm, A, B, fv, F = pipeline._chunked_AB(source)
+        points, cls, valid = pipeline.device_points(source)
+        k1 = (pipeline.crop_compact_k(source) if self.compact == "auto"
+              else None)
+        h, w = pipeline.scene.output_size
+        lo, hi = pipeline._crop_lo, pipeline._crop_hi
+        store = self._resident_fields.get(pipeline)
+        if store is None:
+            store = self._resident_fields[pipeline] = {"bytes": 0,
+                                                       "chunks": {}}
+        budget = int(self.RESIDENT_BUDGET_MB * 1e6)
+
+        partials, pending = [], []
+        sink = {"mi": [], "gi": []}
+        visible = set()
+        n_evaluated = 0
+        for s, idxs in self._chunk_layout(pipeline, source):
+            key = (source, s)
+            entry = store["chunks"].get(key)
+            if entry is not None and entry["gt_key"] != gt_key:
+                if not entry.get("empty"):
+                    store["bytes"] -= entry["bytes"]
+                entry = None  # masks regenerated: rebuild
+            if (entry is not None and not entry.get("empty") and instances
+                    and assignment not in entry["votes"]):
+                store["bytes"] -= entry["bytes"]
+                entry = None  # upgrade: rebuild with the vote field
+            if entry is not None and entry.get("empty"):
+                continue
+            sl = slice(s, s + pipeline.chunk)
+            if entry is None:
+                with self.timers.phase("eval_gt_load"):
+                    ids_b, fvv, evaluated = self._chunk_gt(pipeline, idxs)
+                if ids_b is None:
+                    store["chunks"][key] = {"gt_key": gt_key, "empty": True}
+                    continue
+                fvb = fvv > 0
+                vis = (np.unique(ids_b[ids_b > 0]) if instances
+                       else np.empty(0, np.int64))
+                with self.timers.phase("eval_dispatch"):
+                    p, votes, keep, sel, dist_fd, gtp, vote_fd = \
+                        _eval_chunk_build(
+                            points, valid, jnp.asarray(A[sl]),
+                            jnp.asarray(B[sl]), jnp.asarray(fvb),
+                            device_ids(ids_b), w, h, lo, hi, k1,
+                            self.max_radius, self.tolerance, self.distance,
+                            assignment, instances)
+                nbytes = (dist_fd.nbytes + gtp.nbytes
+                          + (vote_fd.nbytes if vote_fd is not None else 0))
+                if store["bytes"] + nbytes <= budget:
+                    entry = {
+                        "gt_key": gt_key, "fvb": fvb, "evaluated": evaluated,
+                        "visible": vis, "bytes": nbytes,
+                        "dist": dist_fd, "gtp": gtp,
+                        "votes": {assignment: vote_fd} if instances else {},
+                    }
+                    store["chunks"][key] = entry
+                    store["bytes"] += nbytes
+                else:
+                    store["chunks"].pop(key, None)  # over budget: don't keep
+            else:
+                evaluated, vis = entry["evaluated"], entry["visible"]
+                with self.timers.phase("eval_dispatch"):
+                    p, votes, keep, sel = _eval_chunk_serve(
+                        points, valid, jnp.asarray(A[sl]),
+                        jnp.asarray(B[sl]), jnp.asarray(entry["fvb"]),
+                        entry["dist"], entry["gtp"],
+                        entry["votes"].get(assignment) if instances else None,
+                        w, h, lo, hi, k1, self.max_radius, self.tolerance,
+                        self.distance)
+            partials.append(p)
+            n_evaluated += len(evaluated)
+            if instances:
+                visible.update(int(i) for i in vis)
+                self._push_votes(pipeline, source, pending, sink,
+                                 (votes, keep, sel, evaluated))
+        self._drain_votes(pipeline, source, pending, sink)
+        with self.timers.phase("eval_fetch"):
+            out = reduce_metrics(jax.device_get(partials))
+        if instances:
+            assoc = self._associate(sink, visible)
+            out.update(assoc if assoc is not None else self._EMPTY_ASSOCIATION)
+        out["frames_evaluated"] = n_evaluated
+        return out
+
     def evaluate_scene(self, pipeline, source="cama", frames=None):
         """Run the metric over all valid frames that have GT masks.
 
@@ -993,6 +1252,10 @@ class MapEvaluator:
         psum'd across a frame-sharded mesh (see parallel.sharded_map_metrics).
         """
         pipeline.refresh_gt_cache()  # pick up regenerated GT masks
+        r = self._eval_scene_resident(pipeline, source, frames,
+                                      instances=False, assignment="nearest")
+        if r is not None:
+            return r
         import jax.numpy as jnp
 
         partials = []  # device scalars: fetched once, after every chunk is
@@ -1155,6 +1418,10 @@ class MapEvaluator:
 
         self._check_assignment(assignment)
         pipeline.refresh_gt_cache()  # pick up regenerated GT masks
+        r = self._eval_scene_resident(pipeline, source, frames,
+                                      instances=True, assignment=assignment)
+        if r is not None:
+            return r
         partials, pending = [], []
         sink = {"mi": [], "gi": []}
         visible = set()

@@ -384,6 +384,13 @@ def main(argv=None):
     parser.add_argument("--extrinsic", default=None, type=str,
                         help="extrinsic from the pred-sensor to gt-sensor, e.g. "
                              "camera_front2lidar_top; looks for attribute.json in . or ..")
+    parser.add_argument("--plot-dir", default=None, type=str,
+                        help="directory to write trajectory.png, "
+                             "translation_error.png and rotation_error.png "
+                             "(the reference evaluator's plot set, "
+                             "cama/pose_evaluator.py:349-459)")
+    parser.add_argument("--plot-mode", default="xz", type=str,
+                        help="trajectory plot axes, two of xyz (default xz)")
     args = parser.parse_args(argv)
 
     pred_array = np.loadtxt(args.pred)
@@ -420,6 +427,32 @@ def main(argv=None):
             print("{}= {:0.2f} {}".format(key.ljust(14), value, pe.units[key]))
         except (TypeError, ValueError):
             print(key.ljust(12), " = ", value, " ", pe.units[key])
+    if args.plot_dir:
+        import os
+
+        os.makedirs(args.plot_dir, exist_ok=True)
+        _write_png(os.path.join(args.plot_dir, "trajectory.png"),
+                   pe.plot_trajectory(args.plot_mode))
+        te, re_ = pe.plot_error()
+        _write_png(os.path.join(args.plot_dir, "translation_error.png"), te)
+        _write_png(os.path.join(args.plot_dir, "rotation_error.png"), re_)
+        print(f"plots written to {args.plot_dir}")
+
+
+def _write_png(path, rgb):
+    """RGB array -> PNG on disk (cv2 when present, else matplotlib — both
+    are in the baked image; the RGB arrays come from _fig_to_rgb)."""
+    try:
+        import cv2
+
+        cv2.imwrite(path, rgb[..., ::-1])
+    except ImportError:  # pragma: no cover - cv2 is baked in
+        import matplotlib
+
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        plt.imsave(path, rgb)
 
 
 if __name__ == "__main__":

@@ -879,3 +879,115 @@ def test_host_backend_compact_matches_full(wide_clip):
     assert full["frames_evaluated"] > 0
     for k, v in full.items():
         assert comp[k] == pytest.approx(v), k
+
+
+# ---------------------------------------------------------------------------
+# resident GT-field evaluation (round 5): the device steady state keeps
+# distance/vote fields in HBM and runs one fused dispatch per chunk
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def shifted_clip(clip, tmp_path):
+    """Copy of the module fixture with masks shifted 9 px: every metric is
+    strictly interior (0 < SRE, precision, recall < 1), so a resident-path
+    divergence cannot hide behind a saturated 0/1 score."""
+    import shutil
+
+    s = str(tmp_path / "shifted-res")
+    shutil.copytree(clip, s)
+    add_instance_masks(s, shift_px=9.0)
+    return s
+
+
+def _store(ev, pipe):
+    return ev._resident_fields.get(pipe)
+
+
+@pytest.mark.parametrize("distance", ["chebyshev", "euclidean"])
+def test_resident_scene_identical_and_warm(shifted_clip, distance):
+    """resident='auto' (default) vs 'off': bit-identical scene metrics; the
+    second evaluation serves from the HBM fields (no rebuild) and is still
+    bit-identical."""
+    pipe = ClipPipeline(clip_path=shifted_clip, chunk=4)
+    ref = MapEvaluator(tolerance=4, max_radius=16, distance=distance,
+                       resident="off").evaluate_scene(pipe, "cama")
+    assert 0 < ref["precision"] < 1 and ref["SRE"] > 0.5  # interior regime
+    ev = MapEvaluator(tolerance=4, max_radius=16, distance=distance)
+    cold = ev.evaluate_scene(pipe, "cama")
+    st = _store(ev, pipe)
+    assert st is not None and st["bytes"] > 0 and st["chunks"]
+    ids_before = {k: id(v.get("dist")) for k, v in st["chunks"].items()}
+    warm = ev.evaluate_scene(pipe, "cama")
+    ids_after = {k: id(v.get("dist")) for k, v in st["chunks"].items()}
+    assert ids_after == ids_before  # served, not rebuilt
+    for k, v in ref.items():
+        assert cold[k] == v, k
+        assert warm[k] == v, k
+
+
+def test_resident_scene_all_identical_and_upgrade(shifted_clip):
+    """evaluate_scene_all through the resident path matches resident='off'
+    exactly; a metrics-only store upgrades in place (rebuild with the vote
+    field) when instances are first requested."""
+    pipe = ClipPipeline(clip_path=shifted_clip, chunk=4)
+    ref = MapEvaluator(tolerance=4, resident="off").evaluate_scene_all(
+        pipe, "cama")
+    ev = MapEvaluator(tolerance=4)
+    ev.evaluate_scene(pipe, "cama")  # builds WITHOUT vote fields
+    st = _store(ev, pipe)
+    assert all("nearest" not in e["votes"] for e in st["chunks"].values()
+               if not e.get("empty"))
+    combined = ev.evaluate_scene_all(pipe, "cama")
+    assert all("nearest" in e["votes"] for e in st["chunks"].values()
+               if not e.get("empty"))
+    for k, v in ref.items():
+        assert combined[k] == pytest.approx(v), k
+    # and the upgraded store serves the combined pass identically too
+    again = ev.evaluate_scene_all(pipe, "cama")
+    for k, v in ref.items():
+        assert again[k] == pytest.approx(v), k
+
+
+def test_resident_budget_zero_still_identical(shifted_clip, monkeypatch):
+    """Over-budget chunks run the fused build dispatch but are not retained:
+    results identical, store stays empty."""
+    monkeypatch.setattr(MapEvaluator, "RESIDENT_BUDGET_MB", 0.0)
+    pipe = ClipPipeline(clip_path=shifted_clip, chunk=4)
+    ref = MapEvaluator(tolerance=4, resident="off").evaluate_scene(
+        pipe, "cama")
+    ev = MapEvaluator(tolerance=4)
+    out = ev.evaluate_scene(pipe, "cama")
+    st = _store(ev, pipe)
+    assert st is not None and st["bytes"] == 0 and not st["chunks"]
+    for k, v in ref.items():
+        assert out[k] == v, k
+
+
+def test_resident_gt_regeneration_invalidates(shifted_clip):
+    """Rewriting the GT masks on disk must invalidate the resident fields at
+    the next evaluation (they key by the GT store's content key), not serve
+    stale distance fields."""
+    pipe = ClipPipeline(clip_path=shifted_clip, chunk=4)
+    ev = MapEvaluator(tolerance=4)
+    worse = ev.evaluate_scene(pipe, "cama")
+    add_instance_masks(shifted_clip, shift_px=0.0)  # re-label: aligned masks
+    good = ev.evaluate_scene(pipe, "cama")
+    assert good["SRE"] < worse["SRE"] - 0.5
+    ref = MapEvaluator(tolerance=4, resident="off").evaluate_scene(
+        pipe, "cama")
+    for k, v in ref.items():
+        assert good[k] == v, k
+
+
+def test_resident_respects_compact_lens(shifted_clip):
+    """compact='auto' with the crop-first k1 engaged inside the fused
+    dispatch: identical to the uncompacted resident path and to
+    resident='off'."""
+    pipe = ClipPipeline(clip_path=shifted_clip, chunk=4)
+    pipe.overlay_mode("cama")  # size the clip so 'auto' can engage
+    ref = MapEvaluator(tolerance=4, resident="off",
+                       compact="off").evaluate_scene_all(pipe, "cama")
+    comp = MapEvaluator(tolerance=4).evaluate_scene_all(pipe, "cama")
+    for k, v in ref.items():
+        assert comp[k] == pytest.approx(v, rel=1e-6), k

@@ -134,3 +134,23 @@ def test_cli_roundtrip(tmp_path, pair, capsys):
     main(["--pred", str(pred_path), "--gt", str(gt_path), "--alignment", "7dof"])
     out = capsys.readouterr().out
     assert "RTE" in out and "ATE" in out
+
+
+def test_cli_plot_dir(tmp_path, pair, capsys):
+    """--plot-dir writes the reference evaluator's plot set as PNGs
+    (cama/pose_evaluator.py:349-459 saved these from its workflow)."""
+    from cama_tpu.eval.pose_metrics import main
+
+    gt, pred = pair
+    gt_path, pred_path = tmp_path / "gt.txt", tmp_path / "pred.txt"
+    np.savetxt(gt_path, gt)
+    np.savetxt(pred_path, pred)
+    plot_dir = tmp_path / "plots"
+    main(["--pred", str(pred_path), "--gt", str(gt_path),
+          "--plot-dir", str(plot_dir), "--plot-mode", "xy"])
+    import cv2
+
+    for name in ("trajectory.png", "translation_error.png",
+                 "rotation_error.png"):
+        img = cv2.imread(str(plot_dir / name))
+        assert img is not None and img.ndim == 3, name
