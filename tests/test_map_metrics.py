@@ -991,3 +991,47 @@ def test_resident_respects_compact_lens(shifted_clip):
     comp = MapEvaluator(tolerance=4).evaluate_scene_all(pipe, "cama")
     for k, v in ref.items():
         assert comp[k] == pytest.approx(v, rel=1e-6), k
+
+
+def test_count_raster_regroup_exactness():
+    """frame_metrics' point sums run through a scatter-add COUNT raster
+    (sre_sum == sum over pixels of count*dist) instead of per-point field
+    gathers — pin the regrouping claims from _frame_metrics_from_field's
+    docstring: chebyshev sums are integer-valued so the regroup is
+    BIT-IDENTICAL to the per-point sum; euclidean agrees to 1e-6 relative
+    (and the integer-valued hit/point counts exactly)."""
+    from cama_tpu.eval.map_metrics import _dist_field
+
+    rng = np.random.default_rng(7)
+    C, H, W, P = 2, 40, 56, 4000  # P >> H*W/10: real per-pixel counts > 1
+    gt = rng.random((C, H, W)) < 0.05
+    gt[1, :, :28] = False  # asymmetric content
+    vu = np.stack([rng.uniform(0, H, (C, P)),
+                   rng.uniform(0, W, (C, P))], -1).astype(np.float32)
+    keep = rng.random((C, P)) < 0.8
+    max_radius, tolerance = 12, 4
+    rounds = max(max_radius, tolerance + 1)
+    for distance in ("chebyshev", "euclidean"):
+        got = {k: float(v) for k, v in frame_metrics(
+            jnp.asarray(gt), jnp.asarray(vu), jnp.asarray(keep),
+            max_radius, tolerance, distance).items()}
+        # per-point oracle: gather the SAME device field at every kept point
+        field = np.asarray(_dist_field(jnp.asarray(gt), rounds, distance))
+        vi = np.clip(vu[..., 0].astype(np.int32), 0, H - 1)
+        ui = np.clip(vu[..., 1].astype(np.int32), 0, W - 1)
+        kf = keep.astype(np.float64)
+        d_pts = np.stack([field[c, vi[c], ui[c]] for c in range(C)])
+        if distance == "euclidean":
+            dist = np.minimum(np.sqrt(d_pts.astype(np.float64)),
+                              float(max_radius))
+            hit = d_pts <= float(tolerance) ** 2
+        else:
+            dist = np.minimum(d_pts, max_radius).astype(np.float64)
+            hit = d_pts <= tolerance
+        want_sre = float((dist * kf).sum())
+        assert got["n_points"] == float(kf.sum())
+        assert got["n_hit"] == float((hit * kf).sum())
+        if distance == "chebyshev":
+            assert got["sre_sum"] == want_sre, (got["sre_sum"], want_sre)
+        else:
+            np.testing.assert_allclose(got["sre_sum"], want_sre, rtol=1e-6)
