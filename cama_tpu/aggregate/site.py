@@ -280,6 +280,24 @@ class Site:
             world_pts = apply_sim3_points(inst["points"], r, t, s)
             self.instances.append((inst["class"], world_pts, ci))
 
+    def warn_unsettled(self):
+        """Warn for member clips whose free-roll (near-collinear) alignment
+        could NOT be settled — i.e. after refinement they still had no
+        cross-clip correspondences to optimize against.  from_clips calls
+        this after the auto-refine pass, so the warning fires only when
+        settling was genuinely impossible."""
+        if not self.degenerate_clips:
+            return
+        import warnings
+
+        for ci in sorted(self.degenerate_clips):
+            warnings.warn(
+                f"site {self.name!r}: member {self.clips[ci][0]} has a near-"
+                "collinear trajectory (free Umeyama roll DOF) and no "
+                "overlapping map elements in other members to settle it "
+                "against — its merged elements may carry an arbitrary roll",
+                stacklevel=2)
+
     def dedupe(self, tol=0.5, subsample=256):
         """Drop map elements that duplicate an earlier clip's element of the
         same class within `tol` m symmetric chamfer distance (the intersecting

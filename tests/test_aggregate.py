@@ -460,3 +460,39 @@ def test_collinear_trajectory_warns(tmp_path):
         warnings.simplefilter("always")
         estimate_sim3_to_world(compile_scene(clip, sources=("cama",)))
     assert any("collinear" in str(w.message) for w in rec)
+
+
+def test_site_autosettles_collinear_member(tmp_path):
+    """A near-collinear member (free Umeyama roll DOF) that shares map
+    elements with another member must be settled automatically by
+    from_clips' refine pass: no 'arbitrary roll' warning, degenerate set
+    emptied, and its merged elements land on the overlapping member's
+    (i.e. dedupe still collapses the shared world polylines)."""
+    import warnings
+
+    a = make_fixture_clip(tmp_path, scene_name="curved", n_frames=14,
+                          with_images=False, with_lidar=False,
+                          flat_height=True)
+    b = make_fixture_clip(tmp_path, scene_name="straight", n_frames=6,
+                          with_images=False, with_lidar=False,
+                          flat_height=True, t0_ms=1600000100000,
+                          traj_t_offset=0.7)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        site = Site.from_clips([a, b], configs={"scene_cache": False})
+    assert not site.degenerate_clips
+    assert not any("arbitrary roll" in str(w.message) for w in rec)
+
+
+def test_site_warns_when_collinear_member_unsettleable(tmp_path):
+    """A degenerate member with NO other member to settle against keeps the
+    free roll DOF — the warning must survive exactly then."""
+    import warnings
+
+    a = make_fixture_clip(tmp_path, scene_name="straight-solo", n_frames=6,
+                          with_images=False, with_lidar=False)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        site = Site.from_clips([a], configs={"scene_cache": False})
+    assert site.degenerate_clips == {0}
+    assert any("arbitrary roll" in str(w.message) for w in rec)
