@@ -18,6 +18,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 FIXTURE_ROOT = os.environ.get("CAMA_BENCH_DIR", "/tmp/cama_bench")
+# Benchmark-definition version (see the bench_def detail field): v2 =
+# wide_scene metrics tile the fixture to 64 frames for steady state.
+BENCH_DEF = 2
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 # 65 raw frames -> 64 processable (the reference loop starts at index 1),
 # exactly one bench_chunk: the headline then counts REAL frames per second
@@ -136,7 +139,10 @@ def device_resident_fps(pipe, source="cama", bench_chunk=64,
     short fixture measures steady state (enough dispatches in flight to
     pipeline through the link) instead of a 2-dispatch burst padded with
     dead fv=0 slots.  Per-frame work is frame-count independent, so tiling
-    changes only how many chunks amortize the dispatch RTT."""
+    changes only how many chunks amortize the dispatch RTT.  Untiled callers
+    with fixtures shorter than a few bench_chunks still measure a
+    burst-dominated number whose denominator includes pad slots — pass
+    tile_to for steady-state readings of short fixtures."""
     import jax
     import jax.numpy as jnp
 
@@ -144,6 +150,9 @@ def device_resident_fps(pipe, source="cama", bench_chunk=64,
     points, cls, valid = pipe.device_points(source)
     h, w = pipe.scene.output_size
     A, B, fv = fm.A, fm.B, fm.frame_valid
+    assert len(fv) > 0, (
+        f"device_resident_fps: fixture {pipe.scene.clip_path!r} yielded "
+        f"zero frames for source {source!r} — nothing to benchmark")
     if tile_to is not None and len(fv) < tile_to:
         reps = -(-tile_to // len(fv))
         A = np.tile(A, (reps, 1, 1))[:tile_to]
@@ -327,6 +336,121 @@ def get_wide_fixture(n_frames=17):
                           with_images=False, with_lidar=False,
                           label_span=(-290.0, 210.0))
     return clip
+
+
+def bench_device_compute(n_target_points=1_048_576, chunk=16, iters=(4, 36)):
+    """Device-ONLY compute lane (round-4 verdict: 'fps through a ~30 ms
+    dispatch tunnel is not a hardware utilization number').  Measures the
+    chip itself on the compact overlay kernel at >=1M points:
+
+    The kernel is iterated K times back-to-back INSIDE one jitted
+    lax.fori_loop — each iteration perturbs the pose matrices by
+    checksum*1e-38 (numerically a f32 no-op against ~1e2-magnitude
+    translations, but a real data dependency, so XLA can neither CSE the
+    iterations nor overlap them) — and the loop trip count is a TRACED
+    argument (one compile serves every K).  Timing the result fetch at two
+    K values and differencing isolates pure device time per iteration from
+    the dispatch RTT + transfer, which a single `block_until_ready` through
+    the tunnel cannot do.
+
+    Returns a dict: device_ms_per_frame, points, pts_per_sec, and a
+    lower-bound achieved-HBM estimate from a bytes model (per frame the
+    kernel must stream the point set once — P*(12 pos + 1 cls + 1 valid)
+    bytes — and the sort-compact materializes >= one P-wide key pass,
+    ~16 B/point; real traffic is higher, so the utilization figure is a
+    floor, not a claim)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from cama_tpu.pipeline import (
+        ClipPipeline,
+        _count_chunk,
+        _overlay_chunk_compact,
+        _overlay_chunk_two_stage,
+    )
+
+    clip = get_wide_fixture()
+    pipe = ClipPipeline(clip_path=clip, chunk=8, raster_kernel="compact")
+    pts, cls, valid = (np.asarray(a) for a in pipe.device_points("cama"))
+    P0 = len(pts)
+    reps = -(-n_target_points // P0)
+    # spread the copies by 0.35 m steps across the road so they rasterize to
+    # DISTINCT pixels — a plain tile would dedup back to P0 in the compact
+    # pass and flatter the scatter stage
+    offs = (np.arange(reps, dtype=np.float32)[:, None]
+            * np.asarray([0.35, 0.17, 0.0], np.float32))
+    pts = (pts[None] + offs[:, None]).reshape(-1, 3)[:n_target_points]
+    cls = np.tile(cls, reps)[:n_target_points]
+    valid = np.tile(valid, reps)[:n_target_points]
+
+    fm = pipe.frame_matrices("cama")
+    sel = np.flatnonzero(fm.frame_valid)
+    sel = np.resize(sel, chunk)  # tile valid frames up to the chunk
+    A = fm.A[sel].astype(np.float32)
+    B = fm.B[sel].astype(np.float32)
+    fv = np.ones(chunk, bool)
+    h, w = pipe.scene.output_size
+    lo, hi = pipe._crop_lo, pipe._crop_hi
+
+    p_d, c_d, v_d = map(jnp.asarray, (pts, cls, valid))
+    A_d, B_d, fv_d = map(jnp.asarray, (A, B, fv))
+    # exact compact sizes from the counting pass on the SAME tiled inputs
+    # (overflow-free by construction, like the production path)
+    k_crop, k_eff = (int(x) for x in _count_chunk(
+        p_d, v_d, c_d, A_d, B_d, fv_d, lo, hi, w, h))
+    k1 = max(1024, -(-k_crop // 256) * 256)
+    k2 = max(1024, -(-k_eff // 256) * 256)
+
+    def timed_lane(kernel):
+        @jax.jit
+        def run(A, B, fv, K):
+            def body(i, cs):
+                A_i = A.at[:, 0, 3].add(cs * 1e-38)
+                r = kernel(p_d, v_d, c_d, A_i, B, fv, lo, hi, w, h)
+                return (cs
+                        + r.astype(jnp.uint32).sum().astype(jnp.float32) * 1e-9)
+            return lax.fori_loop(0, K, body, jnp.float32(0.0))
+
+        np.asarray(run(A_d, B_d, fv_d, 1))  # compile once (K is traced)
+        t_at = {}
+        for K in iters:
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                np.asarray(run(A_d, B_d, fv_d, K))
+                best = min(best, time.perf_counter() - t0)
+            t_at[K] = best
+        ka, kb = iters
+        return (t_at[kb] - t_at[ka]) / (kb - ka) / chunk  # device s/frame
+
+    # production kernel on a wide scene: crop-first two-stage (the counting
+    # pass engages it at this span); the single-stage compact kernel is kept
+    # as a diagnostic — its full-P per-frame sort is what the two-stage
+    # path exists to avoid
+    s_prod = timed_lane(lambda p, v, c, Ai, Bi, fvi, lo_, hi_, w_, h_:
+                        _overlay_chunk_two_stage(p, v, c, Ai, Bi, fvi, lo_,
+                                                 hi_, w_, h_, k1,
+                                                 min(k1, k2), False))
+    s_compact = timed_lane(lambda p, v, c, Ai, Bi, fvi, lo_, hi_, w_, h_:
+                           _overlay_chunk_compact(p, v, c, Ai, Bi, fvi, lo_,
+                                                  hi_, w_, h_, k2, False))
+    P = len(pts)
+    # bytes model (lower bound): stream P*(12 pos + 1 cls + 1 valid) input
+    # bytes per frame, plus the crop pass's compaction scan state (~8 B)
+    bytes_per_frame = P * (12 + 1 + 1 + 8)
+    gbps = bytes_per_frame / s_prod / 1e9
+    return {
+        "device_ms_per_frame": round(s_prod * 1e3, 4),
+        "device_ms_per_frame_compact": round(s_compact * 1e3, 4),
+        "device_lane_points": P,
+        "device_pts_per_sec": round(P / s_prod, 0),
+        # v5e HBM peak ~819 GB/s; the model undercounts traffic, so this is
+        # a floor on achieved bandwidth
+        "hbm_gbps_lower_bound": round(gbps, 1),
+        "hbm_util_lower_bound": round(gbps / 819.0, 4),
+        "device_lane_chunk": chunk,
+    }
 
 
 def bench_wide_scene(n_frames=17):
@@ -625,6 +749,9 @@ def main():
     wide_fps, wide_points, wide_eval_fps = _optional_stage(
         "wide scene (compute-bound regime)", "CAMA_BENCH_WIDE", wide,
         (None, None, None))
+    dev_lane = _optional_stage(
+        "device-only compute lane (1M points)", "CAMA_BENCH_DEVICE",
+        bench_device_compute, {}) or {}
     cli_first, cli_wall = _optional_stage(
         "CLI fresh-process first frame", "CAMA_BENCH_CLI",
         bench_cli_first_frame, (None, None))
@@ -680,12 +807,21 @@ def main():
             "wide_scene_points": wide_points,
             "wide_scene_eval_fps": (round(wide_eval_fps, 2)
                                     if wide_eval_fps is not None else None),
+            # device-ONLY utilization lane (chip time isolated from the
+            # dispatch tunnel by in-program iteration differencing)
+            **dev_lane,
             # fresh-process CLI: seconds to the first video frame (round-3
             # first-contact wall was 204 s)
             "cli_time_to_first_video_s": cli_first,
             "cli_wall_s": cli_wall,
             **val_info,
             "frames": n,
+            # benchmark-definition version: bumped whenever a metric's
+            # measurement recipe changes (v2 = wide_scene tile_to=64
+            # steady-state).  perf_gate --from refuses to gate stored lines
+            # from a different definition instead of reporting spurious
+            # regressions against floors calibrated for this one.
+            "bench_def": BENCH_DEF,
             "backend": jax.default_backend(),
             # perf_gate applies relaxed host-path floors when the native
             # compositor couldn't build (toolchain-less gate hosts)

@@ -91,12 +91,15 @@ def test_perf_gate_floor_logic(tmp_path):
     import os
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import bench as bench_mod
+
     line = {"metric": "m", "value": 700.0,
             "details": {"overlay_stream_fps": 30.0, "frame_stream_fps": 190.0,
                         "dual_video_write_fps": 25.0,
                         "dual_video_write_cold_fps": 8.0,
                         "multi_scene_stream_fps_batched": 500.0,
                         "cli_time_to_first_video_s": 9.0,
+                        "bench_def": bench_mod.BENCH_DEF,
                         "backend": "tpu"}}
     p = tmp_path / "bench.json"
     p.write_text(json.dumps(line))
@@ -148,6 +151,23 @@ def test_perf_gate_floor_logic(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stdout + r.stderr
 
+    # a stored line from ANOTHER benchmark definition (older snapshot, or
+    # missing bench_def entirely) is incomparable to the current floors:
+    # the gate must say so and decline to gate, not fail spuriously
+    for stale in (1, None):
+        line["value"] = 100.0  # would trip the headline floor if gated
+        if stale is None:
+            line["details"].pop("bench_def", None)
+        else:
+            line["details"]["bench_def"] = stale
+        p.write_text(json.dumps(line))
+        r = subprocess.run([sys.executable, gate, "--from", str(p)],
+                           capture_output=True, text=True)
+        assert r.returncode == 0, r.stdout + r.stderr
+        assert "incomparable" in r.stdout
+    line["value"] = 700.0
+    line["details"]["bench_def"] = bench_mod.BENCH_DEF
+
     # bench's bounded-probe outage line: no measurement happened, so the
     # gate must report failed-to-run (rc=2), NOT "all floors met"
     p.write_text(json.dumps({
@@ -177,7 +197,11 @@ def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
                         lambda failures, **kw: calls.append(list(failures))
                         or "stage-report-stub")
 
-    line = {"metric": "m", "value": 100.0, "details": {"backend": "tpu"}}
+    import bench as bench_mod
+
+    line = {"metric": "m", "value": 100.0,
+            "details": {"backend": "tpu",
+                        "bench_def": bench_mod.BENCH_DEF}}
     p = tmp_path / "bench.json"
     p.write_text(json.dumps(line))
 

@@ -140,6 +140,20 @@ def main(argv=None):
               file=sys.stderr)
         return 2
     floors_all = json.load(open(args.floors)) if os.path.exists(args.floors) else {}
+    # Floors are calibrated for one benchmark definition (bench.BENCH_DEF,
+    # echoed as details.bench_def).  A stored line from another definition
+    # (e.g. a pre-tile_to wide_scene reading) is incomparable — refuse to
+    # gate it rather than reporting a spurious regression.  Live runs always
+    # match by construction.
+    want_def = floors_all.get("_bench_def")
+    got_def = bench.get("details", {}).get("bench_def")
+    if args.from_file and want_def is not None and got_def != want_def:
+        print(json.dumps({
+            "backend": backend, "incomparable": True,
+            "line_bench_def": got_def, "floors_bench_def": want_def,
+            "note": "stored bench line predates/postdates the current "
+                    "benchmark definition; floors do not apply"}))
+        return 0
     floors = dict(floors_all.get(backend, {}))
     # host-path floors assume the native compositor; a gate host without a
     # C++ toolchain runs the NumPy fallback — not a regression
