@@ -223,7 +223,7 @@ def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
                             "dual_video_write_cold_fps": 8.0,
                             "multi_scene_stream_fps_batched": 500.0,
                             "map_eval_fps": 60.0, "wide_scene_fps": 400.0,
-                            "wide_scene_eval_fps": 60.0,
+                            "wide_scene_eval_fps": 100.0,
                             "cli_time_to_first_video_s": 9.0})
     p.write_text(json.dumps(line))
     rc = pg.main(["--from", str(p), "--attribute"])
