@@ -72,7 +72,13 @@ def backend_available(timeout):
 
 from cama_tpu.io.frame_cache import FrameCache, frame_cache_key
 from cama_tpu.io.video import VideoSink
-from cama_tpu.ops.geometry import compose_frame_matrices, crop_bounds, project_frames
+from cama_tpu.ops.geometry import (
+    compose_frame_matrices,
+    crop_bounds,
+    project_frame_exact,
+    project_frames,
+    project_frames_checked,
+)
 from cama_tpu.ops.raster import (
     MAX_CLS,
     build_color_table,
@@ -385,6 +391,35 @@ def _overlay_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, widt
     return jax.lax.map(per_frame, (A, B, frame_valid))
 
 
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k"))
+def _exact_patch_raster_chunk(vu, keep, cls, ids, corr_vu, corr_keep,
+                              corr_valid, width, height, k):
+    """Patch host-recomputed exact values into a chunk's projection and
+    rasterize (the exact lane's second device pass).
+
+    vu [F,C,P,2] / keep [F,C,P]: the checked projection's outputs (device-
+    resident).  ids [F,M] int32 point indices (row-invalid slots carry P and
+    are dropped).  corr_vu [F,C,M,2] carries floor(exact)+0.5 pixel centers
+    (truncation-safe), corr_keep [F,C,M] the exact keep masks.  Patched
+    points retain their original point index, so compact's paint-order
+    priority is untouched.  Returns (cls rasters [F,C,H,W] uint8, max
+    effective count — callers assert it <= k)."""
+    P = vu.shape[2]
+
+    def per_frame(args):
+        vu_f, keep_f, ids_f, cvu, ckeep, cval = args
+        idx = jnp.where(cval, ids_f, P)
+        vu_p = vu_f.at[:, idx].set(cvu, mode="drop")
+        keep_p = keep_f.at[:, idx].set(ckeep, mode="drop")
+        vals, cnt = compact_points(vu_p, keep_p, cls, width, height, k)
+        packed = rasterize_from_compact(vals, width, height)
+        return packed_to_cls(packed), cnt.max()
+
+    rasters, cnts = jax.lax.map(
+        per_frame, (vu, keep, ids, corr_vu, corr_keep, corr_valid))
+    return rasters, cnts.max()
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k", "two_bit"))
@@ -1071,6 +1106,99 @@ class ClipPipeline:
                 if fidx >= F or not fm.frame_valid[fidx]:
                     continue
                 yield int(fm.frame_indices[fidx]), rasters[kk]
+
+    def iter_overlay_rasters_exact(self, source, patch_cap_min=512):
+        """BIT-EXACT device overlay stream (round-4 verdict #4): yields
+        (image_idx, cls_raster [C, H, W] uint8 on host) like
+        iter_overlay_rasters, but the rasters are bitwise equal to the f64
+        host-exact lane (and hence to the reference renderer, which the
+        host-exact lane is byte-identical to).
+
+        How: the device projects every point in f32 WITH interval-arithmetic
+        ambiguity flags (ops/geometry.project_frames_checked) — a point is
+        flagged when a keep guard or its pixel floor sits within the f32
+        error bound of a decision boundary.  Only the flagged points
+        (typically a handful per frame; <<1 % of P) are recomputed on host
+        in the reference's exact f64 chain (project_frame_exact) and patched
+        into the device arrays before the compact+raster pass runs on
+        device.  Everything unflagged is quantization-identical to f64 by
+        the error model, so the patched device raster is bit-exact.
+        Enforced by `python -m cama_tpu.validate --kernel exact` (reports
+        1.0 vs the host-exact path)."""
+        from cama_tpu.parallel.sharding import pad_to_multiple
+
+        fm, A, B, fv, F = self._chunked_AB(source)
+        # the f32 cast of the f64-composed B rounds away ~1e-3 px of u/v
+        # under cancellation; the residual rides along so the device's
+        # compensated re-projection reconstructs the FULL-precision value
+        B64 = pad_to_multiple(fm.B, self.chunk)
+        B_lo = (B64 - B.astype(np.float64)).astype(np.float32)
+        fp = self.scene.flat[source]
+        points, cls, valid = self.device_points(source)
+        P = int(points.shape[0])
+        h, w = self.scene.output_size
+        _, k_compact = self.overlay_mode(source)
+
+        def pow2(n, lo):
+            m = lo
+            while m < n:
+                m *= 2
+            return m
+
+        pts_np = fp.points
+        for s in range(0, len(fv), self.chunk):
+            sl = slice(s, s + self.chunk)
+            vu, keep, amb = project_frames_checked(
+                points, valid, jnp.asarray(A[sl]), jnp.asarray(B[sl]),
+                jnp.asarray(B_lo[sl]), jnp.asarray(fv[sl]), w, h,
+                self._crop_lo, self._crop_hi)
+            amb_np = np.asarray(amb)
+            n_frames = amb_np.shape[0]
+            C = len(self.scene.camera_list)
+            M = pow2(max(int(amb_np.sum(axis=1).max()), 1),
+                     patch_cap_min)
+            assert M <= P, (
+                f"exact lane: {int(amb_np.sum(axis=1).max())} ambiguous "
+                f"points exceed the point count — error model broken")
+            ids = np.full((n_frames, M), P, np.int32)
+            corr_vu = np.full((n_frames, C, M, 2), 0.5, np.float32)
+            corr_keep = np.zeros((n_frames, C, M), bool)
+            corr_valid = np.zeros((n_frames, M), bool)
+            for f in range(n_frames):
+                fidx = s + f
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                pid = np.flatnonzero(amb_np[f])
+                if len(pid) == 0:
+                    continue
+                n = len(pid)
+                ids[f, :n] = pid
+                corr_valid[f, :n] = True
+                # the reference's exact f64 chain, same call as validate's
+                # host-exact harness
+                cam_outs = project_frame_exact(
+                    pts_np[pid],
+                    np.linalg.inv(fm.chassis2world_f32[fidx]),
+                    self.scene.chassis2cam, self.scene.K_scaled, w, h)
+                for c, (vu_e, keep_e) in enumerate(cam_outs):
+                    with np.errstate(invalid="ignore"):
+                        q = np.floor(np.nan_to_num(vu_e, nan=0.0,
+                                                   posinf=0.0,
+                                                   neginf=0.0)) + 0.5
+                    corr_vu[f, c, :n] = np.where(keep_e[:, None], q, 0.5)
+                    corr_keep[f, c, :n] = keep_e
+            k_total = k_compact + M
+            rasters, cnt_max = _exact_patch_raster_chunk(
+                vu, keep, cls, jnp.asarray(ids), jnp.asarray(corr_vu),
+                jnp.asarray(corr_keep), jnp.asarray(corr_valid),
+                w, h, k_total)
+            assert int(cnt_max) <= k_total, "exact lane compact overflow"
+            rasters = np.asarray(rasters)
+            for f in range(n_frames):
+                fidx = s + f
+                if fidx >= F or not fm.frame_valid[fidx]:
+                    continue
+                yield int(fm.frame_indices[fidx]), rasters[f]
 
     def project_source(self, source):
         """All frames' (vu, keep) as device arrays (for metrics / export).

@@ -114,9 +114,11 @@ def agreement(a, b):
 # every path the pipeline can serve overlays through: 'sparse' is the
 # scatter-free host-paint stream, 'host_lane' is the adaptive kernel's
 # NumPy cold lane (the CLI default's first frames — validated here as a
-# first-class path), the rest are device raster kernels
+# first-class path), 'exact' is the bit-exact device lane (f32 projection
+# with interval ambiguity flags + selective f64 host recompute — must
+# report 1.0), the rest are device raster kernels
 DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "sparse",
-                "host_lane")
+                "host_lane", "exact")
 
 
 def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
@@ -125,8 +127,19 @@ def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
     (the round-2 hole: '--kernel compact' could validate the sparse host
     paint instead of _overlay_chunk_compact)."""
     kernel = {"sparse": "compact", "two_stage": "compact",
-              "host_lane": "compact"}.get(path_name, path_name)
+              "host_lane": "compact", "exact": "compact"}.get(path_name,
+                                                              path_name)
     pipe = ClipPipeline(scene=scene, raster_kernel=kernel, chunk=chunk)
+    if path_name == "exact":
+        # the bit-exact device lane: device f32 + interval flags, flagged
+        # points host-recomputed in the reference's f64 chain and patched
+        # before the device raster — contract is 1.0 agreement, not 0.999
+        out = {}
+        for idx, raster in pipe.iter_overlay_rasters_exact(source):
+            if idx not in frame_ids:
+                continue
+            out[idx] = pipe.composite_frame(source, idx, raster)
+        return out
     if path_name == "host_lane":
         # the adaptive cold lane, forced: pure-NumPy rasters composited
         # through the same host paint as the raster stream
@@ -267,6 +280,12 @@ def main(argv=None):
         report["device_vs_host_exact_min_agreement"] = min(
             r["device_vs_host_exact_min_agreement"] for r in per_src)
         ok = ok and report["device_vs_host_exact_min_agreement"] > 0.999
+        # the exact lane's contract is BIT-exactness, not 99.9 %
+        exact_mins = [r["paths"]["exact"]["vs_host_exact_min_agreement"]
+                      for r in per_src if "exact" in r.get("paths", {})]
+        if exact_mins:
+            report["exact_lane_min_agreement"] = min(exact_mins)
+            ok = ok and report["exact_lane_min_agreement"] == 1.0
         with_ref = [r for r in per_src if "device_vs_reference_min_agreement" in r]
         if with_ref:
             report["device_vs_reference_min_agreement"] = min(
