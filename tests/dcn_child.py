@@ -83,8 +83,79 @@ def main():
     got = float(np.asarray(y.addressable_shards[0].data)[0, 0])
     assert got == float(np.arange(g * 4.0).sum()), got
 
+    # --- scene-batched overlay + fleet metrics across PROCESSES (round-4
+    # verdict #6: the 2-process cluster exercised bootstrap/psum only; the
+    # production sharded_multi_scene_step / sharded_scene_batch_metrics
+    # programs ran only on in-process virtual meshes).  The mesh is built
+    # TRANSPOSED so each scene's frame shards land on different processes —
+    # the frames-axis psum in the metrics program is then a genuine DCN
+    # collective.  Every process constructs identical inputs from one seed
+    # and cross-checks its addressable output shards against a local
+    # single-device (unsharded) reference computation.
+    from jax.sharding import Mesh
+    from cama_tpu.parallel.sharding import (
+        sharded_multi_scene_step,
+        sharded_scene_batch_metrics,
+    )
+    from cama_tpu.pipeline import _overlay_chunk_compact
+    from cama_tpu.eval.map_metrics import frame_metrics
+
+    g = 2 * n
+    S, F, C, P_, H, W = g // 2, 2, 2, 256, 24, 32
+    sc_mesh = Mesh(np.array(jax.devices()).reshape(2, g // 2).T,
+                   ("scenes", "frames"))
+    assert dict(sc_mesh.shape) == {"scenes": g // 2, "frames": 2}
+    rng = np.random.default_rng(7)
+    pts = rng.uniform(-8, 8, (S, P_, 3)).astype(np.float32)
+    pvalid = rng.random((S, P_)) < 0.9
+    cls_ids = rng.integers(0, 3, (S, P_)).astype(np.int32)
+    A = np.tile(np.eye(4, dtype=np.float32), (S, F, 1, 1))
+    A[..., :3, 3] = rng.uniform(-1, 1, (S, F, 3)).astype(np.float32)
+    Bm = rng.normal(size=(S, F, C, 3, 4)).astype(np.float32)
+    Bm[..., 2, :3] = 0.0
+    Bm[..., 2, 3] = 1.0  # z row -> constant positive depth
+    fvs = np.ones((S, F), bool)
+    lo = np.full(3, -50.0, np.float32)
+    hi = np.full(3, 50.0, np.float32)
+    k = 256
+
+    step = sharded_multi_scene_step(sc_mesh, W, H, k)
+    rasters = step(pts, pvalid, cls_ids, A, Bm, fvs, lo, hi)
+    ref = np.asarray(jax.vmap(
+        lambda p, v, c, a, b, f: _overlay_chunk_compact(
+            p, v, c, a, b, f, lo, hi, W, H, k, False)
+    )(*map(jnp.asarray, (pts, pvalid, cls_ids, A, Bm, fvs))))
+    for shard in rasters.addressable_shards:
+        assert np.array_equal(np.asarray(shard.data), ref[shard.index]), \
+            "sharded scene-batched rasters diverged from single-device"
+
+    gt = rng.random((S, F, C, H, W)) < 0.05
+    sbm = sharded_scene_batch_metrics(sc_mesh, W, H, 3, 1)
+    got_m = sbm(pts, pvalid, gt, A, Bm, fvs, lo, hi)
+    from cama_tpu.ops.geometry import project_frames
+
+    want_m = {key: np.zeros(S) for key in got_m}
+    for s in range(S):
+        for f in range(F):
+            vu, keep = project_frames(
+                jnp.asarray(pts[s]), jnp.asarray(pvalid[s]),
+                jnp.asarray(A[s, f][None]), jnp.asarray(Bm[s, f][None]),
+                jnp.asarray(fvs[s, f][None]), W, H, lo, hi)
+            m = frame_metrics(jnp.asarray(gt[s, f]), vu[0], keep[0], 3, 1)
+            for key in want_m:
+                want_m[key][s] += float(m[key])
+    scene_metrics_ok = True
+    for key, arr in got_m.items():
+        for shard in arr.addressable_shards:
+            if not np.allclose(np.asarray(shard.data),
+                               want_m[key][shard.index], rtol=1e-6):
+                scene_metrics_ok = False
+    assert scene_metrics_ok, (got_m, want_m)
+
     print(json.dumps({"pid": pid, "totals": totals, "psum": got,
-                      "failed_scenes": [f[0] for f in failures]}), flush=True)
+                      "failed_scenes": [f[0] for f in failures],
+                      "scene_rasters_ok": True,
+                      "scene_metrics_ok": scene_metrics_ok}), flush=True)
 
 
 if __name__ == "__main__":

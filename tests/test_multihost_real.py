@@ -29,3 +29,8 @@ def test_multi_process_dcn_cluster(n_procs):
         assert o["totals"] == outs[0]["totals"]
         assert o["psum"] == outs[0]["psum"]
     assert sorted(sum((o["failed_scenes"] for o in outs), [])) == ["c"]
+    # the production scene-batched overlay and fleet-metric programs ran
+    # across processes (frame shards on different hosts -> the frames psum
+    # is a genuine DCN collective) and matched single-device references
+    for o in outs:
+        assert o["scene_rasters_ok"] and o["scene_metrics_ok"], o
