@@ -184,6 +184,173 @@ def fake_devkit(monkeypatch):
     yield
 
 
+# --------------------------------------------------------------------------
+# second recorded schema snapshot: v1.0-trainval features the mini snapshot
+# above does not exercise (round-4 verdict #7 — harden the adapters against
+# table-content drift before the first 300 GB run):
+#   * a LIDAR calibrated_sensor whose camera_intrinsic is the EMPTY list
+#     (real devkit convention for non-camera sensors)
+#   * non-keyframe sweep rows inside the sample_data prev/next chain
+#     (is_key_frame False; trainval/mini both carry sweeps/)
+#   * a second log location (singapore-onenorth) and an empty description
+#   * map records where drivable_area carries ONLY polygon_tokens and
+#     road_segment ONLY polygon_token (each missing the other key)
+# --------------------------------------------------------------------------
+
+SCENE_TV = {
+    "token": "scene-tv-1",
+    "log_token": "log-tv-1",
+    "nbr_samples": 1,
+    "first_sample_token": "samp-tv-1",
+    "last_sample_token": "samp-tv-1",
+    "name": "scene-0103",
+    "description": "",
+}
+LOG_TV = {
+    "token": "log-tv-1",
+    "logfile": "n015-2018-07-24",
+    "vehicle": "n015",
+    "date_captured": "2018-07-24",
+    "location": "singapore-onenorth",
+}
+SAMPLES_TV = [{
+    "token": "samp-tv-1",
+    "timestamp": 1532402930047951,
+    "prev": "",
+    "next": "",
+    "scene_token": "scene-tv-1",
+    "data": {"CAM_FRONT": "sd-tv-cam-1", "LIDAR_TOP": "sd-tv-lid-1"},
+}]
+TABLES_TV = {
+    ("sample_data", "sd-tv-cam-1"): {
+        "token": "sd-tv-cam-1",
+        "sample_token": "samp-tv-1",
+        "ego_pose_token": "ep-1",
+        "calibrated_sensor_token": "cs-cam",
+        "timestamp": 1532402930012460,
+        "fileformat": "jpg",
+        "is_key_frame": True,
+        "height": 900,
+        "width": 1600,
+        "filename": "samples/CAM_FRONT/n015__CAM_FRONT__1532402930012460.jpg",
+        "prev": "",
+        "next": "sd-tv-cam-sweep",
+    },
+    # a SWEEP row in the chain: is_key_frame False, file under sweeps/
+    ("sample_data", "sd-tv-cam-sweep"): {
+        "token": "sd-tv-cam-sweep",
+        "sample_token": "samp-tv-1",
+        "ego_pose_token": "ep-1",
+        "calibrated_sensor_token": "cs-cam",
+        "timestamp": 1532402930112460,
+        "fileformat": "jpg",
+        "is_key_frame": False,
+        "height": 900,
+        "width": 1600,
+        "filename": "sweeps/CAM_FRONT/n015__CAM_FRONT__1532402930112460.jpg",
+        "prev": "sd-tv-cam-1",
+        "next": "",
+    },
+    ("sample_data", "sd-tv-lid-1"): {
+        "token": "sd-tv-lid-1",
+        "sample_token": "samp-tv-1",
+        "ego_pose_token": "ep-1",
+        "calibrated_sensor_token": "cs-lid",
+        "timestamp": 1532402930047951,
+        "fileformat": "pcd",
+        "is_key_frame": True,
+        "height": 0,
+        "width": 0,
+        "filename": "samples/LIDAR_TOP/n015__LIDAR_TOP__1532402930047951.pcd.bin",
+        "prev": "",
+        "next": "",
+    },
+    # non-camera calibrated_sensor: camera_intrinsic is the EMPTY list
+    ("calibrated_sensor", "cs-lid"): {
+        "token": "cs-lid",
+        "sensor_token": "sens-lidar-top",
+        "translation": [0.943713, 0.0, 1.84023],
+        "rotation": [0.7077955119163518, -0.006492242056004365,
+                     0.010646214713995808, -0.7063073142877817],
+        "camera_intrinsic": [],
+    },
+    ("calibrated_sensor", "cs-cam"): TABLES[("calibrated_sensor", "cs-cam")],
+    ("ego_pose", "ep-1"): TABLES[("ego_pose", "ep-1")],
+    ("log", "log-tv-1"): LOG_TV,
+    ("scene", "scene-tv-1"): SCENE_TV,
+}
+
+
+class _FakeNuScenesTrainval(_FakeNuScenes):
+    def __init__(self, version, dataroot, verbose=True):
+        assert version == "v1.0-trainval" and dataroot
+        self.sample = list(SAMPLES_TV)
+        self.scene = [SCENE_TV]
+
+    def get(self, table, token):
+        return TABLES_TV[(table, token)]
+
+    def get_sample_data(self, token):
+        sd = TABLES_TV[("sample_data", token)]
+        cs = TABLES_TV[("calibrated_sensor", sd["calibrated_sensor_token"])]
+        return ("/data/" + sd["filename"], [],
+                np.asarray(cs["camera_intrinsic"]))
+
+
+class _FakeNuScenesMapTV(_FakeNuScenesMap):
+    """Map snapshot where each polygon layer carries ONLY its own token
+    key (no cross-contamination): the adapter's polygon_token/
+    polygon_tokens fallback must handle either being absent."""
+
+    def __init__(self, dataroot, map_name):
+        super().__init__(dataroot, map_name)
+        self.road_segment = [
+            {"token": "rs-tv", "polygon_token": "p-1",
+             "is_intersection": False}]
+        self.drivable_area = [{"token": "da-tv",
+                               "polygon_tokens": ["p-2"]}]
+
+
+class _FakeNuScenesAnyVersion:
+    """Dispatch on the version string like the real devkit loader does."""
+
+    def __new__(cls, version, dataroot, verbose=True):
+        impl = (_FakeNuScenesTrainval if version == "v1.0-trainval"
+                else _FakeNuScenes)
+        return impl(version, dataroot, verbose=verbose)
+
+
+@pytest.fixture()
+def fake_devkit_trainval(monkeypatch, fake_devkit):
+    monkeypatch.setattr(sys.modules["nuscenes.nuscenes"], "NuScenes",
+                        _FakeNuScenesAnyVersion)
+    monkeypatch.setattr(sys.modules["nuscenes.map_expansion.map_api"],
+                        "NuScenesMap", _FakeNuScenesMapTV)
+    yield
+
+
+def test_nuscenes_db_adapter_trainval_schema(fake_devkit_trainval):
+    """The adapters against the SECOND recorded schema snapshot."""
+    from cama_tpu.convert.nuscenes import NuScenesDB, NuScenesMapSource
+
+    db = NuScenesDB("v1.0-trainval", "/data/nuscenes")
+    assert db.scenes[0]["description"] == ""
+    assert db.get("log", "log-tv-1")["location"] == "singapore-onenorth"
+    # lidar calibrated_sensor: empty intrinsic must come through as an
+    # empty array, not crash
+    assert db.cam_intrinsic("sd-tv-lid-1").size == 0
+    # sweep rows are reachable through the chain with is_key_frame False
+    sweep = db.get("sample_data",
+                   db.get("sample_data", "sd-tv-cam-1")["next"])
+    assert sweep["is_key_frame"] is False
+    assert sweep["filename"].startswith("sweeps/")
+
+    src = NuScenesMapSource("/data/nuscenes")
+    # polygon_token-only and polygon_tokens-only layers both extract
+    assert len(src.polygon_layer("singapore-onenorth", "road_segment")) == 1
+    assert len(src.polygon_layer("singapore-onenorth", "drivable_area")) == 1
+
+
 def test_nuscenes_db_adapter(fake_devkit):
     from cama_tpu.convert.nuscenes import NuScenesDB
 

@@ -176,8 +176,16 @@ def main(argv=None):
         }))
         return 0
     if not args.dataroot:
-        print(json.dumps({"skipped": "no --dataroot given"}))
-        return 0
+        # one-command mode: discover the dataroot like cama-tpu-doctor does
+        from cama_tpu.doctor import find_nuscenes_dataroot
+
+        args.dataroot = find_nuscenes_dataroot()
+        if not args.dataroot:
+            print(json.dumps({
+                "skipped": "no --dataroot given and none discovered "
+                           "(NUSCENES_DATAROOT, /data/nuscenes, "
+                           "/data/sets/nuscenes, ~/nuscenes)"}))
+            return 0
     if not os.path.isdir(os.path.join(REFERENCE_ROOT, "dataset")):
         print(json.dumps({"skipped": f"reference not mounted at {REFERENCE_ROOT}"}))
         return 0
