@@ -256,6 +256,30 @@ def test_put_own_handover_skips_copy(tmp_path):
     np.testing.assert_array_equal(fc.get(0, 0), img)
 
 
+def test_pwrite_lane_coherent_with_mmap_reads(tmp_path):
+    """Slot writes go through os.pwrite (16x cheaper than first-touch mmap
+    stores on the bench host); readers keep the zero-copy mmap.  The two
+    views must stay coherent in-process AND across instances (page-cache
+    shared), and a non-contiguous put must land its logical bytes."""
+    fc = FrameCache(tmp_path, 3, 2, (4, 6), "k-pw", async_writes=False)
+    rng = np.random.default_rng(7)
+    imgs = {}
+    for f in range(3):
+        for c in range(2):
+            img = rng.integers(0, 256, (4, 6, 3), np.uint8)
+            imgs[f, c] = img
+            fc.put(f, c, img[:, ::1] if c == 0 else
+                   np.asfortranarray(img))  # exercise the contiguity guard
+    assert fc._data_fd is not None, "pwrite lane should have engaged"
+    for (f, c), img in imgs.items():
+        np.testing.assert_array_equal(fc.get(f, c), img)
+    assert fc.hit_rate() == 1.0
+    # a fresh instance (fresh mmap) over the same files sees the pwrites
+    fc2 = FrameCache(tmp_path, 3, 2, (4, 6), "k-pw", async_writes=False)
+    for (f, c), img in imgs.items():
+        np.testing.assert_array_equal(fc2.get(f, c), img)
+
+
 def test_gt_full_hash_catches_middle_rewrite(tmp_path):
     """Same-size middle-only rewrite of a >16 KiB GT PNG: invisible to the
     default head/tail signature (documented hole), caught by the
