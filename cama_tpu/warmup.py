@@ -58,6 +58,39 @@ def warmup_pipeline(pipe, sources=None):
     return out
 
 
+def warmup_frames(pipe, n_threads=6):
+    """Pre-build the frame cache: decode + undistort every camera image of
+    the clip into the persistent store, so a later write_videos /
+    iter_frames / report first pass rides the warm mmap path (~46 fps
+    dual-video vs ~12 cold on the bench host, BENCH.md) instead of paying
+    JPEG decode + remap inline.  Byte-exact warm start by construction: the
+    store is filled by the very undistorted_image calls a cold pass would
+    make.  Returns {"images_cached", "hit_rate", "seconds"}."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t0 = time.perf_counter()
+    scene = pipe.scene
+
+    def one(job):
+        camera, idx = job
+        try:
+            pipe.undistorted_image(camera, idx, copy=False)
+            return 1
+        except (FileNotFoundError, IndexError, KeyError):
+            return 0  # image-less clip / skipped frame: nothing to cache
+
+    jobs = [(camera, idx) for idx in range(len(scene.frame_times))
+            for camera in scene.camera_list]
+    with ThreadPoolExecutor(max_workers=n_threads) as pool:
+        n = sum(pool.map(one, jobs))
+    fc = pipe.frame_cache()
+    if fc is not None:
+        fc.flush()
+    return {"images_cached": n,
+            "hit_rate": round(fc.hit_rate(), 4) if fc is not None else None,
+            "seconds": round(time.perf_counter() - t0, 2)}
+
+
 def warmup_batched(pipelines, sources=None):
     """Compile the SCENE-BATCHED programs (MultiScenePipeline's per-chunk
     device work — a different XLA shape from every solo kernel, the round-3
@@ -143,6 +176,11 @@ def main(argv=None):
                         help="scene to warm (default: every configured scene "
                              "with a converted clip)")
     parser.add_argument("--source", default=None, choices=["cama", "nuscenes"])
+    parser.add_argument("--frames", action="store_true",
+                        help="also pre-decode every camera image into the "
+                             "persistent frame cache (byte-exact warm start: "
+                             "the first video/report pass skips JPEG decode "
+                             "+ undistort)")
     args = parser.parse_args(argv)
 
     from cama_tpu.config import load_config
@@ -185,6 +223,8 @@ def main(argv=None):
             entry = {"scene_compile_seconds": round(compile_s, 2),
                      "scene_cache_hit": pipe.scene.from_cache,
                      "kernels": warmup_pipeline(pipe, sources)}
+            if args.frames:
+                entry["frames"] = warmup_frames(pipe)
         except Exception as e:
             report["scenes"][name] = {"error": repr(e)}
             continue

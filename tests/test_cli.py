@@ -418,3 +418,27 @@ def test_report_imageless_clip_skips_thumbnails(tmp_path, capsys):
     body = out.read_text()
     assert "SRE" in body
     assert "data:image/jpeg;base64," not in body
+
+
+def test_warmup_frames_prebuilds_cache(workspace, tmp_path):
+    """cama-tpu-warmup --frames: pre-decoding the clip fills the persistent
+    frame store so the first video/report pass is a warm pass, and the
+    warmed pixels are byte-identical to an uncached decode."""
+    from cama_tpu.pipeline import ClipPipeline
+    from cama_tpu.warmup import warmup_frames
+
+    pipe = ClipPipeline(clip_path=workspace["clip"],
+                        configs={"frame_cache_dir": str(tmp_path / "fc")})
+    stats = warmup_frames(pipe)
+    n_slots = len(pipe.scene.frame_times) * len(pipe.scene.camera_list)
+    assert stats["images_cached"] > 0
+    assert stats["images_cached"] == round(stats["hit_rate"] * n_slots)
+    # a fresh pipeline over the same store serves the warmed bytes
+    warm_pipe = ClipPipeline(clip_path=workspace["clip"],
+                             configs={"frame_cache_dir": str(tmp_path / "fc")})
+    nocache = ClipPipeline(clip_path=workspace["clip"],
+                           configs={"frame_cache": False})
+    cam = pipe.scene.camera_list[0]
+    assert warm_pipe.frame_cache().hit_rate() == stats["hit_rate"]
+    np.testing.assert_array_equal(warm_pipe.undistorted_image(cam, 0),
+                                  nocache.undistorted_image(cam, 0))

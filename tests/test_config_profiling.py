@@ -96,7 +96,7 @@ def test_perf_gate_floor_logic(tmp_path):
     line = {"metric": "m", "value": 700.0,
             "details": {"overlay_stream_fps": 30.0, "frame_stream_fps": 190.0,
                         "dual_video_write_fps": 25.0,
-                        "dual_video_write_cold_fps": 8.0,
+                        "dual_video_write_cold_fps": 12.0,
                         "multi_scene_stream_fps_batched": 500.0,
                         "cli_time_to_first_video_s": 9.0,
                         "bench_def": bench_mod.BENCH_DEF,
@@ -220,7 +220,7 @@ def test_perf_gate_attribution_hook(tmp_path, monkeypatch, capsys):
     line["details"].update({"overlay_stream_fps": 30.0,
                             "frame_stream_fps": 190.0,
                             "dual_video_write_fps": 25.0,
-                            "dual_video_write_cold_fps": 8.0,
+                            "dual_video_write_cold_fps": 12.0,
                             "multi_scene_stream_fps_batched": 500.0,
                             "map_eval_fps": 60.0, "wide_scene_fps": 400.0,
                             "wide_scene_eval_fps": 100.0,
