@@ -367,6 +367,7 @@ def bench_device_compute(n_target_points=1_048_576, chunk=16, iters=(4, 36)):
         ClipPipeline,
         _count_chunk,
         _overlay_chunk_compact,
+        _overlay_chunk_fused,
         _overlay_chunk_two_stage,
     )
 
@@ -397,7 +398,7 @@ def bench_device_compute(n_target_points=1_048_576, chunk=16, iters=(4, 36)):
     A_d, B_d, fv_d = map(jnp.asarray, (A, B, fv))
     # exact compact sizes from the counting pass on the SAME tiled inputs
     # (overflow-free by construction, like the production path)
-    k_crop, k_eff = (int(x) for x in _count_chunk(
+    k_crop, k_eff, k_union = (int(x) for x in _count_chunk(
         p_d, v_d, c_d, A_d, B_d, fv_d, lo, hi, w, h))
     k1 = max(1024, -(-k_crop // 256) * 256)
     k2 = max(1024, -(-k_eff // 256) * 256)
@@ -435,6 +436,12 @@ def bench_device_compute(n_target_points=1_048_576, chunk=16, iters=(4, 36)):
     s_compact = timed_lane(lambda p, v, c, Ai, Bi, fvi, lo_, hi_, w_, h_:
                            _overlay_chunk_compact(p, v, c, Ai, Bi, fvi, lo_,
                                                   hi_, w_, h_, k2, False))
+    # single-pass fused Pallas kernel (ops/fused_compact.py) at the same
+    # union sizing the pipeline would use
+    ku = max(1024, -(-k_union // 256) * 256)
+    s_fused = timed_lane(lambda p, v, c, Ai, Bi, fvi, lo_, hi_, w_, h_:
+                         _overlay_chunk_fused(p, v, c, Ai, Bi, fvi, lo_,
+                                              hi_, w_, h_, ku, False))
     P = len(pts)
     # bytes model (lower bound): stream P*(12 pos + 1 cls + 1 valid) input
     # bytes per frame, plus the crop pass's compaction scan state (~8 B)
@@ -443,6 +450,7 @@ def bench_device_compute(n_target_points=1_048_576, chunk=16, iters=(4, 36)):
     return {
         "device_ms_per_frame": round(s_prod * 1e3, 4),
         "device_ms_per_frame_compact": round(s_compact * 1e3, 4),
+        "device_ms_per_frame_fused": round(s_fused * 1e3, 4),
         "device_lane_points": P,
         "device_pts_per_sec": round(P / s_prod, 0),
         # v5e HBM peak ~819 GB/s; the model undercounts traffic, so this is

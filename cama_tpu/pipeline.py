@@ -445,16 +445,19 @@ def _overlay_chunk_compact(points, valid, cls, A, B, frame_valid, crop_lo, crop_
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width, height):
-    """(max crop-box count, max effective deduped kept count) over a chunk of
-    frames — module level so the compiled program is reused across scenes and
-    pipelines (an inline closure recompiled per call: ~76 s per scene on a
-    remote-compile tunnel).  The crop count sizes the two-stage path's first
-    compaction; the eff count (computed on the full sequence — an upper bound
-    for the subsequence dedup) sizes the second.
+    """(max crop-box count, max effective deduped kept count, max all-camera
+    UNION of effective counts) over a chunk of frames — module level so the
+    compiled program is reused across scenes and pipelines (an inline closure
+    recompiled per call: ~76 s per scene on a remote-compile tunnel).  The
+    crop count sizes the two-stage path's first compaction; the eff count
+    (computed on the full sequence — an upper bound for the subsequence
+    dedup) sizes the second; the union count sizes the fused single-pass
+    kernel's survivor list (ops/fused_compact.py).
 
-    Deliberately sort-free (effective_counts, not compact_points): the
+    Deliberately sort-free (_encode_effective, not compact_points): the
     P-wide sort is the expensive compile, and paying it in the COUNTING
     program would double every scene's cold-start compile cost."""
+    from cama_tpu.ops.raster import _encode_effective
 
     def per_frame(args):
         Af, Bf, fv = args
@@ -465,11 +468,16 @@ def _count_chunk(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi, width,
         vu, keep = project_frames(
             points, valid, Af[None], Bf[None], fv[None], width, height, crop_lo, crop_hi
         )
-        counts = effective_counts(vu[0], keep[0], cls, width, height)
-        return crop_count, counts.max()
+        C, P = keep[0].shape
+        _, eff = _encode_effective(
+            vu[0], keep[0], jnp.broadcast_to(cls, (C, P)), width, height)
+        counts = eff.sum(axis=-1).astype(jnp.int32)
+        union = eff.any(axis=0).sum().astype(jnp.int32)
+        return crop_count, counts.max(), union
 
-    crop_counts, eff_counts = jax.lax.map(per_frame, (A, B, frame_valid))
-    return crop_counts.max(), eff_counts.max()
+    crop_counts, eff_counts, union_counts = jax.lax.map(
+        per_frame, (A, B, frame_valid))
+    return crop_counts.max(), eff_counts.max(), union_counts.max()
 
 
 @partial(jax.jit, static_argnames=("width", "height", "k1", "k2", "two_bit"))
@@ -492,6 +500,35 @@ def _overlay_chunk_two_stage(points, valid, cls, A, B, frame_valid, crop_lo, cro
         )
         vals, _ = compact_points(vu, keep, cls_sel, width, height, k2)
         packed = rasterize_from_compact(vals, width, height)
+        return packed_to_cls(packed)
+
+    rasters = jax.lax.map(per_frame, (A, B, frame_valid))
+    return pack_cls_2bit(rasters) if two_bit else rasters
+
+
+@partial(jax.jit, static_argnames=("width", "height", "k_cap", "two_bit"))
+def _overlay_chunk_fused(points, valid, cls, A, B, frame_valid, crop_lo, crop_hi,
+                         width, height, k_cap, two_bit):
+    """Single-launch fused path: per frame, ONE Pallas kernel streams the
+    point set through VMEM once and emits the final compacted paint list —
+    projection, crop, dedup, and stable compaction all in-kernel
+    (ops/fused_compact.py); only the K-entry scatter stays on XLA.  Rasters
+    are bit-identical to the kernel's XLA mirror and carry the usual
+    device-lane borderline class vs compact/two-stage (dot-vs-einsum f32
+    keep flips, PARITY.md divergence #1; measured 1 px in 3.1M).  k_cap
+    comes from the counting pass's union maximum, so it cannot overflow."""
+    from cama_tpu.ops.fused_compact import (fused_compact_project,
+                                            rasterize_from_union)
+
+    n_cam = B.shape[1]
+    p4T = jnp.concatenate([points, jnp.ones_like(points[:, :1])], axis=-1).T
+
+    def per_frame(args):
+        Af, Bf, fv = args
+        vals, cnt = fused_compact_project(
+            p4T, valid & fv, cls, Af, Bf, width, height, crop_lo, crop_hi,
+            k_cap)
+        packed = rasterize_from_union(vals, cnt, n_cam, width, height)
         return packed_to_cls(packed)
 
     rasters = jax.lax.map(per_frame, (A, B, frame_valid))
@@ -894,7 +931,11 @@ class ClipPipeline:
         instead of minutes on remote-compile TPU runtimes; right for one-shot
         or interactive runs), 'pallas' (fused 6-camera Pallas projection
         kernel + the compact rasterizer; keep masks identical to 'compact',
-        pixel coords within ~1e-4 px), or 'auto' (the CLI default: first
+        pixel coords within ~1e-4 px), 'fused' (single-pass Pallas kernel:
+        project+dedup+compact in ONE launch per frame, fastest device lane —
+        1.2-1.4x 'compact' on chip; scenes over its VMEM union-list or
+        24-bit encoding budget fall back to 'compact' sizing), or 'auto'
+        (the CLI default: first
         chunks stream through the NumPy HOST LANE so the first frame never
         waits on ANY device compile — minutes each through a remote-compile
         tunnel, regardless of program complexity — while the counting pass +
@@ -907,10 +948,11 @@ class ClipPipeline:
         self.configs = {**DEFAULT_CAMA_CONFIGS, **(configs or {})}
         if raster_kernel is None:  # ctor arg > config key > library default
             raster_kernel = self.configs.get("raster_kernel") or "compact"
-        if raster_kernel not in ("compact", "scatter", "pallas", "auto"):
+        if raster_kernel not in ("compact", "scatter", "pallas", "fused",
+                                 "auto"):
             raise ValueError(
-                f"unknown raster_kernel {raster_kernel!r}; "
-                "expected 'compact', 'scatter', 'pallas', or 'auto'")
+                f"unknown raster_kernel {raster_kernel!r}; expected "
+                "'compact', 'scatter', 'pallas', 'fused', or 'auto'")
         self.chunk = int(chunk)
         self.raster_kernel = raster_kernel
         if scene is not None:
@@ -939,6 +981,7 @@ class ClipPipeline:
         self._dev = {}
         self._mode = {}
         self._two_stage = {}
+        self._fused_k = {}
         self._crop_lo, self._crop_hi = crop_bounds()
         self._color_tables = {
             src: build_color_table(self.scene.flat[src].class_names)
@@ -1031,6 +1074,26 @@ class ClipPipeline:
                     return _overlay_chunk_pallas(points, valid, cls,
                                                  A_j, B_j, fv_j, lo, hi, w, h,
                                                  k_compact, use_2bit)
+            elif self.raster_kernel == "fused":
+                _, k_compact = self.overlay_mode(source)  # sizes _fused_k too
+                ku = self._fused_k.get(source)
+                if ku is not None:
+                    def kernel(A_j, B_j, fv_j):
+                        return _overlay_chunk_fused(
+                            points, valid, cls, A_j, B_j, fv_j, lo, hi, w, h,
+                            ku, use_2bit)
+                else:  # over the VMEM/encoding budget: two-stage serves
+                    k1 = self._two_stage.get(source)
+                    if k1 is not None:
+                        def kernel(A_j, B_j, fv_j):
+                            return _overlay_chunk_two_stage(
+                                points, valid, cls, A_j, B_j, fv_j, lo, hi,
+                                w, h, k1, min(k_compact, k1), use_2bit)
+                    else:
+                        def kernel(A_j, B_j, fv_j):
+                            return _overlay_chunk_compact(
+                                points, valid, cls, A_j, B_j, fv_j, lo, hi,
+                                w, h, k_compact, use_2bit)
             elif self.raster_kernel == "compact":
                 _, k_compact = self.overlay_mode(source)
                 k1 = self._two_stage.get(source)
@@ -1592,11 +1655,16 @@ class ClipPipeline:
             with open(path) as f:
                 data = json.load(f)
             entry = data.get(key)
-            return (int(entry[0]), int(entry[1])) if entry else None
+            if not entry:
+                return None
+            # legacy 2-entry sidecars predate the union count: None there
+            # means "unknown" and sizing falls back to the crop bound
+            union = int(entry[2]) if len(entry) > 2 else None
+            return (int(entry[0]), int(entry[1]), union)
         except (OSError, ValueError, TypeError, IndexError):
             return None
 
-    def _counts_sidecar_store(self, path, key, mc_crop, mc):
+    def _counts_sidecar_store(self, path, key, mc_crop, mc, mc_union=None):
         try:
             import json
 
@@ -1607,7 +1675,8 @@ class ClipPipeline:
                         data = json.load(f)
                 except (OSError, ValueError):
                     data = {}
-            data[key] = [int(mc_crop), int(mc)]
+            data[key] = ([int(mc_crop), int(mc)] if mc_union is None
+                         else [int(mc_crop), int(mc), int(mc_union)])
             # bound the sidecar: keep the most recent entries only
             if len(data) > 32:
                 data = dict(list(data.items())[-32:])
@@ -1649,10 +1718,10 @@ class ClipPipeline:
         points, cls, valid = self.device_points(source)
         # chunked so the compiled program is shared with other scenes of the
         # same chunk size and point padding
-        crop_maxes, eff_maxes = [], []
+        crop_maxes, eff_maxes, union_maxes = [], [], []
         for s in range(0, len(fv), self.chunk):
             sl = slice(s, s + self.chunk)
-            c1, c2 = _count_chunk(
+            c1, c2, c3 = _count_chunk(
                 points, valid, cls,
                 jnp.asarray(A[sl].astype(np.float32)),
                 jnp.asarray(B[sl].astype(np.float32)),
@@ -1661,11 +1730,13 @@ class ClipPipeline:
             )
             crop_maxes.append(c1)
             eff_maxes.append(c2)
+            union_maxes.append(c3)
         mc_crop = max(int(m) for m in crop_maxes)
         mc = max(int(m) for m in eff_maxes)
+        mc_union = max(int(m) for m in union_maxes)
         if sidecar is not None:
-            self._counts_sidecar_store(sidecar, key, mc_crop, mc)
-        return self._finish_overlay_mode(source, mc_crop, mc, P)
+            self._counts_sidecar_store(sidecar, key, mc_crop, mc, mc_union)
+        return self._finish_overlay_mode(source, mc_crop, mc, mc_union, P)
 
     def crop_compact_k(self, source):
         """k1 for crop-first compaction when the counting pass engaged the
@@ -1691,10 +1762,14 @@ class ClipPipeline:
             self._finish_overlay_mode(source, *cached, P)
         return self._two_stage.get(source)
 
-    def _finish_overlay_mode(self, source, mc_crop, mc, P):
+    def _finish_overlay_mode(self, source, mc_crop, mc, mc_union, P):
         """Turn measured counting maxima into the (mode, k) decision + the
-        two-stage split (shared by the live counting pass and the persisted
-        sidecar path)."""
+        two-stage split + the fused kernel's union cap (shared by the live
+        counting pass and the persisted sidecar path).  mc_union may be None
+        (legacy sidecar): the crop count is a valid upper bound — every
+        union survivor passes the crop test."""
+        from cama_tpu.ops.fused_compact import SUB, VMEM_K_LIMIT
+
         h, w = self.scene.output_size
 
         def pow2(n):
@@ -1707,6 +1782,13 @@ class ClipPipeline:
 
         k = pow2(mc)
         k1 = pow2(mc_crop)
+        ku = pow2(mc_union if mc_union is not None else mc_crop)
+        # the fused kernel keeps its whole union list VMEM-resident and packs
+        # pixel encodings into 24 bits; scenes outside either budget serve
+        # through the two-stage path
+        from cama_tpu.ops.raster import MAX_CLS
+        fused_ok = (ku + SUB <= VMEM_K_LIMIT) and (w * h * MAX_CLS < 1 << 24)
+        self._fused_k[source] = ku if fused_ok else None
         # crop-first two-stage pays when the crop culls at least half the
         # points: the extra per-frame sort over P is repaid by six per-camera
         # sorts over k1 instead of P

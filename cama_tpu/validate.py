@@ -117,8 +117,8 @@ def agreement(a, b):
 # first-class path), 'exact' is the bit-exact device lane (f32 projection
 # with interval ambiguity flags + selective f64 host recompute — must
 # report 1.0), the rest are device raster kernels
-DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "sparse",
-                "host_lane", "exact")
+DEVICE_PATHS = ("compact", "two_stage", "scatter", "pallas", "fused",
+                "sparse", "host_lane", "exact")
 
 
 def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
@@ -169,6 +169,12 @@ def device_frames_for_path(scene, path_name, source, frame_ids, chunk=8):
             # crop would not cull enough; P itself is always a safe budget
             if pipe._two_stage.get(source) is None:
                 pipe._two_stage[source] = int(pipe.device_points(source)[0].shape[0])
+        elif path_name == "fused":
+            if pipe._fused_k.get(source) is None:
+                raise RuntimeError(
+                    "fused kernel unavailable for this scene (over the VMEM "
+                    "union-list or 24-bit encoding budget) — nothing to "
+                    "validate under the 'fused' name")
         elif kernel == "compact":
             pipe._two_stage[source] = None  # single-stage compact, provably
     return {i: f for i, f in pipe.iter_frames(source, mode=mode)

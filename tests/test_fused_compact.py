@@ -82,7 +82,7 @@ def test_fused_raster_vs_two_stage(scene):
     A = jnp.asarray(fm.A.astype(np.float32))
     B = jnp.asarray(fm.B.astype(np.float32))
     fv = jnp.asarray(fm.frame_valid)
-    k_crop, k_eff = (int(x) for x in _count_chunk(
+    k_crop, k_eff, _ku = (int(x) for x in _count_chunk(
         pts, valid, cls, A, B, fv, lo, hi, w, h))
     k1 = max(256, -(-k_crop // 128) * 128)
     k2 = max(256, -(-k_eff // 128) * 128)
@@ -166,3 +166,61 @@ def test_fused_overflow_detectable(scene):
     assert int(cnt_k) == n > small  # overflow visible to the caller
     np.testing.assert_array_equal(np.asarray(vals_k)[:small],
                                   np.asarray(vals_full)[:small])
+
+
+def test_pipeline_fused_kernel_serves(tmp_path):
+    """raster_kernel='fused' end-to-end: the pipeline sizes k_cap from the
+    counting pass's new union maximum (persisted as the sidecar's third
+    entry), serves every frame, and agrees with the 'compact' pipeline at
+    the device-lane contract (>= 0.99999; the residual is the dot-vs-einsum
+    borderline class)."""
+    import json
+    import os
+
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path / "clip", n_frames=4,
+                             with_images=False, with_lidar=False)
+    ref_pipe = ClipPipeline(clip_path=clip, chunk=2, raster_kernel="compact")
+    ref = dict(ref_pipe.iter_overlay_rasters("cama"))
+
+    pipe = ClipPipeline(clip_path=clip, chunk=2, raster_kernel="fused")
+    got = dict(pipe.iter_overlay_rasters("cama"))
+    assert pipe._fused_k.get("cama") is not None
+    assert set(got) == set(ref) and len(got) >= 2
+    for idx in ref:
+        agree = (got[idx] == ref[idx]).mean()
+        assert agree >= 0.99999, f"frame {idx}: agreement {agree}"
+
+    # sidecar round-trip: third entry present, fresh process consumes it
+    sidecar = os.path.join(pipe._cache_dir(), "overlay_counts.json")
+    entries = list(json.load(open(sidecar)).values())
+    assert entries and all(len(e) == 3 for e in entries)
+    fresh = ClipPipeline(clip_path=clip, chunk=2, raster_kernel="fused")
+    fresh.overlay_mode("cama")
+    assert fresh._fused_k.get("cama") == pipe._fused_k.get("cama")
+
+
+def test_pipeline_fused_fallback_legacy_sidecar(tmp_path):
+    """A legacy 2-entry sidecar (no union count) still serves: sizing falls
+    back to the crop bound — a valid upper bound for the union."""
+    import json
+    import os
+
+    from cama_tpu.pipeline import ClipPipeline
+
+    clip = make_fixture_clip(tmp_path / "clip", n_frames=3,
+                             with_images=False, with_lidar=False)
+    pipe = ClipPipeline(clip_path=clip, chunk=2, raster_kernel="fused")
+    pipe.overlay_mode("cama")
+    sidecar = os.path.join(pipe._cache_dir(), "overlay_counts.json")
+    data = json.load(open(sidecar))
+    legacy = {k: v[:2] for k, v in data.items()}
+    json.dump(legacy, open(sidecar, "w"))
+
+    fresh = ClipPipeline(clip_path=clip, chunk=2, raster_kernel="fused")
+    fresh.overlay_mode("cama")
+    ku = fresh._fused_k.get("cama")
+    assert ku is not None and ku >= pipe._fused_k.get("cama")
+    rasters = dict(fresh.iter_overlay_rasters("cama"))
+    assert len(rasters) >= 2

@@ -66,8 +66,8 @@ def _compute_all():
     out["overlay"] = np.asarray(_overlay_chunk(*args))
     out["overlay_compact"] = np.asarray(
         _overlay_chunk_compact(*args, K, False))
-    c1, c2 = _count_chunk(*args)
-    out["count"] = np.asarray([int(c1), int(c2)])
+    c1, c2, c3 = _count_chunk(*args)
+    out["count"] = np.asarray([int(c1), int(c2), int(c3)])
     p4T = jnp.asarray(np.concatenate([points, np.ones((P, 1), np.float32)], 1).T)
     vu, keep = project_frame_pallas(p4T, jnp.asarray(valid), jnp.asarray(A[0]),
                                     jnp.asarray(B[0]), W, H)
