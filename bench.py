@@ -19,8 +19,10 @@ sys.path.insert(0, REPO)
 
 FIXTURE_ROOT = os.environ.get("CAMA_BENCH_DIR", "/tmp/cama_bench")
 # Benchmark-definition version (see the bench_def detail field): v2 =
-# wide_scene metrics tile the fixture to 64 frames for steady state.
-BENCH_DEF = 2
+# wide_scene metrics tile the fixture to 64 frames for steady state; v3 =
+# the production serving choice (and so wide_scene_fps) is the single-pass
+# fused kernel when the scene fits its budgets.
+BENCH_DEF = 3
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 # 65 raw frames -> 64 processable (the reference loop starts at index 1),
 # exactly one bench_chunk: the headline then counts REAL frames per second
@@ -132,7 +134,8 @@ def device_resident_fps(pipe, source="cama", bench_chunk=64,
     scales when rasters feed on-device metrics.
 
     kernel='compact' keeps the headline's historical meaning; 'production'
-    uses the pipeline's own serving choice (two-stage when the counting pass
+    uses the pipeline's own serving choice (the single-pass fused kernel
+    when the scene fits its budgets, else two-stage when the counting pass
     engaged it — what a wide/long-range scene actually runs).
 
     tile_to=N repeats the scene's REAL frames to N before chunking, so a
@@ -165,15 +168,21 @@ def device_resident_fps(pipe, source="cama", bench_chunk=64,
 
     _, k_compact = pipe.overlay_mode(source)
     k1 = pipe._two_stage.get(source) if kernel == "production" else None
+    ku = pipe._fused_k.get(source) if kernel == "production" else None
 
     @jax.jit
     def chunk_checksum(A, B, fv):
         from cama_tpu.pipeline import (
             _overlay_chunk_compact,
+            _overlay_chunk_fused,
             _overlay_chunk_two_stage,
         )
 
-        if k1 is not None:
+        if ku is not None:
+            r = _overlay_chunk_fused(points, valid, cls, A, B, fv,
+                                     pipe._crop_lo, pipe._crop_hi, w, h,
+                                     ku, False)
+        elif k1 is not None:
             r = _overlay_chunk_two_stage(points, valid, cls, A, B, fv,
                                          pipe._crop_lo, pipe._crop_hi, w, h,
                                          k1, min(k_compact, k1), False)
@@ -825,8 +834,8 @@ def main():
             **val_info,
             "frames": n,
             # benchmark-definition version: bumped whenever a metric's
-            # measurement recipe changes (v2 = wide_scene tile_to=64
-            # steady-state).  perf_gate --from refuses to gate stored lines
+            # measurement recipe changes (v3 = fused production kernel
+            # in wide_scene_fps).  perf_gate --from refuses to gate stored lines
             # from a different definition instead of reporting spurious
             # regressions against floors calibrated for this one.
             "bench_def": BENCH_DEF,

@@ -411,15 +411,19 @@ def count_union_chunk(points, valid, cls, A, B, frame_valid,
     return jax.lax.map(per_frame, (A, B, frame_valid)).max()
 
 
-def rasterize_from_union(vals, count, n_cam, width, height):
+def rasterize_from_union(vals, count, n_cam, width, height, prio_offset=0):
     """Dense packed raster from the fused kernel's union list: convert to the
     compact_points value convention (-1 = absent) and reuse the existing
     scatter + dilation (ops.raster.rasterize_from_compact).  Row index is
-    the paint priority — identical winners to the per-camera compact path."""
+    the paint priority — identical winners to the per-camera compact path.
+    prio_offset biases priorities for point-sharded partial rasters (shards
+    are contiguous point slices and the kernel's compaction is stable, so
+    shard_index * k_cap keeps the global paint order under pmax)."""
     from cama_tpu.ops.raster import rasterize_from_compact
 
     K = vals.shape[0]
     live = jnp.arange(K, dtype=jnp.int32)[:, None] < count
     enc1 = vals.astype(jnp.int32)
     cvals = jnp.where(live & (enc1 > 0), enc1 - 1, -1)[:, :n_cam].T  # [C, K]
-    return rasterize_from_compact(cvals, width, height)
+    return rasterize_from_compact(cvals, width, height,
+                                  prio_offset=prio_offset)

@@ -240,19 +240,20 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
 
     F must divide by mesh.shape['frames']; P by mesh.shape['points'].
 
-    kernel: 'fast' (scatter-max + dilation, sort-free), 'compact' (the
-    measured-fastest single-chip path: per-shard dedup+sort-compact to `k`
-    entries, K-entry scatter), or 'two_stage' (crop-first compaction to `k1`
-    survivors per shard before the six per-camera compactions — the
-    long-range-scene kernel).  Cross-shard paint order stays globally
-    correct in all three: 'fast' offsets priorities by the shard's first
-    point index; 'compact'/'two_stage' offset by shard_index * k (shards are
-    contiguous point slices and both compactions are stable, so any
-    inter-shard order consistent with the slice order is the sequential
-    order).  A shard-boundary duplicate pixel that single-device dedup would
-    drop paints identically under pmax — the successor's higher priority
-    wins the same pixel — so class rasters are bit-identical to the
-    single-device paths (tests/test_parallel.py).
+    kernel: 'fast' (scatter-max + dilation, sort-free), 'compact' (per-shard
+    dedup+sort-compact to `k` entries, K-entry scatter), 'two_stage'
+    (crop-first compaction to `k1` survivors per shard before the six
+    per-camera compactions — the long-range-scene kernel), or 'fused' (the
+    production single-pass Pallas kernel, ops/fused_compact.py, on each
+    local point shard; `k` caps the per-shard union list).  Cross-shard
+    paint order stays globally correct in all four: 'fast' offsets
+    priorities by the shard's first point index; the compacting kernels
+    offset by shard_index * k (shards are contiguous point slices and every
+    compaction is stable, so any inter-shard order consistent with the
+    slice order is the sequential order).  A shard-boundary duplicate pixel
+    that single-device dedup would drop paints identically under pmax — the
+    successor's higher priority wins the same pixel — so class rasters are
+    bit-identical to the single-device paths (tests/test_parallel.py).
     """
     if kernel == "two_stage" and k1 is None:
         raise ValueError("two_stage needs k1 (per-shard crop-survivor budget)")
@@ -263,6 +264,21 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
 
         def per_frame(args):
             Af, Bf, fv = args
+            if kernel == "fused":
+                from cama_tpu.ops.fused_compact import (
+                    fused_compact_project,
+                    rasterize_from_union,
+                )
+
+                p4T = jnp.concatenate(
+                    [points, jnp.ones_like(points[:, :1])], axis=-1).T
+                vals, cnt = fused_compact_project(
+                    p4T, valid & fv, cls, Af, Bf, width, height,
+                    crop_lo, crop_hi, k)
+                packed = rasterize_from_union(
+                    vals, cnt, B.shape[1], width, height,
+                    prio_offset=jax.lax.axis_index("points") * k)
+                return jax.lax.pmax(packed, axis_name="points")
             if kernel == "two_stage":
                 # stage 1+2 on the local point shard (shared helper keeps the
                 # precision-sensitive math identical to the single-device
@@ -321,5 +337,9 @@ def sharded_overlay_step(mesh, width, height, kernel="fast", k=2048, k1=None):
                 P(),  # crop_hi
             ),
             out_specs=(P("frames", None, None, None), P()),
+            # the fused kernel's pallas_call does not annotate its outputs'
+            # varying-across-mesh axes; skip the static vma check (the
+            # pmax/psum combines define the cross-shard semantics explicitly)
+            **({"check_vma": False} if kernel == "fused" else {}),
         )
     )

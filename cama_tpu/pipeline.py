@@ -1828,8 +1828,19 @@ class ClipPipeline:
 
         def build():
             _, k = self.overlay_mode(source)  # counting compile + dispatches
+            ku = self._fused_k.get(source)
             k1 = self._two_stage.get(source)
-            if k1 is not None:
+            if ku is not None:
+                # production preference: the single-pass fused kernel — both
+                # the fastest device lane (1.2-1.4x two-stage on chip) and
+                # the cheapest compile (seconds vs the sort program's
+                # minutes through a remote-compile tunnel), so the adaptive
+                # stream switches off the host lane sooner
+                def fn(points, valid, cls, A, B, fv):
+                    return _overlay_chunk_fused(
+                        points, valid, cls, A, B, fv, lo, hi, w, h, ku,
+                        use_2bit)
+            elif k1 is not None:
                 k2 = min(k, k1)
 
                 def fn(points, valid, cls, A, B, fv):

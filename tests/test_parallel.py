@@ -146,6 +146,30 @@ def test_sharded_two_stage_kernel_matches_single_device(clip, shape):
     np.testing.assert_array_equal(np.asarray(rasters), single)
 
 
+@pytest.mark.parametrize("shape", [(2, 4), (4, 2)])
+def test_sharded_fused_kernel_matches_single_device(clip, shape):
+    """Sharded single-pass fused kernel == single-device fused rasters
+    (shard-offset paint priorities reconstruct global order under pmax;
+    per-shard union budgets generous enough not to overflow)."""
+    from cama_tpu.pipeline import _overlay_chunk_fused
+
+    mesh = make_mesh(n_frames_axis=shape[0], n_points_axis=shape[1])
+    scene, fm, args = _prep(clip, mesh)
+    pts, valid, cls, A, B, fv = args
+    h, w = scene.output_size
+    lo, hi = crop_bounds()
+    k = pts.shape[0]  # full point count: the union list cannot overflow
+    step = sharded_overlay_step(mesh, w, h, kernel="fused", k=k)
+    rasters, _ = step(*[jnp.asarray(a) for a in args], jnp.asarray(lo), jnp.asarray(hi))
+
+    single = np.asarray(_overlay_chunk_fused(
+        jnp.asarray(pts), jnp.asarray(valid), jnp.asarray(cls),
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(fv),
+        jnp.asarray(lo), jnp.asarray(hi), w, h, k, False,
+    ))
+    np.testing.assert_array_equal(np.asarray(rasters), single)
+
+
 def test_scenes_axis_batched_kernel_matches_single_device(clip):
     """sharded_multi_scene_step over a ('scenes','frames') mesh must be
     bit-identical to the single-device scene-batched compact program."""
